@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Table loaders + determinism helpers shared by every declared query.
+  *
+  * Numeric discipline (SURVEY.md §7.4): double sums are order-sensitive, so any
+  * aggregate the DuckDB oracle checks accumulates in DECIMAL (exact, order-free)
+  * and surfaces as DOUBLE — both engines then produce bit-identical values.
+  *
+  * events.ts is parquet TIMESTAMP(NANOS); Spark 4 reads it only as raw Long ns
+  * (spark.sql.legacy.parquet.nanosAsLong). All ns→ms/timestamp conversions are
+  * integer ops on Long (double division would lose precision above 2^53).
+  */
+object Tables {
+  val tables: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Exact order-independent sum of a money-ish double column, as double. */
+  def dsum2(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
+
+  /** Exact sum of a derived per-row double expression at scale 10, as double. */
+  def dsum10(c: Column): Column = sum(c.cast(DecimalType(28, 10))).cast(DoubleType)
+
+  /** Long-ns column → epoch milliseconds (integer division, truncating). */
+  def nsToMs(name: String): Column = expr(s"$name div 1000000")
+
+  /** Long-ns column → TimestampType at microsecond precision. */
+  def nsToTs(name: String): Column = expr(s"timestamp_micros($name div 1000)")
+
+  /** 2024-01-15T00:00:00Z in epoch nanoseconds (merge-upsert cutoff). */
+  val CutoffNs: Long = 1705276800000000000L
+}

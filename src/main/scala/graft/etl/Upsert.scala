@@ -1,0 +1,41 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SCD Type-1 upsert ("MERGE INTO target USING source ON key"), rewritten as a
+  * Spark plan since plain Parquet has no MERGE (reference:
+  * /root/reference/coininsights.py:115-127 and 139-161).
+  *
+  * Semantics the reference leaves undefined (duplicate source keys — Redshift
+  * MERGE errors or picks arbitrarily) are made deterministic here: the source
+  * is first deduplicated to the latest row per key (orderCols descending,
+  * callers append a unique tiebreak column). Then matched rows take all source
+  * columns, unmatched target rows survive unchanged, unmatched source rows are
+  * inserted — expressed as a full-outer join on the key, which shuffles both
+  * sides by the key and scales linearly with no driver-side state.
+  */
+object Upsert {
+
+  /** Keep the latest row per key: row_number over (key, orderCols desc) = 1. */
+  def latestPerKey(df: DataFrame, key: String, orderCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(orderCols.map(c => col(c).desc): _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Full-outer SCD1 merge; `source` must already be unique per key. */
+  def scd1(target: DataFrame, source: DataFrame, key: String): DataFrame = {
+    val tgt = target.alias("t")
+    val src = source.alias("s")
+    val matched: Column = col(s"s.$key").isNotNull
+    val cols = target.columns.map { c =>
+      when(matched, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)
+    }
+    tgt.join(src, col(s"t.$key") === col(s"s.$key"), "full_outer").select(cols.toSeq: _*)
+  }
+
+  /** Dedup-then-merge in one call (the reference's COPY→MERGE round). */
+  def merge(target: DataFrame, source: DataFrame, key: String, orderCols: Seq[String]): DataFrame =
+    scd1(target, latestPerKey(source, key, orderCols), key)
+}

@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Group B aggregations (SURVEY.md §2.2): hash aggregates, distinct counts,
+  * HLL sketch, and multi-dimensional (rollup/cube/grouping-sets) aggs. All are
+  * partial+final hash aggregates in Spark (map-side combine), so the shuffle
+  * carries one row per (partition, group), not per input row.
+  */
+object Aggregates {
+
+  /** TPC-H Q1-shaped hash aggregate (sum/avg/count by two keys). */
+  def groupBy(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum2(col("l_quantity")).as("sum_qty"),
+        dsum2(col("l_extendedprice")).as("sum_base"),
+        dsum10(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        (dsum2(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Exact distinct counts (expand+two-phase agg under the hood). */
+  def distinctAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  /** HLL++ approximate distinct — engine-specific estimate, no DuckDB oracle
+    * (SURVEY.md §5 rule 1); the sketch merges associatively so it scales. */
+  def approxDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+      .orderBy("l_returnflag")
+
+  /** ROLLUP over (status, priority). */
+  def rollupAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum2(col("o_totalprice")).as("total"),
+        grouping_id().cast("long").as("gid"))
+      .orderBy(col("gid"), col("o_orderstatus"), col("o_orderpriority"))
+
+  /** CUBE over (returnflag, linestatus). */
+  def cubeAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), dsum2(col("l_quantity")).as("sum_qty"),
+        grouping_id().cast("long").as("gid"))
+      .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+
+  /** GROUPING SETS via SQL (the Dataset API has no direct form). */
+  def groupingSets(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders_gs")
+    s.sql("""
+      SELECT o_orderstatus, o_orderpriority,
+             count(1) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+             CAST(grouping_id() AS BIGINT) AS gid
+      FROM orders_gs
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+      ORDER BY gid, o_orderstatus, o_orderpriority
+    """)
+  }
+
+  /** Long→wide pivot: documents per (source, lang). */
+  def pivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy("source")
+      .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("source")
+}

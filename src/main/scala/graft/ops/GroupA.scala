@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.etl.Upsert
+
+/** Group A — reference-surface ETL semantics (SURVEY.md §2.2 Group A), each
+  * re-expressed over the driver's star-schema fixtures so the DuckDB oracle can
+  * check it. Reference origins cited per query.
+  */
+object GroupA {
+
+  /** O8+O10+O11: projection + rename + column reorder
+    * (/root/reference/data-transformation.py:45-59). */
+  def projectRename(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part").select(
+      col("p_partkey").as("id"),
+      col("p_name").as("name"),
+      col("p_brand").as("brand"),
+      col("p_retailprice").as("price"),
+    ).orderBy("id")
+
+  /** O9: derived/synthesized column (id := symbol,
+    * /root/reference/data-transformation.py:46). */
+  def derivedColumn(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .withColumn("segment_key", col("c_mktsegment"))
+      .withColumn("bal_bucket", floor(col("c_acctbal") / 100).cast("long"))
+      .select("c_custkey", "c_mktsegment", "segment_key", "bal_bucket")
+      .orderBy("c_custkey")
+
+  /** O12: string→timestamp/date casts (/root/reference/data-transformation.py:56). */
+  def castTimestamp(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(
+      col("o_orderkey"),
+      col("o_orderdate").cast("date").as("order_date"),
+      trunc(col("o_orderdate"), "month").as("order_month"),
+      year(col("o_orderdate")).cast("long").as("order_year"),
+    ).orderBy("o_orderkey")
+
+  /** O5: prefix filter / manual partition pruning
+    * (/root/reference/data-transformation.py:33). */
+  def filterPrefix(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .filter(col("p_name").startsWith("red"))
+      .select("p_partkey", "p_name", "p_type")
+      .orderBy("p_partkey")
+
+  /** O4+O6: multi-file accumulate ≡ UNION ALL
+    * (/root/reference/data-transformation.py:32-40). */
+  def unionAll(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val a = o.filter(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val b = o.filter(col("o_orderstatus") === "O")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    a.unionByName(b).orderBy("o_orderkey")
+  }
+
+  /** O15 hazard: duplicate-key dedup, latest per key wins
+    * (/root/reference/coininsights.py:115-127; SURVEY.md §2.1 note). */
+  def dedupLatest(s: SparkSession, dir: String): DataFrame =
+    Upsert.latestPerKey(t(s, dir, "events"), "user_id", Seq("ts", "event_id"))
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
+        nsToMs("ts").as("ts_ms"))
+      .orderBy("user_id")
+
+  /** O15: MERGE upsert (SCD1) — target = pre-cutoff latest state, source =
+    * post-cutoff rows, merged full-outer with source-wins semantics
+    * (/root/reference/coininsights.py:115-127,139-161). */
+  def mergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("value"),
+        nsToMs("ts").as("ts_ms"), col("event_id"), col("ts"))
+    val target = Upsert.latestPerKey(ev.filter(col("ts") < CutoffNs), "user_id", Seq("ts", "event_id"))
+      .drop("event_id", "ts")
+    val source = Upsert.latestPerKey(ev.filter(col("ts") >= CutoffNs), "user_id", Seq("ts", "event_id"))
+      .drop("event_id", "ts")
+    Upsert.scd1(target, source, "user_id").orderBy("user_id")
+  }
+
+  /** O16: TRUNCATE + reload ≡ overwrite snapshot, then scan of post-overwrite
+    * state (/root/reference/coininsights.py:173,185). */
+  def snapshotOverwrite(s: SparkSession, dir: String): DataFrame = {
+    val path = s"/tmp/graft_snapshot_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
+    t(s, dir, "orders").filter(col("o_orderstatus") === "O")
+      .write.mode("overwrite").parquet(path)
+    s.read.parquet(path)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum2(col("o_totalprice")).as("total"))
+      .orderBy("o_orderpriority")
+  }
+}

@@ -1,0 +1,122 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Group B joins (SURVEY.md §2.2). The reference's only join is the MERGE's
+  * stage⋈target on id (/root/reference/coininsights.py:118); the warehouse
+  * class it implies is the full star-join surface below. Small dims are
+  * broadcast explicitly; everything else is a shuffle join on the key — both
+  * scale to 1000 executors (no driver-side state anywhere).
+  */
+object Joins {
+
+  /** Plain equi inner join fact⋈fact (shuffle hash/sort-merge by planner). */
+  def inner(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("o_custkey"),
+        col("o_orderstatus"), col("l_extendedprice"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** Broadcast small-dim join: part is tiny relative to lineitem at any SF. */
+  def broadcastJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val p = t(s, dir, "part")
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .groupBy("p_brand")
+      .agg(dsum2(col("l_extendedprice")).as("revenue"), count(lit(1)).as("n"))
+      .orderBy("p_brand")
+  }
+
+  /** 4-way star join with a date filter — the flagship query (SparkEntry.entry).
+    * Dims broadcast; the single big shuffle is the final groupBy. */
+  def multi(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders").filter(col("o_orderdate") >= lit("1996-01-01"))
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy("r_name", "l_returnflag")
+      .agg(
+        dsum10(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        dsum2(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .orderBy("r_name", "l_returnflag")
+  }
+
+  /** Left outer join with an unmatched side (customers without big orders). */
+  def left(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val big = t(s, dir, "orders").filter(col("o_totalprice") > 300000)
+    c.join(big, c("c_custkey") === big("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("n_big"),
+        coalesce(dsum2(col("o_totalprice")), lit(0.0)).as("total_big"))
+      .orderBy("c_custkey")
+  }
+
+  /** Left-semi ≡ EXISTS (the MERGE's WHEN MATCHED split,
+    * /root/reference/coininsights.py:119). */
+  def semi(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val urgent = t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+    c.join(urgent, c("c_custkey") === urgent("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** Left-anti ≡ NOT EXISTS (the MERGE's WHEN NOT MATCHED split,
+    * /root/reference/coininsights.py:124). */
+  def anti(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val p = t(s, dir, "orders").filter(col("o_orderstatus") === "P")
+    c.join(p, c("c_custkey") === p("o_custkey"), "left_anti")
+      .select("c_custkey", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  /** Non-equi range (theta) join: price buckets derived from region keys.
+    * The bucket side is 5 rows → broadcast nested-loop, which is the right
+    * plan at any scale for a tiny build side. */
+  def range(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part")
+    val buckets = t(s, dir, "region").select(
+      col("r_regionkey").as("bucket"),
+      (lit(900.0) + col("r_regionkey") * lit(20.0)).as("lo"),
+      (lit(920.0) + col("r_regionkey") * lit(20.0)).as("hi"))
+    p.join(broadcast(buckets),
+        p("p_retailprice") >= buckets("lo") && p("p_retailprice") < buckets("hi"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), dsum2(col("p_retailprice")).as("total"))
+      .orderBy("bucket")
+  }
+
+  /** As-of join: each purchase event picks the latest signup at-or-before its
+    * timestamp per user — the temporal essence of the reference's upsert (O15).
+    * Implemented as union + last(ignoreNulls) over an ordered window: one
+    * shuffle by user_id, linear scan per partition — scales where a per-row
+    * range join would not. */
+  def asof(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("sig_ts",
+        when(col("event_type") === "signup", col("ts")))
+      .withColumn("asof_ts", last(col("sig_ts"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("value"),
+        nsToMs("ts").as("ts_ms"),
+        expr("asof_ts div 1000000").as("asof_signup_ms"))
+      .orderBy("event_id")
+  }
+}

@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Group B window functions, top-k, global sort and set operations
+  * (SURVEY.md §2.2). Window partitions are keyed on high-cardinality columns
+  * (brand / custkey / user_id) so state stays bounded per partition at scale;
+  * top-k uses orderBy+limit which Spark plans as TakeOrderedAndProject
+  * (per-partition heap, no global sort).
+  */
+object WindowsSorts {
+
+  /** rank/dense_rank/row_number: `market_cap_rank` reproduction
+    * (SURVEY.md §2.1 — ranking arrives as data in the reference). */
+  def rank(s: SparkSession, dir: String): DataFrame = {
+    val byPrice = Window.partitionBy("p_brand").orderBy(col("p_retailprice").desc)
+    val stable = Window.partitionBy("p_brand")
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+    t(s, dir, "part")
+      .withColumn("rnk", org.apache.spark.sql.functions.rank().over(byPrice).cast("long"))
+      .withColumn("rn", row_number().over(stable).cast("long"))
+      .filter(col("rn") <= 10)
+      .select("p_brand", "p_partkey", "p_retailprice", "rnk", "rn")
+      .orderBy("p_brand", "rn")
+  }
+
+  /** Running sum with an explicit frame (decimal-accumulated for the oracle). */
+  def running(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "orders")
+      .withColumn("running_total",
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double"))
+      .select("o_custkey", "o_orderkey", "o_totalprice", "running_total")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** lag(): 24h-delta reproduction (`price_change_24h` analog, SURVEY.md §2.1). */
+  def lagDelta(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .withColumn("prev_value", lag(col("value"), 1).over(w))
+      .select(col("event_id"), col("user_id"), nsToMs("ts").as("ts_ms"),
+        col("value"), col("prev_value"),
+        (col("value") - col("prev_value")).as("delta"))
+      .orderBy("user_id", "ts_ms", "event_id")
+  }
+
+  /** Top-N by measure → TakeOrderedAndProject (no global sort at scale). */
+  def topk(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+
+  /** Global total order (range-partitioned sort). */
+  def sortGlobal(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select("o_orderkey", "o_orderdate", "o_totalprice")
+      .orderBy(col("o_orderdate").desc, col("o_orderkey"))
+
+  /** INTERSECT (distinct semantics in both Spark and the oracle). */
+  def intersect(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    o.filter(col("o_orderstatus") === "F").select("o_custkey")
+      .intersect(o.filter(col("o_orderstatus") === "O").select("o_custkey"))
+      .orderBy("o_custkey")
+  }
+
+  /** EXCEPT (distinct semantics). */
+  def except(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    o.select("o_custkey")
+      .except(o.filter(col("o_orderpriority") === "1-URGENT").select("o_custkey"))
+      .orderBy("o_custkey")
+  }
+}

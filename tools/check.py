@@ -1,0 +1,80 @@
+#!/usr/bin/env python3
+"""Dev-only local oracle harness (mirrors the driver's DuckDB compare).
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+Reads each <outDir>/<name> parquet (Spark output) and runs the matching
+oracle SQL from <outDir>/oracle_sql.json in DuckDB over the sfDir tables,
+then compares schema + values with columns sorted by name.
+"""
+import sys, json, math, glob, os
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    return v
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    names = sorted(d for d in os.listdir(out_dir)
+                   if os.path.isdir(os.path.join(out_dir, d)))
+    n_pass = n_fail = n_noracle = 0
+    for name in names:
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        sdf = con.execute(
+            f"SELECT * FROM read_parquet({files!r})").fetch_df()
+        if name not in oracle:
+            print(f"SKIP {name}: no oracle ({len(sdf)} rows)")
+            n_noracle += 1
+            continue
+        try:
+            odf = con.execute(oracle[name]).fetch_df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        scols, ocols = sorted(sdf.columns), sorted(odf.columns)
+        if scols != ocols:
+            print(f"FAIL {name}: columns spark={scols} oracle={ocols}")
+            n_fail += 1
+            continue
+        if len(sdf) != len(odf):
+            print(f"FAIL {name}: rows spark={len(sdf)} oracle={len(odf)}")
+            n_fail += 1
+            continue
+        sdf, odf = sdf[scols], odf[scols]
+        bad = None
+        for c in scols:
+            sv = [norm(v) for v in sdf[c].tolist()]
+            ov = [norm(v) for v in odf[c].tolist()]
+            if sv != ov:
+                for i, (a, b) in enumerate(zip(sv, ov)):
+                    if a != b and not (a is None and b is None):
+                        bad = (c, i, a, b)
+                        break
+                if bad:
+                    break
+        if bad:
+            c, i, a, b = bad
+            print(f"FAIL {name}: col={c} row={i} spark={a!r} oracle={b!r}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(sdf)} rows)")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_noracle} no-oracle")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
