@@ -2,6 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.ops._
+import graft.llm.{Dedup, Similarity, TextAnalysis, Sessions}
+import graft.llm.TextHash
 
 /** Driver contract — see /root/repo/SURVEY.md §2.2 for the declared query
   * inventory and §7 for the build plan. Every key in `queries` has a matching
@@ -59,6 +61,23 @@ object SparkEntry {
     "q_math_funcs"         -> (Scalars.mathFuncs _),
     "q_case_when"          -> (Scalars.caseWhen _),
     "q_json_funcs"         -> (Scalars.jsonFuncs _),
+    // Group C — LLM-data-pipeline operators
+    "q_dedup_exact"        -> (Dedup.exact _),
+    "q_dedup_near"         -> (Dedup.near _),
+    "q_dedup_minhash"      -> (Dedup.minhashPairs _),
+    "q_dedup_jaccard"      -> (Dedup.jaccard _),
+    "q_dedup_simhash"      -> (Dedup.simhash _),
+    "q_dedup_embed"        -> (Dedup.embedNear _),
+    "q_sim_topk"           -> (Similarity.bruteTopK _),
+    "q_sim_lsh"            -> (Similarity.lshTopK _),
+    "q_array_funcs"        -> (Similarity.arrayFuncs _),
+    "q_text_tokens"        -> (TextAnalysis.termFreq _),
+    "q_text_stats"         -> (TextAnalysis.stats _),
+    "q_text_lang"          -> (TextAnalysis.langId _),
+    "q_text_quality"       -> (TextAnalysis.quality _),
+    "q_text_fingerprint"   -> (TextAnalysis.fingerprint _),
+    "q_sessionize"         -> (Sessions.sessionize _),
+    "q_window_tumbling"    -> (Sessions.tumbling _),
   )
 
   /** DECIMAL-staged exact sum, surfaced as DOUBLE (matches Tables.dsum2).
@@ -67,6 +86,50 @@ object SparkEntry {
     * BigDecimal.doubleValue — a direct DECIMAL→DOUBLE cast in DuckDB goes
     * int128→double then ×10⁻ˢ, which can be off by one ulp. */
   private def dsum(c: String) = s"CAST(CAST(SUM(CAST($c AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)"
+
+  // ---- DuckDB twins of the graft.llm hash/vector primitives ----
+
+  /** 60-bit md5 token hash (DuckDB twin of TextHash.tokHash). */
+  private def dTokHash(e: String) = s"('0x' || substr(md5($e), 1, 15))::BIGINT"
+
+  /** Double dot product, left-to-right (twin of Similarity.dotSql). */
+  private def dDot(a: String, b: String) =
+    s"list_sum([CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) for i in generate_series(1, len($a))])"
+
+  /** Euclidean norm (twin of Similarity.normSql). */
+  private def dNorm(a: String) =
+    s"sqrt(list_sum([CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE) for i in generate_series(1, len($a))]))"
+
+  /** Shared minhash CTEs: th (hashed tokens) → sig (16 minima) → bands. */
+  private def minhashCtes: String = {
+    import TextHash.{A, B, K, P}
+    val ms = (0 until K).map(i =>
+      s"list_min([(${A(i)} * x + ${B(i)}) % $P for x in h]) AS m$i").mkString(", ")
+    val bands = (0 until K / 4).map { j =>
+      val bh = (4 * j until 4 * j + 4).map(i => s"m$i").reduce((acc, m) => s"(($acc) * 31 + $m)")
+      s"SELECT doc_id, $j AS band, $bh AS bh FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""th AS (SELECT doc_id, [${dTokHash("t")} % ${TextHash.P} for t in string_split(text, ' ')] AS h FROM documents),
+        sig AS (SELECT doc_id, $ms FROM th),
+        bands AS ($bands),
+        pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+                  FROM bands x JOIN bands y
+                    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id)"""
+  }
+
+  /** LSH bucket id (twin of Similarity.bucketSql; dd is 1-based in DuckDB). */
+  private def dBucket(emb: String): String =
+    (0 until Similarity.Planes).map { i =>
+      val coef = s"(CAST((${(i + 1) * 2654435761L} + (dd-1) * 40503) % 2000001 AS DOUBLE) / 1000000.0 - 1.0)"
+      val dot = s"list_sum([CAST($emb[dd] AS DOUBLE) * $coef for dd in generate_series(1, len($emb))])"
+      s"(CASE WHEN $dot > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  private def lexList(l: String): String =
+    TextAnalysis.Lexicons.toMap.apply(l).map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private def dHits(l: String): String =
+    s"CAST(len([t for t in string_split(text, ' ') if list_contains(${lexList(l)}, t)]) AS BIGINT)"
 
   def oracleSql: Map[String, String] = Map(
     "q_project_rename" ->
@@ -266,5 +329,124 @@ object SparkEntry {
     "q_json_funcs" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
          FROM events ORDER BY event_id""",
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS rep_id, count(*) AS n_copies, sha256(text) AS content_hash
+         FROM documents GROUP BY sha256(text) ORDER BY rep_id""",
+    "q_dedup_near" ->
+      """SELECT min(doc_id) AS rep_id, count(*) AS n_members
+         FROM documents
+         GROUP BY array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')
+         ORDER BY rep_id""",
+    "q_dedup_minhash" ->
+      s"""WITH $minhashCtes
+          SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""",
+    "q_dedup_jaccard" ->
+      s"""WITH $minhashCtes,
+          toks AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents)
+          SELECT p.doc_a, p.doc_b,
+                 CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                   / len(list_distinct(list_concat(a.toks, b.toks))) AS jac
+          FROM pairs p
+          JOIN toks a ON p.doc_a = a.doc_id
+          JOIN toks b ON p.doc_b = b.doc_id
+          WHERE jac >= 0.95 ORDER BY doc_a, doc_b""",
+    "q_dedup_simhash" -> {
+      val sums = (0 until TextHash.SimBits).map(b =>
+        s"SUM(CASE WHEN (h >> $b) % 2 = 1 THEN 1 ELSE -1 END) AS s$b").mkString(", ")
+      val sig = (0 until TextHash.SimBits).map(b =>
+        s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+      s"""WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents),
+          hh AS (SELECT doc_id, ${dTokHash("tok")} AS h FROM tok),
+          bits AS (SELECT doc_id, $sums FROM hh GROUP BY doc_id)
+          SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM bits ORDER BY doc_id"""
+    },
+    "q_dedup_embed" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding, ${dNorm("embedding")} AS nrm FROM embeddings)
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                 ${dDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
+          FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+          WHERE cos >= 0.35 ORDER BY vec_a, vec_b""",
+    "q_sim_topk" ->
+      s"""WITH e AS (SELECT vec_id, embedding, ${dNorm("embedding")} AS nrm FROM embeddings),
+          q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm FROM e WHERE vec_id < 8),
+          c AS (SELECT q_id, e.vec_id AS n_id,
+                       ${dDot("q_emb", "embedding")} / (q_nrm * nrm) AS cos
+                FROM e, q WHERE e.vec_id <> q.q_id),
+          r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS "rank" FROM c)
+          SELECT q_id, n_id, cos, "rank" FROM r WHERE "rank" <= 10 ORDER BY q_id, "rank"""",
+    "q_sim_lsh" ->
+      s"""WITH e AS (SELECT vec_id, embedding, ${dNorm("embedding")} AS nrm,
+                            ${dBucket("embedding")} AS bucket FROM embeddings),
+          q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm, bucket AS q_bucket
+                FROM e WHERE vec_id < 8),
+          c AS (SELECT q_id, e.vec_id AS n_id,
+                       ${dDot("q_emb", "embedding")} / (q_nrm * nrm) AS cos
+                FROM e JOIN q ON e.bucket = q.q_bucket AND e.vec_id <> q.q_id),
+          r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS "rank" FROM c)
+          SELECT q_id, n_id, cos, "rank" FROM r WHERE "rank" <= 10 ORDER BY q_id, "rank"""",
+    "q_array_funcs" ->
+      """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS n,
+                CAST(embedding[1] AS DOUBLE) AS e0,
+                list_sum([abs(CAST(embedding[i] AS DOUBLE)) for i in generate_series(1, len(embedding))]) AS l1,
+                list_sum([CAST(embedding[i] AS DOUBLE) for i in generate_series(1, 8)]) AS s8
+         FROM embeddings ORDER BY vec_id""",
+    "q_text_tokens" ->
+      """SELECT token, count(*) AS n
+         FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+         GROUP BY token ORDER BY n DESC, token LIMIT 100""",
+    "q_text_stats" ->
+      """SELECT lang, source, count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS total_tokens,
+                CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
+         FROM documents GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_text_lang" -> {
+      val scoreCols = TextAnalysis.Lexicons.map { case (l, _) => s"${dHits(l)} AS s_$l" }.mkString(", ")
+      val m = TextAnalysis.Lexicons.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
+      val cases = TextAnalysis.Lexicons.map { case (l, _) => s"WHEN s_$l = $m THEN '$l'" }.mkString(" ")
+      s"""WITH x AS (SELECT doc_id, lang AS actual_lang, $scoreCols FROM documents)
+          SELECT doc_id, actual_lang, s_de, s_en, s_es, s_fr, s_zh,
+                 CASE WHEN $m = 0 THEN 'unknown' $cases ELSE 'unknown' END AS pred
+          FROM x ORDER BY doc_id"""
+    },
+    "q_text_quality" -> {
+      s"""WITH x AS (SELECT doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                 CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+                 ${dHits("en")} AS stop_hits,
+                 CAST(length(text) AS BIGINT) AS clen
+          FROM documents),
+          y AS (SELECT doc_id, n_tokens,
+                 CAST(n_distinct AS DOUBLE) / n_tokens AS ttr,
+                 CAST(stop_hits AS DOUBLE) / n_tokens AS stop_ratio,
+                 (CAST(clen AS DOUBLE) - (n_tokens - 1)) / n_tokens AS avg_tok_len
+          FROM x),
+          z AS (SELECT *, ttr * 0.4 + stop_ratio * 0.4 + least(avg_tok_len / 10.0, 1.0) * 0.2 AS score FROM y)
+          SELECT doc_id, n_tokens, ttr, stop_ratio, avg_tok_len, score,
+                 CASE WHEN score >= 0.35 THEN 'keep' ELSE 'drop' END AS label
+          FROM z ORDER BY doc_id"""
+    },
+    "q_text_fingerprint" ->
+      """SELECT doc_id,
+                CAST(list_reduce(list_prepend(0::BIGINT,
+                       [ascii(substr(text, i, 1)) for i in generate_series(1, length(text))]),
+                     (acc, x) -> (acc * 31 + x) % 1000000007) AS BIGINT) AS fp
+         FROM documents ORDER BY doc_id""",
+    "q_sessionize" ->
+      s"""WITH x AS (SELECT user_id, event_id, value, epoch_ns(ts) AS ts_ns,
+                 lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ns
+          FROM events),
+          y AS (SELECT *, CASE WHEN prev_ns IS NULL OR ts_ns - prev_ns > 1800000000000 THEN 1 ELSE 0 END AS is_new FROM x),
+          z AS (SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM y)
+          SELECT user_id, session_id, count(*) AS n_events,
+                 CAST(min(ts_ns) // 1000000 AS BIGINT) AS start_ms,
+                 CAST(max(ts_ns) // 1000000 AS BIGINT) AS end_ms,
+                 ${dsum("value")} AS total_value
+          FROM z GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_window_tumbling" ->
+      s"""SELECT CAST((epoch_ms(ts) // 3600000) * 3600000 AS BIGINT) AS hour_ms,
+                 event_type, count(*) AS n, ${dsum("value")} AS total
+          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
   )
 }

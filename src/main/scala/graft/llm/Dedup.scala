@@ -1,0 +1,126 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import TextHash._
+
+/** Deduplication operators over the `documents` table (SURVEY.md §2.2 Group C;
+  * north-star mandate). Five strategies, each the standard large-scale shape:
+  *
+  *  - exact: content-hash groupBy — one shuffle on the 256-bit hash;
+  *  - near: canonical-token-set key groupBy — catches token-order shuffles;
+  *  - MinHash+LSH: signature → banding → bucket self-join — the classic
+  *    sub-quadratic candidate generator (no O(n²) pair scan anywhere);
+  *  - Jaccard verify: exact set overlap, but only on LSH candidates;
+  *  - SimHash: 60-bit sign-aggregated signature per doc.
+  *
+  * Everything is built-in Catalyst expressions (codegen'd); hashes are
+  * md5-derived so the DuckDB oracle reproduces them exactly (TextHash).
+  */
+object Dedup {
+
+  /** Exact dedup by sha256(text): representative = min doc_id per hash.
+    * Scales as a single hash-partitioned aggregate. */
+  def exact(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(sha2(col("text"), 256).as("content_hash"))
+      .agg(min("doc_id").as("rep_id"), count(lit(1)).as("n_copies"))
+      .select("rep_id", "n_copies", "content_hash")
+      .orderBy("rep_id")
+
+  /** Near-dup clustering by canonical token-set key (sorted distinct tokens):
+    * token-order shuffles and repeats collapse to one cluster. */
+  def near(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(concat_ws(" ", array_sort(array_distinct(tokens(col("text"))))).as("key"))
+      .agg(min("doc_id").as("rep_id"), count(lit(1)).as("n_members"))
+      .filter(col("n_members") >= 1)
+      .select("rep_id", "n_members")
+      .orderBy("rep_id")
+
+  /** doc_id + mod-P-reduced hashed token array (shared by minhash stages). */
+  private def hashedTokens(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      expr(s"transform(split(text, ' '), t -> ${tokHashSql("t")} % ${P}L)").as("th"))
+
+  /** MinHash signatures: K=16 per-function minima over the hashed tokens. */
+  def minhashSignatures(s: SparkSession, dir: String): DataFrame =
+    hashedTokens(s, dir).select(
+      col("doc_id") +: (0 until K).map(i => expr(minHashSql("th", i)).as(s"m$i")): _*)
+
+  /** LSH bands: 4 bands × 4 rows → (doc_id, band, bh) exploded rows. */
+  def lshBands(s: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSignatures(s, dir)
+    val bandStructs = (0 until K / 4).map { j =>
+      val bh = expr(bandHashSql((4 * j until 4 * j + 4).map(i => s"m$i")))
+      struct(lit(j).as("band"), bh.as("bh"))
+    }
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+  }
+
+  /** Candidate pairs: docs sharing any LSH band bucket. The self-join is on
+    * (band, bh) — i.e. shuffle by bucket, never an all-pairs product. */
+  def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val b = lshBands(s, dir)
+    val x = b.alias("x"); val y = b.alias("y")
+    x.join(y, col("x.band") === col("y.band") && col("x.bh") === col("y.bh")
+        && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Exact token-set Jaccard over the LSH candidates, threshold 0.95 (the fixture vocabulary is 31 tokens, so background pairs sit near J≈0.87; 0.95 isolates true shuffles) — the
+    * verify stage of the MinHash pipeline (array ops, no re-explosion). */
+  def jaccard(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), array_distinct(tokens(col("text"))).as("toks"))
+    val pairs = minhashPairs(s, dir)
+    pairs
+      .join(toks.select(col("doc_id").as("doc_a"), col("toks").as("ta")), "doc_a")
+      .join(toks.select(col("doc_id").as("doc_b"), col("toks").as("tb")), "doc_b")
+      .withColumn("jac",
+        size(array_intersect(col("ta"), col("tb"))).cast("double")
+          / size(array_union(col("ta"), col("tb"))))
+      .filter(col("jac") >= 0.95)
+      .select("doc_a", "doc_b", "jac")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** SimHash: 60-bit signature. Per (doc, bit): sum of ±1 over distinct token
+    * hashes; bit set iff the sum is strictly positive. One exploded pass, 60
+    * partial-aggregable sums — no per-pair work. */
+  def simhash(s: SparkSession, dir: String): DataFrame = {
+    val tok = t(s, dir, "documents")
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
+      .withColumn("h", tokHash(col("tok")))
+    val bitSums = (0 until SimBits).map(b =>
+      sum(expr(s"CASE WHEN (h >> $b) % 2 = 1 THEN 1 ELSE -1 END")).as(s"s$b"))
+    val sig = (0 until SimBits)
+      .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L))
+      .reduce(_ + _)
+    tok.groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), sig.as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  /** Embedding-cosine near-dup: label-blocked pairs (the cheap blocking key;
+    * the unblocked scale path is Similarity.lshTopK) with exact double-
+    * precision cosine ≥ 0.35. */
+  def embedNear(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(
+      col("vec_id"), col("label"), col("embedding"),
+      expr(Similarity.normSql("embedding")).as("nrm"))
+    val a = e.alias("a"); val b = e.alias("b")
+    a.join(b, col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos",
+        expr(Similarity.dotSql("a.embedding", "b.embedding")) / (col("a.nrm") * col("b.nrm")))
+      .filter(col("cos") >= 0.35)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos"))
+      .orderBy("vec_a", "vec_b")
+  }
+}

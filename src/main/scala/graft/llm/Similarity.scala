@@ -1,0 +1,98 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (SURVEY.md §2.2 Group C / north-star similarity-search mandate).
+  *
+  *  - bruteTopK: exact cosine top-k — broadcast the (small) query set against
+  *    the full corpus; O(Q·N·d) but embarrassingly parallel, the correctness
+  *    baseline at any scale;
+  *  - lshTopK: random-hyperplane LSH — 8 sign bits → 256 buckets; candidates
+  *    share a bucket, exact cosine only within. The bucket join is the scale
+  *    path: shuffle by bucket, never Q×N.
+  *
+  * All arithmetic is double-precision with a fixed accumulation order, so the
+  * DuckDB oracle reproduces every value bit-for-bit (left-to-right fold; see
+  * tools/check.py evidence in the round log). Hyperplanes are generated from
+  * integer arithmetic — identical constants in both engines, no RNG.
+  */
+object Similarity {
+
+  /** Left-to-right double dot product of two float-array columns (SQL text so
+    * it can be used inside join/project expressions). */
+  def dotSql(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"
+
+  /** Euclidean norm of a float-array column, same accumulation order. */
+  def normSql(a: String): String =
+    s"sqrt(aggregate(transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (acc, v) -> acc + v))"
+
+  /** Number of hyperplanes / signature bits for LSH. */
+  val Planes: Int = 8
+
+  /** Deterministic pseudo-random hyperplane component r_i[d] ∈ [-1, 1):
+    * integer congruential formula — bit-identical in Spark and DuckDB.
+    * `d` is the 0-based element index supplied by transform's (x, d) lambda. */
+  private def planeCoef(i: Int): String =
+    s"(CAST((${(i + 1) * 2654435761L}L + d * 40503L) % 2000001L AS DOUBLE) / 1000000.0D - 1.0D)"
+
+  /** LSH bucket id: 8 sign bits of hyperplane dot products. */
+  def bucketSql(emb: String): String =
+    (0 until Planes).map { i =>
+      val dot = s"aggregate(transform($emb, (x, d) -> CAST(x AS DOUBLE) * ${planeCoef(i)}), 0D, (acc, v) -> acc + v)"
+      s"(CASE WHEN $dot > 0D THEN ${1L << i}L ELSE 0L END)"
+    }.mkString("(", " + ", ")")
+
+  private def queries(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+
+  private def withNorm(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings").select(
+      col("vec_id"), col("embedding"), expr(normSql("embedding")).as("nrm"))
+
+  /** Exact cosine top-10 for each query vector (vec_id < 8) — brute force.
+    * The query side is tiny and broadcast; ranking is a per-query window. */
+  def bruteTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(s, dir)
+    val q = queries(e)
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("cos", expr(dotSql("q_emb", "embedding")) / (col("q_nrm") * col("nrm")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+      .select(col("q_id"), col("vec_id").as("n_id"), col("cos"), col("rank"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** LSH-bucketed ANN: candidates limited to the query's bucket, exact cosine
+    * within, top-10 per query. Recall is approximate by design (bucket-bound);
+    * the join key is the bucket, so the plan scales by shuffle, not Q×N. */
+  def lshTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(s, dir).withColumn("bucket", expr(bucketSql("embedding")))
+    val q = e.filter(col("vec_id") < 8).select(
+      col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+      col("nrm").as("q_nrm"), col("bucket").as("q_bucket"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    e.join(broadcast(q), col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
+      .withColumn("cos", expr(dotSql("q_emb", "embedding")) / (col("q_nrm") * col("nrm")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+      .select(col("q_id"), col("vec_id").as("n_id"), col("cos"), col("rank"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** Array-function surface over embeddings (q_array_funcs). */
+  def arrayFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings").select(
+      col("vec_id"),
+      size(col("embedding")).cast("long").as("n"),
+      element_at(col("embedding"), 1).cast("double").as("e0"),
+      expr("aggregate(transform(embedding, x -> abs(CAST(x AS DOUBLE))), 0D, (acc, v) -> acc + v)").as("l1"),
+      expr("aggregate(transform(slice(embedding, 1, 8), x -> CAST(x AS DOUBLE)), 0D, (acc, v) -> acc + v)").as("s8"),
+    ).orderBy("vec_id")
+}

@@ -1,0 +1,100 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import TextHash.tokens
+
+/** Text-analysis operators over `documents` (SURVEY.md §2.2 Group C):
+  * token term frequency, corpus stats, language-ID (lexicon-hit heuristic),
+  * quality scoring, and rolling-hash fingerprinting. All built-in expressions;
+  * double math keeps a fixed evaluation order so the oracle matches exactly.
+  */
+object TextAnalysis {
+
+  /** Tiny per-language function-word lexicons (public-knowledge stopwords). */
+  val Lexicons: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "auf", "ein", "nicht"),
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with"),
+    "es" -> Seq("el", "la", "de", "los", "y", "en", "es", "por", "con", "un"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "en", "un", "pour", "que"),
+    "zh" -> Seq("的", "是", "在", "了", "和", "有", "我", "不", "人", "这"),
+  )
+
+  private def lexArray(words: Seq[String]): Column =
+    array(words.map(lit): _*)
+
+  /** Occurrence count of lexicon words among the doc's tokens. */
+  private def hits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => array_contains(lexArray(words), t))).cast("long")
+
+  /** Token term frequency: top-100 tokens by count (then token asc). */
+  def termFreq(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(100)
+
+  /** Corpus stats by (lang, source): doc count, char totals, token totals. */
+  def stats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy("lang", "source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars"),
+        sum(size(tokens(col("text"))).cast("long")).as("total_tokens"),
+        (sum("n_chars").cast("double") / count(lit(1))).as("avg_chars"))
+      .orderBy("lang", "source")
+
+  /** Language-ID: argmax of lexicon hit counts, alphabetical tie-break,
+    * 'unknown' when no lexicon hits at all. */
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val withScores = t(s, dir, "documents")
+      .select(Seq(col("doc_id"), col("lang").as("actual_lang")) ++
+        Lexicons.map { case (l, ws) => hits(toks, ws).as(s"s_$l") }: _*)
+    val m = greatest(Lexicons.map { case (l, _) => col(s"s_$l") }: _*)
+    val pred = Lexicons.foldRight(lit("unknown")) { case ((l, _), e) =>
+      when(col(s"s_$l") === m, lit(l)).otherwise(e)
+    }
+    withScores
+      .withColumn("pred", when(m === 0, lit("unknown")).otherwise(pred))
+      .orderBy("doc_id")
+  }
+
+  /** Quality scoring: type-token ratio, stopword ratio, mean token length →
+    * weighted score → keep/drop label. */
+  def quality(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val enWords = Lexicons.toMap.apply("en")
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"),
+        hits(toks, enWords).as("stop_hits"),
+        length(col("text")).cast("long").as("len"))
+      .withColumn("ttr", col("n_distinct").cast("double") / col("n_tokens"))
+      .withColumn("stop_ratio", col("stop_hits").cast("double") / col("n_tokens"))
+      .withColumn("avg_tok_len",
+        (col("len").cast("double") - (col("n_tokens") - 1)) / col("n_tokens"))
+      .withColumn("score",
+        col("ttr") * 0.4 + col("stop_ratio") * 0.4
+          + least(col("avg_tok_len") / 10.0, lit(1.0)) * 0.2)
+      .withColumn("label", when(col("score") >= 0.35, "keep").otherwise("drop"))
+      .select("doc_id", "n_tokens", "ttr", "stop_ratio", "avg_tok_len", "score", "label")
+      .orderBy("doc_id")
+  }
+
+  /** Rolling polynomial hash (base 31 mod 1e9+7) over the document's chars —
+    * a content fingerprint computable identically in any engine. */
+  def fingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        expr("""aggregate(transform(sequence(1, length(text)), i -> ascii(substring(text, i, 1))),
+                         0L, (acc, x) -> (acc * 31 + x) % 1000000007L)""").as("fp"))
+      .orderBy("doc_id")
+}
