@@ -1,21 +1,39 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
-// scratch probe — verifies ns-timestamp parquet reads + basic plan; removed later
+
+/** Scratch driver: exercises the non-query library surface (etl pipeline,
+  * streaming ingest, multimodal decode) end-to-end from the public API —
+  * the modules graft.Verify/Bench don't reach. Dev tool, not driver contract. */
 object Probe {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-    ev.printSchema()
-    ev.show(3, false)
-    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    emb.printSchema()
-    emb.selectExpr("vec_id", "size(embedding) n", "embedding[0] e0").show(3)
+    val spark = Verify.session("local[4]", "4")
+    val root = java.nio.file.Files.createTempDirectory("graft_probe").toString
+
+    // 1. reference pipeline end-to-end on the checked-in fixture
+    val rawDst = java.nio.file.Paths.get(root, "raw_data")
+    java.nio.file.Files.createDirectories(rawDst)
+    val fixture = java.nio.file.Paths.get("/root/repo/src/test/resources/raw_coins.json")
+    java.nio.file.Files.copy(fixture, rawDst.resolve("cryptoinsight_raw_1"))
+    val p = new etl.Pipeline(spark, root)
+    p.run()
+    println(s"[probe] dim rows=${p.dim().count()} fact rows=${p.fact().count()}")
+    p.dim().show(10, false)
+
+    // 2. streaming ingest twin (AvailableNow) over a fresh raw drop
+    val sroot = s"$root/stream"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$sroot/raw"))
+    java.nio.file.Files.copy(fixture, java.nio.file.Paths.get(s"$sroot/raw/dump.json"))
+    val q = streaming.StreamTwins.ingest(spark, s"$sroot/raw", s"$sroot/sink", s"$sroot/cp").start()
+    q.awaitTermination(60000)
+    println(s"[probe] streamed rows=${spark.read.parquet(s"$sroot/sink").count()}")
+
+    // 3. multimodal decode → resize → frame sample over sf0.001 documents
+    val media = multimodal.Multimodal.mediaTable(spark, "/root/testdata/sf0.001")
+    val dec = multimodal.Multimodal.decode(media)
+    println(s"[probe] decoded=${dec.count()}")
+    multimodal.Multimodal.resize(dec, 64).select("media_id", "kind", "width", "height", "out_width", "out_height").show(5)
+    multimodal.Multimodal.sampleFrames(dec, 10).show(5)
     spark.stop()
   }
 }

@@ -24,7 +24,10 @@ object Upsert {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** Full-outer SCD1 merge; `source` must already be unique per key. */
+  /** Full-outer SCD1 merge; `source` AND `target` must each be unique per key
+    * (targets are outputs of previous merges, so this holds inductively).
+    * On a key match the source row wins unconditionally — the reference's
+    * MERGE has no conditional UPDATE clause. */
   def scd1(target: DataFrame, source: DataFrame, key: String): DataFrame = {
     val tgt = target.alias("t")
     val src = source.alias("s")

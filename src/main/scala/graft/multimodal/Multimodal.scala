@@ -1,0 +1,100 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column support (north-star mandate): media as opaque `binary`
+  * columns with typed metadata, plus decode / feature-extract / resize /
+  * frame-sample stages.
+  *
+  * The Spark-side plumbing is real — schemas, typed Datasets, partition-wise
+  * batch iteration (`mapPartitions`, the Scala analog of a Pandas-batch UDF:
+  * one decoder instantiation per partition, streamed row batches) — while the
+  * codec itself is a STUB: this container ships no image/audio libraries, so
+  * `FakeCodec` derives deterministic pseudo-metadata/features from the bytes.
+  * Swapping in a real codec changes only the body of `FakeCodec`.
+  */
+object Multimodal {
+
+  /** A media row: opaque payload + envelope metadata. */
+  case class MediaRow(media_id: Long, kind: String, payload: Array[Byte],
+                      source: String)
+
+  /** Decoded media: envelope + extracted metadata + a feature vector. */
+  case class Decoded(media_id: Long, kind: String, source: String,
+                     width: Int, height: Int, n_frames: Int,
+                     byte_len: Long, features: Array[Float])
+
+  /** ==== STUB ====
+    * Deterministic fake decoder standing in for a real image/audio/video
+    * codec (none available offline). Metadata and features are pure functions
+    * of the payload bytes, so tests are reproducible and the distributed
+    * plumbing (serialization, batching, partitioning) is exercised for real. */
+  object FakeCodec {
+    def decode(kind: String, payload: Array[Byte]): (Int, Int, Int, Array[Float]) = {
+      val h = payload.foldLeft(17L)((acc, b) => (acc * 31 + (b & 0xff)) % 1000000007L)
+      val width = (h % 640).toInt + 16
+      val height = ((h / 640) % 480).toInt + 16
+      val frames = kind match {
+        case "video" => (h % 120).toInt + 2
+        case _ => 1
+      }
+      // fake 8-dim feature: windowed byte averages
+      val n = math.max(1, payload.length / 8)
+      val feats = (0 until 8).map { i =>
+        val slice = payload.slice(i * n, math.min((i + 1) * n, payload.length))
+        if (slice.isEmpty) 0f
+        else slice.map(b => (b & 0xff).toFloat).sum / slice.length / 255f
+      }.toArray
+      (width, height, frames, feats)
+    }
+  }
+
+  /** Synthesize a media table from `documents` (deterministic: payload =
+    * UTF-8 bytes of the text; kind cycles by doc_id). Stands in for reading
+    * real blobs; at scale this is `spark.read.format("binaryFile")`. */
+  def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(
+        col("doc_id").as("media_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+        encode(col("text"), "UTF-8").as("payload"),
+        col("source"))
+      .as[MediaRow]
+  }
+
+  /** Decode stage: partition-wise batch map — the decoder is instantiated
+    * once per partition (like a Pandas-batch UDF), rows stream through it.
+    * Narrow transformation: no shuffle, scales with input partitions. */
+  def decode(media: Dataset[MediaRow]): Dataset[Decoded] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition decoder setup would happen here (codec init, buffers)
+      rows.map { r =>
+        val (w, h, f, feats) = FakeCodec.decode(r.kind, r.payload)
+        Decoded(r.media_id, r.kind, r.source, w, h, f, r.payload.length.toLong, feats)
+      }
+    }
+  }
+
+  /** Resize stage: metadata transform + feature rescale (stub arithmetic;
+    * a real resize would re-decode the payload). Pure column ops. */
+  def resize(decoded: Dataset[Decoded], maxSide: Int): DataFrame =
+    decoded.toDF()
+      .withColumn("scale",
+        least(lit(1.0), lit(maxSide) / greatest(col("width"), col("height"))))
+      .withColumn("out_width", floor(col("width") * col("scale")).cast("int"))
+      .withColumn("out_height", floor(col("height") * col("scale")).cast("int"))
+      .drop("scale")
+
+  /** Frame sampling for videos: every `stride`-th frame index, exploded to
+    * one row per sampled frame (sequence + explode — no UDF, codegen'd). */
+  def sampleFrames(decoded: Dataset[Decoded], stride: Int): DataFrame =
+    decoded.toDF()
+      .filter(col("kind") === "video")
+      .withColumn("frame_idx",
+        explode(sequence(lit(0), col("n_frames") - 1, lit(stride))))
+      .select("media_id", "n_frames", "frame_idx")
+}

@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.Row
+
+/** Structured-Streaming twins of the batch operators (SURVEY.md §2.2
+  * "Streaming note"): the reference's sensor-gated batch ingest
+  * (/root/reference/coininsights.py:33-73) maps to `Trigger.AvailableNow`
+  * (process everything present, then stop — exactly the sensor's contract),
+  * and the Group C time aggregations get window()/session_window() twins with
+  * watermarks for late data. The groupings are identical expressions to the
+  * batch forms, so batch and streaming results agree on closed windows.
+  */
+object StreamTwins {
+
+  /** Streaming ingest of raw CoinGecko dumps: file source + explicit schema,
+    * AvailableNow ≡ "sense, drain, finish". Caller starts the returned writer
+    * (checkpointed, exactly-once into the sink dir). */
+  def ingest(spark: SparkSession, rawDir: String, sinkDir: String,
+             checkpoint: String): DataStreamWriter[Row] =
+    spark.readStream
+      .schema(graft.etl.RawSchema.schema)
+      .option("multiLine", true)
+      .json(rawDir)
+      .writeStream
+      .format("parquet")
+      .option("path", sinkDir)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+
+  /** Tumbling 1-hour twin of Sessions.tumbling: same window() grouping plus a
+    * 2-hour watermark (late events beyond it are dropped, state is bounded —
+    * the knob the batch job doesn't need). `events` must carry TimestampType
+    * `tsc`, `event_type`, `value`. */
+  def tumbling(events: DataFrame): DataFrame =
+    events
+      .withWatermark("tsc", "2 hours")
+      .groupBy(window(col("tsc"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+      .select(unix_millis(col("window.start")).as("hour_ms"),
+        col("event_type"), col("n"), col("total"))
+
+  /** Session twin of Sessions.sessionize: native session_window with the same
+    * 30-min gap. State per (user, open session) only — watermark closes and
+    * emits sessions, keeping state bounded on an unbounded stream. */
+  def sessions(events: DataFrame): DataFrame =
+    events
+      .withWatermark("tsc", "2 hours")
+      .groupBy(session_window(col("tsc"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        unix_millis(min(col("tsc"))).as("start_ms"),
+        unix_millis(max(col("tsc"))).as("end_ms"))
+      .select(col("user_id"), col("n_events"), col("start_ms"), col("end_ms"))
+}

@@ -1,0 +1,76 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Streaming twins agree with their batch forms on closed windows. */
+class StreamTwinsSpec extends SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("tumbling stream twin matches batch aggregation on complete input") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val rows = Seq(
+      (ts("2024-01-01 00:10:00"), "click", 1.0),
+      (ts("2024-01-01 00:50:00"), "click", 2.0),
+      (ts("2024-01-01 01:10:00"), "click", 4.0),
+      (ts("2024-01-01 01:20:00"), "view", 8.0))
+    mem.addData(rows: _*)
+    val events = mem.toDF().toDF("tsc", "event_type", "value")
+    val q = StreamTwins.tumbling(events).writeStream
+      .format("memory").queryName("tumble_out").outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val got = s.table("tumble_out").orderBy("hour_ms", "event_type")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val batch = rows.toDF("tsc", "event_type", "value")
+      .groupBy(window(col("tsc"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+      .select(unix_millis(col("window.start")).as("hour_ms"),
+        col("event_type"), col("n"), col("total"))
+      .orderBy("hour_ms", "event_type")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.sameElements(batch))
+    assert(got.length == 3)
+    assert(got.head == (1704067200000L, "click", 2L, 3.0))
+  }
+
+  test("session stream twin groups by 30-min gaps per user") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    mem.addData(
+      (ts("2024-01-01 00:00:00"), 1L),
+      (ts("2024-01-01 00:20:00"), 1L), // same session (gap 20m)
+      (ts("2024-01-01 01:30:00"), 1L), // new session (gap 70m)
+      (ts("2024-01-01 00:05:00"), 2L))
+    val events = mem.toDF().toDF("tsc", "user_id")
+    val q = StreamTwins.sessions(events).writeStream
+      .format("memory").queryName("sess_out").outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val got = s.table("sess_out").orderBy("user_id", "start_ms")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.sameElements(Array((1L, 2L), (1L, 1L), (2L, 1L))))
+  }
+
+  test("AvailableNow ingest drains raw files exactly once") {
+    val root = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val rawDir = s"$root/raw"; val sink = s"$root/sink"; val cp = s"$root/cp"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(rawDir))
+    val res = getClass.getResourceAsStream("/raw_coins.json")
+    java.nio.file.Files.copy(res, java.nio.file.Paths.get(rawDir, "dump1.json"))
+    val q = StreamTwins.ingest(spark, rawDir, sink, cp).start()
+    q.awaitTermination(60000)
+    assert(spark.read.parquet(sink).count() == 5)
+    // second start with nothing new: no duplicates (checkpointed)
+    val q2 = StreamTwins.ingest(spark, rawDir, sink, cp).start()
+    q2.awaitTermination(60000)
+    assert(spark.read.parquet(sink).count() == 5)
+  }
+}
