@@ -7,6 +7,7 @@ object Bench {
     // One warm pass outside timing: JIT + code cache + file-footer reads.
     SparkEntry.entry(spark).count()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      System.gc() // keep one query's garbage from billing the next
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -100,13 +100,15 @@ object SparkEntry {
   private def dNorm(a: String) =
     s"sqrt(list_sum([CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE) for i in generate_series(1, len($a))]))"
 
-  /** Shared minhash CTEs: th (hashed tokens) → sig (16 minima) → bands. */
+  /** Shared minhash CTEs: th (hashed tokens) → sig (16 minima) → bands
+    * (twin of Dedup.minhashSignatures/bandsOf: Bands × Rows, mod-P fold). */
   private def minhashCtes: String = {
-    import TextHash.{A, B, K, P}
+    import TextHash.{A, B, K, P, Bands, Rows}
     val ms = (0 until K).map(i =>
       s"list_min([(${A(i)} * x + ${B(i)}) % $P for x in h]) AS m$i").mkString(", ")
-    val bands = (0 until K / 4).map { j =>
-      val bh = (4 * j until 4 * j + 4).map(i => s"m$i").reduce((acc, m) => s"(($acc) * 31 + $m)")
+    val bands = (0 until Bands).map { j =>
+      val bh = (Rows * j until Rows * (j + 1)).map(i => s"m$i")
+        .reduce((acc, m) => s"((($acc) * 31 + $m) % $P)")
       s"SELECT doc_id, $j AS band, $bh AS bh FROM sig"
     }.mkString(" UNION ALL ")
     s"""th AS (SELECT doc_id, [${dTokHash("t")} % ${TextHash.P} for t in string_split(text, ' ')] AS h FROM documents),
@@ -342,10 +344,10 @@ object SparkEntry {
           SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""",
     "q_dedup_jaccard" ->
       s"""WITH $minhashCtes,
-          toks AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents)
+          toks AS (SELECT doc_id, list_distinct(h) AS ths, len(list_distinct(h)) AS nt FROM th)
           SELECT p.doc_a, p.doc_b,
-                 CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-                   / len(list_distinct(list_concat(a.toks, b.toks))) AS jac
+                 CAST(len(list_intersect(a.ths, b.ths)) AS DOUBLE)
+                   / (a.nt + b.nt - len(list_intersect(a.ths, b.ths))) AS jac
           FROM pairs p
           JOIN toks a ON p.doc_a = a.doc_id
           JOIN toks b ON p.doc_b = b.doc_id

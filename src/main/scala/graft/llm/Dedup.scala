@@ -50,16 +50,19 @@ object Dedup {
     hashedTokens(s, dir).select(
       col("doc_id") +: (0 until K).map(i => expr(minHashSql("th", i)).as(s"m$i")): _*)
 
-  /** LSH bands: 4 bands × 4 rows → (doc_id, band, bh) exploded rows. */
-  def lshBands(s: SparkSession, dir: String): DataFrame = {
-    val sig = minhashSignatures(s, dir)
-    val bandStructs = (0 until K / 4).map { j =>
-      val bh = expr(bandHashSql((4 * j until 4 * j + 4).map(i => s"m$i")))
+  /** LSH bands: Bands × Rows → (doc_id, band, bh) exploded rows, carrying any
+    * extra columns present on the signature input. */
+  private def bandsOf(sig: DataFrame, carry: Seq[String]): DataFrame = {
+    val bandStructs = (0 until Bands).map { j =>
+      val bh = expr(bandHashSql((Rows * j until Rows * (j + 1)).map(i => s"m$i")))
       struct(lit(j).as("band"), bh.as("bh"))
     }
-    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
-      .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+    sig.select((col("doc_id") +: carry.map(col)) :+ explode(array(bandStructs: _*)).as("b"): _*)
+      .select((col("doc_id") +: carry.map(col)) ++ Seq(col("b.band").as("band"), col("b.bh").as("bh")): _*)
   }
+
+  def lshBands(s: SparkSession, dir: String): DataFrame =
+    bandsOf(minhashSignatures(s, dir), Seq.empty)
 
   /** Candidate pairs: docs sharing any LSH band bucket. The self-join is on
     * (band, bh) — i.e. shuffle by bucket, never an all-pairs product. */
@@ -73,20 +76,33 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** Exact token-set Jaccard over the LSH candidates, threshold 0.95 (the fixture vocabulary is 31 tokens, so background pairs sit near J≈0.87; 0.95 isolates true shuffles) — the
-    * verify stage of the MinHash pipeline (array ops, no re-explosion). */
+  /** Jaccard over the LSH candidates, threshold 0.95 (the fixture vocabulary
+    * is 31 tokens, so background pairs sit near J≈0.87; 0.95 isolates true
+    * shuffles) — the verify stage of the MinHash pipeline.
+    *
+    * Sets are the hashed-token arrays (sorted, distinct): long comparisons
+    * instead of strings, identical in the oracle twin. The set arrays ride
+    * THROUGH the band self-join and jac is computed + thresholded BEFORE the
+    * pair dedup, so the (large) candidate multiset is filtered down to the
+    * (tiny) qualifying set before it ever hits a shuffle — at 100 TB the
+    * band join's output never materializes unfiltered. |A∪B| comes from
+    * |A|+|B|−|A∩B|, saving the array_union pass. */
   def jaccard(s: SparkSession, dir: String): DataFrame = {
-    val toks = t(s, dir, "documents")
-      .select(col("doc_id"), array_distinct(tokens(col("text"))).as("toks"))
-    val pairs = minhashPairs(s, dir)
-    pairs
-      .join(toks.select(col("doc_id").as("doc_a"), col("toks").as("ta")), "doc_a")
-      .join(toks.select(col("doc_id").as("doc_b"), col("toks").as("tb")), "doc_b")
+    val sig = hashedTokens(s, dir)
+      .select(col("doc_id"), array_sort(array_distinct(col("th"))).as("ths"))
+      .select(
+        Seq(col("doc_id"), col("ths"), size(col("ths")).as("nt")) ++
+          (0 until K).map(i => expr(minHashSql("ths", i)).as(s"m$i")): _*)
+    val b = bandsOf(sig, Seq("ths", "nt"))
+    val x = b.alias("x"); val y = b.alias("y")
+    x.join(y, col("x.band") === col("y.band") && col("x.bh") === col("y.bh")
+        && col("x.doc_id") < col("y.doc_id"))
+      .withColumn("inter", size(array_intersect(col("x.ths"), col("y.ths"))))
       .withColumn("jac",
-        size(array_intersect(col("ta"), col("tb"))).cast("double")
-          / size(array_union(col("ta"), col("tb"))))
+        col("inter").cast("double") / (col("x.nt") + col("y.nt") - col("inter")))
       .filter(col("jac") >= 0.95)
-      .select("doc_a", "doc_b", "jac")
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(first(col("jac")).as("jac"))
       .orderBy("doc_a", "doc_b")
   }
 

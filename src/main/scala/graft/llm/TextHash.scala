@@ -17,8 +17,17 @@ import org.apache.spark.sql.functions._
 object TextHash {
   /** Prime modulus for MinHash universal hashing (30 bits: products fit i64). */
   val P: Long = 1000000007L
-  /** MinHash signature length (4 LSH bands × 4 rows). */
+  /** MinHash signature length. */
   val K: Int = 16
+  /** LSH banding. The (b, r) design point sets the collision S-curve midpoint
+    * at J* = (1-0.5^(1/b))^(1/r); for the 0.95 Jaccard verify threshold the
+    * textbook choice is b=1, r=16 → J* ≈ 0.96. This corpus makes the choice
+    * load-bearing: background pairs sit at J≈0.87 (31-token vocabulary), so
+    * b=4×4 (J*≈0.63) admits ~97% of all pairs as candidates and b=2×8
+    * (J*≈0.86) still ~45%, while 1×16 admits 0.87^16 ≈ 11% — candidates stay
+    * sub-quadratic, which is the entire point of LSH at 100 TB. */
+  val Bands: Int = 1
+  val Rows: Int = K / Bands
   /** MinHash universal-hash coefficients, fixed (Knuth multiplicative seeds). */
   val A: Seq[Long] = (0 until K).map(i => (i * 2654435761L + 1L) % P)
   val B: Seq[Long] = (0 until K).map(i => (i * 40503L + 7L) % P)
@@ -39,7 +48,9 @@ object TextHash {
   def minHashSql(hashedArr: String, i: Int): String =
     s"array_min(transform($hashedArr, x -> (${A(i)}L * x + ${B(i)}L) % ${P}L))"
 
-  /** Band hash combining 4 consecutive minhash values (fits well below 2^63). */
+  /** Band hash folding `Rows` minhash values mod P (stays well below 2^63 at
+    * every step; P-collisions are harmless — they only add candidates, and
+    * identically so in the DuckDB twin). */
   def bandHashSql(ms: Seq[String]): String =
-    ms.reduce((acc, m) => s"(($acc) * 31 + $m)")
+    ms.reduce((acc, m) => s"((($acc) * 31 + $m) % ${P}L)")
 }
