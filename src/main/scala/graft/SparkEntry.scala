@@ -38,6 +38,7 @@ object SparkEntry {
     "q_join_semi"          -> (Joins.semi _),
     "q_join_anti"          -> (Joins.anti _),
     "q_join_range"         -> (Joins.range _),
+    "q_join_star2"         -> (Joins.star2 _),
     "q_join_asof"          -> (Joins.asof _),
     // Group B — aggregates
     "q_agg_groupby"        -> (Aggregates.groupBy _),
@@ -76,6 +77,7 @@ object SparkEntry {
     "q_text_lang"          -> (TextAnalysis.langId _),
     "q_text_quality"       -> (TextAnalysis.quality _),
     "q_text_fingerprint"   -> (TextAnalysis.fingerprint _),
+    "q_text_tokens_bpe"    -> (TextAnalysis.tokenCounts _),
     "q_sessionize"         -> (Sessions.sessionize _),
     "q_window_tumbling"    -> (Sessions.tumbling _),
   )
@@ -215,6 +217,15 @@ object SparkEntry {
           FROM part JOIN region
             ON p_retailprice >= 900 + r_regionkey*20 AND p_retailprice < 920 + r_regionkey*20
           GROUP BY 1 ORDER BY 1""",
+    "q_join_star2" ->
+      s"""SELECT r_name, n_name,
+                 CAST(CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS revenue,
+                 count(*) AS n
+          FROM lineitem
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_join_asof" ->
       """WITH x AS (
            SELECT event_id, user_id, value, ts, event_type,
@@ -434,6 +445,11 @@ object SparkEntry {
                        [ascii(substr(text, i, 1)) for i in generate_series(1, length(text))]),
                      (acc, x) -> (acc * 31 + x) % 1000000007) AS BIGINT) AS fp
          FROM documents ORDER BY doc_id""",
+    "q_text_tokens_bpe" ->
+      s"""SELECT doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+                 CAST(len(regexp_extract_all(text, '${TextAnalysis.BpePattern.replace("'", "''")}')) AS BIGINT) AS n_bpe_tokens
+          FROM documents ORDER BY doc_id""",
     "q_sessionize" ->
       s"""WITH x AS (SELECT user_id, event_id, value, epoch_ns(ts) AS ts_ns,
                  lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ns

@@ -88,6 +88,22 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** GPT-2-style pre-tokenizer pattern (public knowledge): contraction
+    * suffixes, space-prefixed letter/digit runs, punctuation runs, whitespace.
+    * Plain alternation only, so Java regex (Spark) and RE2 (DuckDB) agree. */
+  val BpePattern: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** Token counting both ways: whitespace tokens vs BPE-ish regex pieces
+    * (north-star "token counting" operator). */
+  def tokenCounts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_ws_tokens"),
+        size(regexp_extract_all(col("text"), lit(BpePattern), lit(0))).cast("long").as("n_bpe_tokens"))
+      .orderBy("doc_id")
+
   /** Rolling polynomial hash (base 31 mod 1e9+7) over the document's chars —
     * a content fingerprint computable identically in any engine. */
   def fingerprint(s: SparkSession, dir: String): DataFrame =

@@ -53,6 +53,23 @@ object Joins {
       .orderBy("r_name", "l_returnflag")
   }
 
+  /** Second star path — through supplier instead of customer: revenue per
+    * (region, nation) of the supplying side. */
+  def star2(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val sup = t(s, dir, "supplier")
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region")
+    li.join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+      .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(
+        dsum10(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n"))
+      .orderBy("r_name", "n_name")
+  }
+
   /** Left outer join with an unmatched side (customers without big orders). */
   def left(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer")
