@@ -68,6 +68,7 @@ object SparkEntry {
     "q_dedup_minhash"      -> (Dedup.minhashPairs _),
     "q_dedup_jaccard"      -> (Dedup.jaccard _),
     "q_dedup_simhash"      -> (Dedup.simhash _),
+    "q_dedup_simhash_pairs" -> (Dedup.simhashPairs _),
     "q_dedup_embed"        -> (Dedup.embedNear _),
     "q_sim_topk"           -> (Similarity.bruteTopK _),
     "q_sim_lsh"            -> (Similarity.lshTopK _),
@@ -134,6 +135,19 @@ object SparkEntry {
 
   private def dHits(l: String): String =
     s"CAST(len([t for t in string_split(text, ' ') if list_contains(${lexList(l)}, t)]) AS BIGINT)"
+
+  /** Shared simhash CTEs ending in sh(doc_id, simhash) — twin of
+    * Dedup.simhashSig. */
+  private def simhashCtes: String = {
+    val sums = (0 until TextHash.SimBits).map(b =>
+      s"SUM(CASE WHEN (h >> $b) % 2 = 1 THEN 1 ELSE -1 END) AS s$b").mkString(", ")
+    val sig = (0 until TextHash.SimBits).map(b =>
+      s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+    s"""tok AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents),
+        hh AS (SELECT doc_id, ${dTokHash("tok")} AS h FROM tok),
+        bits AS (SELECT doc_id, $sums FROM hh GROUP BY doc_id),
+        sh AS (SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM bits)"""
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q_project_rename" ->
@@ -363,15 +377,20 @@ object SparkEntry {
           JOIN toks a ON p.doc_a = a.doc_id
           JOIN toks b ON p.doc_b = b.doc_id
           WHERE jac >= 0.95 ORDER BY doc_a, doc_b""",
-    "q_dedup_simhash" -> {
-      val sums = (0 until TextHash.SimBits).map(b =>
-        s"SUM(CASE WHEN (h >> $b) % 2 = 1 THEN 1 ELSE -1 END) AS s$b").mkString(", ")
-      val sig = (0 until TextHash.SimBits).map(b =>
-        s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
-      s"""WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents),
-          hh AS (SELECT doc_id, ${dTokHash("tok")} AS h FROM tok),
-          bits AS (SELECT doc_id, $sums FROM hh GROUP BY doc_id)
-          SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM bits ORDER BY doc_id"""
+    "q_dedup_simhash" ->
+      s"""WITH $simhashCtes
+          SELECT doc_id, simhash FROM sh ORDER BY doc_id""",
+    "q_dedup_simhash_pairs" -> {
+      val chunks = (0 until 4).map(j =>
+        s"SELECT doc_id, simhash, $j AS ck, (simhash >> ${15 * j}) & 32767 AS cv FROM sh")
+        .mkString(" UNION ALL ")
+      s"""WITH $simhashCtes,
+          chunks AS ($chunks),
+          cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                          CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS dist
+                   FROM chunks x JOIN chunks y
+                     ON x.ck = y.ck AND x.cv = y.cv AND x.doc_id < y.doc_id)
+          SELECT doc_a, doc_b, dist FROM cand WHERE dist <= 3 ORDER BY doc_a, doc_b"""
     },
     "q_dedup_embed" ->
       s"""WITH e AS (SELECT vec_id, label, embedding, ${dNorm("embedding")} AS nrm FROM embeddings)

@@ -106,10 +106,11 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** SimHash: 60-bit signature. Per (doc, bit): sum of ±1 over distinct token
-    * hashes; bit set iff the sum is strictly positive. One exploded pass, 60
-    * partial-aggregable sums — no per-pair work. */
-  def simhash(s: SparkSession, dir: String): DataFrame = {
+  /** SimHash signatures (no output ordering — shared by the queries below).
+    * Per (doc, bit): sum of ±1 over distinct token hashes; bit set iff the
+    * sum is strictly positive. One exploded pass, 60 partial-aggregable
+    * sums — no per-pair work. */
+  def simhashSig(s: SparkSession, dir: String): DataFrame = {
     val tok = t(s, dir, "documents")
       .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
       .withColumn("h", tokHash(col("tok")))
@@ -121,7 +122,32 @@ object Dedup {
     tok.groupBy("doc_id")
       .agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"), sig.as("simhash"))
-      .orderBy("doc_id")
+  }
+
+  /** SimHash: 60-bit signature per doc. */
+  def simhash(s: SparkSession, dir: String): DataFrame =
+    simhashSig(s, dir).orderBy("doc_id")
+
+  /** Near-dup pairs by SimHash hamming distance ≤ 3, via hamming LSH: the
+    * 60-bit signature splits into 4 chunks of 15 bits; by pigeonhole any
+    * pair within distance 3 agrees on ≥ 1 chunk, so candidates come from a
+    * bucket equi-join on (chunk index, chunk value) — never all pairs — and
+    * the exact distance (bit_count of xor, a codegen'd intrinsic) filters
+    * BEFORE the pair-dedup shuffle, like Dedup.jaccard. */
+  def simhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val chunkStructs = (0 until 4).map(j =>
+      struct(lit(j).as("ck"), expr(s"(simhash >> ${15 * j}) & 32767").as("cv")))
+    val chunks = simhashSig(s, dir)
+      .select(col("doc_id"), col("simhash"), explode(array(chunkStructs: _*)).as("c"))
+      .select(col("doc_id"), col("simhash"), col("c.ck").as("ck"), col("c.cv").as("cv"))
+    val x = chunks.alias("x"); val y = chunks.alias("y")
+    x.join(y, col("x.ck") === col("y.ck") && col("x.cv") === col("y.cv")
+        && col("x.doc_id") < col("y.doc_id"))
+      .withColumn("dist", expr("CAST(bit_count(x.simhash ^ y.simhash) AS BIGINT)"))
+      .filter(col("dist") <= 3)
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(first(col("dist")).as("dist"))
+      .orderBy("doc_a", "doc_b")
   }
 
   /** Embedding-cosine near-dup: label-blocked pairs (the cheap blocking key;

@@ -75,6 +75,24 @@ class PipelineSpec extends SparkSpec {
     assert(p.dim().collect().exists(_.getString(1) == "Wormhole, Inc. Token"))
   }
 
+  test("ingest snapshot dumps verbatim bytes under a sortable run id") {
+    val root = freshRoot()
+    val fixture = getClass.getResource("/raw_coins.json").getPath
+    val p = Ingest.snapshot(spark, Ingest.fixtureFetch(fixture),
+      s"$root/raw_data", "20241115T100000Z")
+    assert(p.endsWith("cryptoinsight_raw_20241115T100000Z"))
+    val written = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(p.stripPrefix("file:"))))
+    val orig = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(fixture)))
+    assert(written == orig) // byte-preserving, like the reference's put_object
+    intercept[IllegalArgumentException] {
+      Ingest.snapshot(spark, () => "x", s"$root/raw_data", "2024-11-15 10:00:00")
+    }
+    // the dump is readable by the transform stage
+    assert(Transform.readRaw(spark, s"$root/raw_data").count() == 5)
+  }
+
   test("roi struct is read but dropped by both projections") {
     val raw = Transform.readRaw(spark, getClass.getResource("/raw_coins.json").getPath)
     assert(raw.schema("roi").dataType.isInstanceOf[org.apache.spark.sql.types.StructType])
