@@ -6,7 +6,10 @@ object Bench {
     val spark = Verify.session(s"local[$cpus]", cpus)
     // One warm pass outside timing: JIT + code cache + file-footer reads.
     SparkEntry.entry(spark).count()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional args: restrict to the named queries (dev/stress use)
+    val wanted = if (args.nonEmpty) SparkEntry.queries.view.filterKeys(args.toSet).toMap
+                 else SparkEntry.queries
+    val results = wanted.toSeq.sortBy(_._1).map { case (name, fn) =>
       System.gc() // keep one query's garbage from billing the next
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -88,22 +88,46 @@ object Dedup {
     * band join's output never materializes unfiltered. |A∪B| comes from
     * |A|+|B|−|A∩B|, saving the array_union pass. */
   def jaccard(s: SparkSession, dir: String): DataFrame = {
-    val sig = hashedTokens(s, dir)
+    // Collapse identical token SETS to one representative before LSH: docs
+    // with the same set share every minhash, so candidate generation on
+    // representatives plus (a) all within-group pairs at jac=1.0 and (b)
+    // cross-group candidates expanded to member pairs is EXACTLY the output
+    // of running LSH on raw docs — but the band join sees |distinct sets|
+    // rows, not |docs|. On duplicate-heavy corpora (the realistic 100 TB
+    // case) that is orders of magnitude fewer candidates.
+    val groups = hashedTokens(s, dir)
       .select(col("doc_id"), array_sort(array_distinct(col("th"))).as("ths"))
-      .select(
-        Seq(col("doc_id"), col("ths"), size(col("ths")).as("nt")) ++
-          (0 until K).map(i => expr(minHashSql("ths", i)).as(s"m$i")): _*)
-    val b = bandsOf(sig, Seq("ths", "nt"))
+      .groupBy("ths")
+      .agg(collect_list(col("doc_id")).as("members"))
+      .withColumn("nt", size(col("ths")))
+      .withColumn("rep", array_min(col("members")))
+    // (a) within-group pairs: identical sets, jac = 1.0 by definition
+    val ex = groups.filter(size(col("members")) > 1)
+      .select(col("rep"), explode(col("members")).as("m"))
+    val same = ex.alias("p").join(ex.alias("q"),
+        col("p.rep") === col("q.rep") && col("p.m") < col("q.m"))
+      .select(col("p.m").as("doc_a"), col("q.m").as("doc_b"), lit(1.0).as("jac"))
+    // (b) cross-group LSH candidates on representatives, verified, expanded
+    val sig = groups.select(
+      Seq(col("rep"), col("ths"), col("nt"), col("members")) ++
+        (0 until K).map(i => expr(minHashSql("ths", i)).as(s"m$i")): _*)
+      .withColumnRenamed("rep", "doc_id")
+    val b = bandsOf(sig, Seq("ths", "nt", "members"))
     val x = b.alias("x"); val y = b.alias("y")
-    x.join(y, col("x.band") === col("y.band") && col("x.bh") === col("y.bh")
+    val cross = x.join(y, col("x.band") === col("y.band") && col("x.bh") === col("y.bh")
         && col("x.doc_id") < col("y.doc_id"))
       .withColumn("inter", size(array_intersect(col("x.ths"), col("y.ths"))))
       .withColumn("jac",
         col("inter").cast("double") / (col("x.nt") + col("y.nt") - col("inter")))
       .filter(col("jac") >= 0.95)
-      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .agg(first(col("jac")).as("jac"))
-      .orderBy("doc_a", "doc_b")
+      .groupBy(col("x.doc_id").as("ra"), col("y.doc_id").as("rb"))
+      .agg(first(col("jac")).as("jac"),
+        first(col("x.members")).as("mas"), first(col("y.members")).as("mbs"))
+      .select(explode(col("mas")).as("ma"), col("mbs"), col("jac"))
+      .select(col("ma"), explode(col("mbs")).as("mb"), col("jac"))
+      .select(least(col("ma"), col("mb")).as("doc_a"),
+        greatest(col("ma"), col("mb")).as("doc_b"), col("jac"))
+    same.unionByName(cross).orderBy("doc_a", "doc_b")
   }
 
   /** SimHash signatures (no output ordering — shared by the queries below).
