@@ -39,6 +39,7 @@ object SparkEntry {
     "q_join_anti"          -> (Joins.anti _),
     "q_join_range"         -> (Joins.range _),
     "q_join_star2"         -> (Joins.star2 _),
+    "q_join_skew_salted"   -> (Joins.skewSalted _),
     "q_join_asof"          -> (Joins.asof _),
     // Group B — aggregates
     "q_agg_groupby"        -> (Aggregates.groupBy _),
@@ -240,6 +241,10 @@ object SparkEntry {
           JOIN nation ON s_nationkey = n_nationkey
           JOIN region ON n_regionkey = r_regionkey
           GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_join_skew_salted" ->
+      s"""SELECT 'flag_' || l_returnflag AS flag_label, count(*) AS n,
+                 ${dsum("l_extendedprice")} AS total
+          FROM lineitem GROUP BY 1 ORDER BY 1""",
     "q_join_asof" ->
       """WITH x AS (
            SELECT event_id, user_id, value, ts, event_type,

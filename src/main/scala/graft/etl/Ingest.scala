@@ -32,6 +32,22 @@ object Ingest {
     out.toString
   }
 
+  /** O3: retry wrapper for flaky sources. Unlike the reference's catch-all
+    * that swallows failures and lets a downstream sensor time out an hour
+    * later (/root/reference/data-extract.py:35-46), this retries with backoff
+    * and then fails loudly. */
+  @annotation.tailrec
+  def withRetry[T](attempts: Int, backoffMs: Long = 500)(thunk: () => T): T = {
+    require(attempts >= 1)
+    scala.util.Try(thunk()) match {
+      case scala.util.Success(v) => v
+      case scala.util.Failure(e) if attempts == 1 => throw e
+      case scala.util.Failure(_) =>
+        Thread.sleep(backoffMs)
+        withRetry(attempts - 1, backoffMs * 2)(thunk)
+    }
+  }
+
   /** Fixture-backed fetch for offline use (production injects an HTTP call). */
   def fixtureFetch(path: String): () => String =
     () => new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),

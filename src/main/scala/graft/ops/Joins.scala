@@ -117,6 +117,29 @@ object Joins {
       .orderBy("bucket")
   }
 
+  /** Salted skew join: l_returnflag has 3 values, so a shuffle join on it
+    * puts a third of the fact table on one task. Salting fans each hot key
+    * into 8 sub-keys — the fact side derives a deterministic salt from a
+    * unique column, the (tiny) dim side replicates across all salts, and the
+    * join key becomes (key, salt): 24 evenly-sized partitions instead of 3.
+    * The MERGE hint forces the shuffle join (a broadcast would hide the
+    * skew problem this query demonstrates); the result is identical to the
+    * unsalted join, which is what the oracle checks. */
+  def skewSalted(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val dim = t(s, dir, "lineitem").select(col("l_returnflag").as("flag")).distinct()
+      .withColumn("flag_label", concat(lit("flag_"), col("flag")))
+    val salts = 8
+    val fact = li.withColumn("salt", pmod(col("l_orderkey"), lit(salts)))
+    val dimSalted = dim.withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
+    fact.hint("MERGE")
+      .join(dimSalted, fact("l_returnflag") === dimSalted("flag")
+        && fact("salt") === dimSalted("salt").cast("long"))
+      .groupBy("flag_label")
+      .agg(count(lit(1)).as("n"), dsum2(col("l_extendedprice")).as("total"))
+      .orderBy("flag_label")
+  }
+
   /** As-of join: each purchase event picks the latest signup at-or-before its
     * timestamp per user — the temporal essence of the reference's upsert (O15).
     * Implemented as union + last(ignoreNulls) over an ordered window: one

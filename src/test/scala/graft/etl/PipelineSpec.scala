@@ -93,6 +93,16 @@ class PipelineSpec extends SparkSpec {
     assert(Transform.readRaw(spark, s"$root/raw_data").count() == 5)
   }
 
+  test("ingest retry recovers from transient failures, then fails loudly") {
+    var calls = 0
+    val flaky = () => { calls += 1; if (calls < 3) sys.error("transient") else "ok" }
+    assert(Ingest.withRetry(3, backoffMs = 1)(flaky) == "ok")
+    assert(calls == 3)
+    intercept[RuntimeException] {
+      Ingest.withRetry(2, backoffMs = 1)(() => sys.error("always"))
+    }
+  }
+
   test("roi struct is read but dropped by both projections") {
     val raw = Transform.readRaw(spark, getClass.getResource("/raw_coins.json").getPath)
     assert(raw.schema("roi").dataType.isInstanceOf[org.apache.spark.sql.types.StructType])
