@@ -22,14 +22,15 @@ import graft.Tables._
   */
 object Similarity {
 
-  /** Left-to-right double dot product of two float-array columns (SQL text so
-    * it can be used inside join/project expressions). */
-  def dotSql(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"
+  /** Left-to-right double dot product of two float-array columns — the
+    * custom codegen'd expression (graft.functions.FloatVecDot), registered
+    * by GraftExtensions. Bit-identical to the built-in HOF form
+    * `aggregate(zip_with(a, b, (x,y) -> CAST(x AS DOUBLE)*CAST(y AS DOUBLE)), 0D, (acc,v) -> acc+v)`
+    * but without per-element lambda dispatch on the pair-join hot path. */
+  def dotSql(a: String, b: String): String = s"vec_dot($a, $b)"
 
   /** Euclidean norm of a float-array column, same accumulation order. */
-  def normSql(a: String): String =
-    s"sqrt(aggregate(transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (acc, v) -> acc + v))"
+  def normSql(a: String): String = s"sqrt(vec_dot($a, $a))"
 
   /** Number of hyperplanes / signature bits for LSH. */
   val Planes: Int = 8

@@ -11,6 +11,11 @@ class BucketingSpec extends SparkSpec {
     val s = spark
     s.sql("DROP TABLE IF EXISTS b_orders")
     s.sql("DROP TABLE IF EXISTS b_lineitem")
+    // a fresh metastore may not know tables whose dirs survive from an
+    // earlier JVM — clear the locations too
+    Seq("b_orders", "b_lineitem").foreach { t =>
+      graft.etl.Lake.truncate(s, s"/tmp/graft_warehouse/$t")
+    }
     s.read.parquet(s"$sf/orders.parquet")
       .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
       .mode("overwrite").saveAsTable("b_orders")
