@@ -43,6 +43,38 @@ object StreamTwins {
       .select(unix_millis(col("window.start")).as("hour_ms"),
         col("event_type"), col("n"), col("total"))
 
+  /** Per-user running stats with custom state (KeyValueGroupedDataset.
+    * flatMapGroupsWithState): emits each event with the user's running mean
+    * *before* it and an anomaly flag (value > 3× mean after ≥ 3 prior
+    * events). State is one (count, sum) per user — constant per key, the
+    * shape built-in windowed aggs can't express because the output is
+    * per-event, not per-window. */
+  case class UserEvent(user_id: Long, tsc: java.sql.Timestamp, value: Double)
+  case class UserState(n: Long, sum: Double)
+  case class Scored(user_id: Long, value: Double, mean_before: Double, anomaly: Boolean)
+
+  def runningAnomalies(events: org.apache.spark.sql.Dataset[UserEvent]):
+      org.apache.spark.sql.Dataset[Scored] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, it: Iterator[UserEvent], state: GroupState[UserState]) =>
+          // event-time order within the micro-batch (iterator order is
+          // unspecified); cross-batch order comes from arrival
+          val sorted = it.toSeq.sortBy(_.tsc.getTime)
+          var st = state.getOption.getOrElse(UserState(0L, 0.0))
+          val out = sorted.map { e =>
+            val mean = if (st.n == 0) 0.0 else st.sum / st.n
+            val scored = Scored(e.user_id, e.value, mean, st.n >= 3 && e.value > 3 * mean)
+            st = UserState(st.n + 1, st.sum + e.value)
+            scored
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Session twin of Sessions.sessionize: native session_window with the same
     * 30-min gap. State per (user, open session) only — watermark closes and
     * emits sessions, keeping state bounded on an unbounded stream. */

@@ -59,6 +59,30 @@ class StreamTwinsSpec extends SparkSpec {
     assert(got.sameElements(Array((1L, 2L), (1L, 1L), (2L, 1L))))
   }
 
+  test("flatMapGroupsWithState carries per-user state across micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val events = mem.toDS().map(r => StreamTwins.UserEvent(r._1, r._2, r._3))
+    val q = StreamTwins.runningAnomalies(events).writeStream
+      .format("memory").queryName("anom_out").outputMode("append").start()
+    // batch 1: establish a mean of 2.0 over 3 events for user 1
+    mem.addData((1L, ts("2024-01-01 00:00:01"), 1.0),
+      (1L, ts("2024-01-01 00:00:02"), 2.0), (1L, ts("2024-01-01 00:00:03"), 3.0))
+    q.processAllAvailable()
+    // batch 2: state must survive — 100.0 vs running mean 2.0 → anomaly
+    mem.addData((1L, ts("2024-01-01 00:00:04"), 100.0),
+      (1L, ts("2024-01-01 00:00:05"), 2.0))
+    q.processAllAvailable(); q.stop()
+    val rows = s.table("anom_out").orderBy("value").collect()
+      .map(r => (r.getDouble(1), r.getDouble(2), r.getBoolean(3)))
+    assert(rows.length == 5)
+    assert(rows.contains((100.0, 2.0, true)))        // mean from batch 1 state
+    assert(rows.count(_._3) == 1)                    // only the spike flags
+    assert(rows.exists { case (v, m, a) => v == 2.0 && m > 20 && !a }) // mean now includes 100
+  }
+
   test("AvailableNow ingest drains raw files exactly once") {
     val root = java.nio.file.Files.createTempDirectory("graft_stream").toString
     val rawDir = s"$root/raw"; val sink = s"$root/sink"; val cp = s"$root/cp"
