@@ -159,19 +159,36 @@ object Dedup {
     * the exact distance (bit_count of xor, a codegen'd intrinsic) filters
     * BEFORE the pair-dedup shuffle, like Dedup.jaccard. */
   def simhashPairs(s: SparkSession, dir: String): DataFrame = {
+    // Same collapse as jaccard(): distance is a function of the signature
+    // values alone, so group docs by signature, run the chunk join and the
+    // bit_count filter on DISTINCT signatures, and expand member pairs only
+    // for survivors. Docs sharing a signature pair at distance 0 directly.
+    val groups = simhashSig(s, dir)
+      .groupBy("simhash")
+      .agg(collect_list(col("doc_id")).as("members"))
+    val ex = groups.filter(size(col("members")) > 1)
+      .select(col("simhash"), explode(col("members")).as("m"))
+    val same = ex.alias("p").join(ex.alias("q"),
+        col("p.simhash") === col("q.simhash") && col("p.m") < col("q.m"))
+      .select(col("p.m").as("doc_a"), col("q.m").as("doc_b"), lit(0L).as("dist"))
     val chunkStructs = (0 until 4).map(j =>
       struct(lit(j).as("ck"), expr(s"(simhash >> ${15 * j}) & 32767").as("cv")))
-    val chunks = simhashSig(s, dir)
-      .select(col("doc_id"), col("simhash"), explode(array(chunkStructs: _*)).as("c"))
-      .select(col("doc_id"), col("simhash"), col("c.ck").as("ck"), col("c.cv").as("cv"))
+    val chunks = groups
+      .select(col("simhash"), col("members"), explode(array(chunkStructs: _*)).as("c"))
+      .select(col("simhash"), col("members"), col("c.ck").as("ck"), col("c.cv").as("cv"))
     val x = chunks.alias("x"); val y = chunks.alias("y")
-    x.join(y, col("x.ck") === col("y.ck") && col("x.cv") === col("y.cv")
-        && col("x.doc_id") < col("y.doc_id"))
+    val cross = x.join(y, col("x.ck") === col("y.ck") && col("x.cv") === col("y.cv")
+        && col("x.simhash") < col("y.simhash"))
       .withColumn("dist", expr("CAST(bit_count(x.simhash ^ y.simhash) AS BIGINT)"))
       .filter(col("dist") <= 3)
-      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .agg(first(col("dist")).as("dist"))
-      .orderBy("doc_a", "doc_b")
+      .groupBy(col("x.simhash").as("sa"), col("y.simhash").as("sb"))
+      .agg(first(col("dist")).as("dist"),
+        first(col("x.members")).as("mas"), first(col("y.members")).as("mbs"))
+      .select(explode(col("mas")).as("ma"), col("mbs"), col("dist"))
+      .select(col("ma"), explode(col("mbs")).as("mb"), col("dist"))
+      .select(least(col("ma"), col("mb")).as("doc_a"),
+        greatest(col("ma"), col("mb")).as("doc_b"), col("dist"))
+    same.unionByName(cross).orderBy("doc_a", "doc_b")
   }
 
   /** Embedding-cosine near-dup: label-blocked pairs (the cheap blocking key;

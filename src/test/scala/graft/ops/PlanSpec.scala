@@ -1,0 +1,49 @@
+package graft.ops
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Locks in the physical-plan shapes the 100 TB posture depends on
+  * (SCALE.md): broadcasts where intended, pushdown reaching the scans,
+  * top-k as TakeOrderedAndProject, no accidental cartesian products. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(q: String): String = {
+    val df = SparkEntry.queries(q)(spark, sf)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("flagship star join broadcasts every dimension") {
+    val p = plan("q_join_multi")
+    assert(p.contains("BroadcastHashJoin"))
+    // customer, nation, region explicitly broadcast (orders may be too at
+    // this fixture size — planner's call)
+    assert("BroadcastExchange".r.findAllIn(p).size >= 3, p)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("date filter is pushed into the orders parquet scan") {
+    val p = SparkEntry.queries("q_join_multi")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("GreaterThanOrEqual(o_orderdate"), p)
+  }
+
+  test("top-k plans as TakeOrderedAndProject, not a global sort") {
+    assert(plan("q_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("column pruning reaches the lineitem scan of the flagship") {
+    val p = plan("q_join_multi")
+    // ReadSchema must not include unused lineitem columns
+    assert(!p.contains("l_shipdate"), "lineitem scan reads unused columns")
+    assert(!p.contains("l_comment"))
+  }
+
+  test("similarity join is a hash join on the blocking key, not cartesian") {
+    val p = plan("q_dedup_embed")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("rank filter uses the WindowGroupLimit pushdown") {
+    assert(plan("q_window_rank").contains("WindowGroupLimit"))
+  }
+}
