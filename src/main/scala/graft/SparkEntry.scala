@@ -73,6 +73,7 @@ object SparkEntry {
     "q_dedup_embed"        -> (Dedup.embedNear _),
     "q_sim_topk"           -> (Similarity.bruteTopK _),
     "q_sim_lsh"            -> (Similarity.lshTopK _),
+    "q_sim_ivf"            -> (Similarity.ivfTopK _),
     "q_array_funcs"        -> (Similarity.arrayFuncs _),
     "q_text_tokens"        -> (TextAnalysis.termFreq _),
     "q_text_stats"         -> (TextAnalysis.stats _),
@@ -419,6 +420,26 @@ object SparkEntry {
           c AS (SELECT q_id, e.vec_id AS n_id,
                        ${dDot("q_emb", "embedding")} / (q_nrm * nrm) AS cos
                 FROM e JOIN q ON e.bucket = q.q_bucket AND e.vec_id <> q.q_id),
+          r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS "rank" FROM c)
+          SELECT q_id, n_id, cos, "rank" FROM r WHERE "rank" <= 10 ORDER BY q_id, "rank"""",
+    "q_sim_ivf" ->
+      s"""WITH e AS (SELECT vec_id, embedding, ${dNorm("embedding")} AS nrm FROM embeddings),
+          cent AS (SELECT vec_id AS cent_id, embedding AS c_emb, nrm AS c_nrm
+                   FROM e WHERE vec_id < ${Similarity.Cells}),
+          rc AS (SELECT e.vec_id, e.embedding, e.nrm, cent.cent_id,
+                        row_number() OVER (PARTITION BY e.vec_id
+                          ORDER BY ${dDot("e.embedding", "cent.c_emb")} / (e.nrm * cent.c_nrm) DESC,
+                                   cent.cent_id) AS crn
+                 FROM e, cent),
+          asg AS (SELECT vec_id, embedding, nrm, cent_id FROM rc WHERE crn = 1),
+          probes AS (SELECT vec_id AS q_id, cent_id FROM rc
+                     WHERE crn <= ${Similarity.NProbe} AND vec_id < 8),
+          q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm FROM e WHERE vec_id < 8),
+          c AS (SELECT p.q_id, a.vec_id AS n_id,
+                       ${dDot("q.q_emb", "a.embedding")} / (q.q_nrm * a.nrm) AS cos
+                FROM probes p
+                JOIN asg a ON p.cent_id = a.cent_id AND a.vec_id <> p.q_id
+                JOIN q ON q.q_id = p.q_id),
           r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS "rank" FROM c)
           SELECT q_id, n_id, cos, "rank" FROM r WHERE "rank" <= 10 ORDER BY q_id, "rank"""",
     "q_array_funcs" ->

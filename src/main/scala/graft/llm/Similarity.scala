@@ -87,6 +87,45 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** IVF parameters: 16 centroid "cells", 4 probed per query. Centroids are
+    * the first 16 vectors by id — a deterministic stand-in for a k-means
+    * pass (training is an offline job; the serving plan below is what must
+    * scale: assignment and probing shuffle by cell id, never Q×N). */
+  val Cells = 16
+  val NProbe = 4
+
+  /** IVF-bucketed ANN: each vector is assigned to its nearest centroid cell;
+    * a query probes its NProbe nearest cells and ranks candidates by exact
+    * cosine within them. The cell id is the join/shuffle key — the classic
+    * inverted-file layout. */
+  def ivfTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(s, dir)
+    val cent = e.filter(col("vec_id") < Cells).select(
+      col("vec_id").as("cent_id"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
+    // rank every (vector, centroid) pair once; reused for assignment (rn=1)
+    // and query probing (rn<=NProbe)
+    val rankedCells = e.crossJoin(broadcast(cent))
+      .withColumn("c_cos", expr(dotSql("embedding", "c_emb")) / (col("nrm") * col("c_nrm")))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("cent_id"))))
+    val assigned = rankedCells.filter(col("crn") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"))
+    val probes = rankedCells.filter(col("crn") <= NProbe && col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("cent_id"))
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    probes.join(assigned, "cent_id")
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(broadcast(q), "q_id")
+      .withColumn("cos", expr(dotSql("q_emb", "embedding")) / (col("q_nrm") * col("nrm")))
+      .withColumn("n_id", col("vec_id"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+      .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
+      .orderBy("q_id", "rank")
+  }
+
   /** Array-function surface over embeddings (q_array_funcs). */
   def arrayFuncs(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings").select(
