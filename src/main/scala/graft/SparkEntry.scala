@@ -81,6 +81,7 @@ object SparkEntry {
     "q_text_quality"       -> (TextAnalysis.quality _),
     "q_text_fingerprint"   -> (TextAnalysis.fingerprint _),
     "q_text_tokens_bpe"    -> (TextAnalysis.tokenCounts _),
+    "q_multimodal_decode"  -> (graft.multimodal.Multimodal.decodeStats _),
     "q_sessionize"         -> (Sessions.sessionize _),
     "q_window_tumbling"    -> (Sessions.tumbling _),
   )
@@ -495,6 +496,28 @@ object SparkEntry {
                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
                  CAST(len(regexp_extract_all(text, '${TextAnalysis.BpePattern.replace("'", "''")}')) AS BIGINT) AS n_bpe_tokens
           FROM documents ORDER BY doc_id""",
+    "q_multimodal_decode" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+                           ['image','audio','video'][(doc_id % 3) + 1] AS kind, text
+                    FROM documents),
+          h AS (SELECT media_id, kind,
+                       list_reduce(list_prepend(17::BIGINT,
+                         [ascii(substr(text, i, 1)) for i in generate_series(1, length(text))]),
+                         (acc, x) -> (acc * 31 + x) % 1000000007) AS hv,
+                       CAST(length(text) AS BIGINT) AS blen
+                FROM m),
+          d AS (SELECT media_id, kind,
+                       (hv % 640) + 16 AS width,
+                       ((hv // 640) % 480) + 16 AS height,
+                       CASE WHEN kind = 'video' THEN (hv % 120) + 2 ELSE 1 END AS n_frames,
+                       blen
+                FROM h)
+          SELECT kind, count(*) AS n,
+                 CAST(sum(width) AS BIGINT) AS sum_w,
+                 CAST(sum(height) AS BIGINT) AS sum_h,
+                 CAST(sum(n_frames) AS BIGINT) AS sum_frames,
+                 CAST(sum(blen) AS BIGINT) AS sum_bytes
+          FROM d GROUP BY kind ORDER BY kind""",
     "q_sessionize" ->
       s"""WITH x AS (SELECT user_id, event_id, value, epoch_ns(ts) AS ts_ns,
                  lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ns

@@ -79,6 +79,23 @@ object Multimodal {
     }
   }
 
+  /** Declared-query form: decoded metadata aggregated by kind — runs the
+    * whole synthesize → mapPartitions-decode → typed-Dataset → aggregate
+    * path under the oracle (FakeCodec's arithmetic is reproducible in SQL
+    * for ASCII payloads, so even the stub is correctness-checked). */
+  def decodeStats(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    decode(mediaTable(spark, dir)).toDF()
+      .groupBy("kind")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("width").cast("long")).as("sum_w"),
+        sum(col("height").cast("long")).as("sum_h"),
+        sum(col("n_frames").cast("long")).as("sum_frames"),
+        sum(col("byte_len")).as("sum_bytes"))
+      .orderBy("kind")
+  }
+
   /** Resize stage: metadata transform + feature rescale (stub arithmetic;
     * a real resize would re-decode the payload). Pure column ops. */
   def resize(decoded: Dataset[Decoded], maxSide: Int): DataFrame =
