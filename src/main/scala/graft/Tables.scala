@@ -18,8 +18,12 @@ object Tables {
   val tables: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // defensive: a driver-built session may lack this (runtime-settable) conf;
+    // without it any events.parquet read throws on the TIMESTAMP(NANOS) column
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   /** Exact order-independent sum of a money-ish double column, as double. */
   def dsum2(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast(DoubleType)

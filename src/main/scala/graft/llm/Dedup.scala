@@ -197,11 +197,11 @@ object Dedup {
   def embedNear(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings").select(
       col("vec_id"), col("label"), col("embedding"),
-      expr(Similarity.normSql("embedding")).as("nrm"))
+      expr(Similarity.normFor(s)("embedding")).as("nrm"))
     val a = e.alias("a"); val b = e.alias("b")
     a.join(b, col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .withColumn("cos",
-        expr(Similarity.dotSql("a.embedding", "b.embedding")) / (col("a.nrm") * col("b.nrm")))
+        expr(Similarity.dotFor(s)("a.embedding", "b.embedding")) / (col("a.nrm") * col("b.nrm")))
       .filter(col("cos") >= 0.35)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos"))
       .orderBy("vec_a", "vec_b")

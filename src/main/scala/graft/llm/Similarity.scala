@@ -24,13 +24,24 @@ object Similarity {
 
   /** Left-to-right double dot product of two float-array columns — the
     * custom codegen'd expression (graft.functions.FloatVecDot), registered
-    * by GraftExtensions. Bit-identical to the built-in HOF form
-    * `aggregate(zip_with(a, b, (x,y) -> CAST(x AS DOUBLE)*CAST(y AS DOUBLE)), 0D, (acc,v) -> acc+v)`
-    * but without per-element lambda dispatch on the pair-join hot path. */
+    * by GraftExtensions. Bit-identical to the built-in HOF form (same
+    * accumulation order), but without per-element lambda dispatch on the
+    * pair-join hot path. Sessions built without GraftExtensions (a foreign
+    * driver session) degrade to the HOF form transparently — same results,
+    * slower. */
   def dotSql(a: String, b: String): String = s"vec_dot($a, $b)"
+
+  private def hofDotSql(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"
+
+  private[graft] def dotFor(s: SparkSession)(a: String, b: String): String =
+    if (s.catalog.functionExists("vec_dot")) dotSql(a, b) else hofDotSql(a, b)
 
   /** Euclidean norm of a float-array column, same accumulation order. */
   def normSql(a: String): String = s"sqrt(vec_dot($a, $a))"
+
+  private[graft] def normFor(s: SparkSession)(a: String): String =
+    s"sqrt(${dotFor(s)(a, a)})"
 
   /** Number of hyperplanes / signature bits for LSH. */
   val Planes: Int = 8
@@ -54,7 +65,7 @@ object Similarity {
 
   private def withNorm(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings").select(
-      col("vec_id"), col("embedding"), expr(normSql("embedding")).as("nrm"))
+      col("vec_id"), col("embedding"), expr(normFor(s)("embedding")).as("nrm"))
 
   /** Exact cosine top-10 for each query vector (vec_id < 8) — brute force.
     * The query side is tiny and broadcast; ranking is a per-query window. */
@@ -63,7 +74,7 @@ object Similarity {
     val q = queries(e)
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
     e.join(broadcast(q), col("vec_id") =!= col("q_id"))
-      .withColumn("cos", expr(dotSql("q_emb", "embedding")) / (col("q_nrm") * col("nrm")))
+      .withColumn("cos", expr(dotFor(s)("q_emb", "embedding")) / (col("q_nrm") * col("nrm")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 10)
       .select(col("q_id"), col("vec_id").as("n_id"), col("cos"), col("rank"))
@@ -80,7 +91,7 @@ object Similarity {
       col("nrm").as("q_nrm"), col("bucket").as("q_bucket"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
     e.join(broadcast(q), col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
-      .withColumn("cos", expr(dotSql("q_emb", "embedding")) / (col("q_nrm") * col("nrm")))
+      .withColumn("cos", expr(dotFor(s)("q_emb", "embedding")) / (col("q_nrm") * col("nrm")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 10)
       .select(col("q_id"), col("vec_id").as("n_id"), col("cos"), col("rank"))
@@ -105,7 +116,7 @@ object Similarity {
     // rank every (vector, centroid) pair once; reused for assignment (rn=1)
     // and query probing (rn<=NProbe)
     val rankedCells = e.crossJoin(broadcast(cent))
-      .withColumn("c_cos", expr(dotSql("embedding", "c_emb")) / (col("nrm") * col("c_nrm")))
+      .withColumn("c_cos", expr(dotFor(s)("embedding", "c_emb")) / (col("nrm") * col("c_nrm")))
       .withColumn("crn", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("cent_id"))))
     val assigned = rankedCells.filter(col("crn") === 1)
@@ -118,7 +129,7 @@ object Similarity {
     probes.join(assigned, "cent_id")
       .filter(col("vec_id") =!= col("q_id"))
       .join(broadcast(q), "q_id")
-      .withColumn("cos", expr(dotSql("q_emb", "embedding")) / (col("q_nrm") * col("nrm")))
+      .withColumn("cos", expr(dotFor(s)("q_emb", "embedding")) / (col("q_nrm") * col("nrm")))
       .withColumn("n_id", col("vec_id"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 10)
