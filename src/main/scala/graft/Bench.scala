@@ -4,8 +4,15 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Verify.session(s"local[$cpus]", cpus)
-    // One warm pass outside timing: JIT + code cache + file-footer reads.
+    // One warm pass outside timing: JIT + codegen cache + file-footer reads.
+    // Runs every query once at the smallest SF so each code path is compiled
+    // before it is measured (skipped when the warmup fixtures are absent).
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
     SparkEntry.entry(spark).count()
+    if (new java.io.File(warmDir).isDirectory)
+      SparkEntry.queries.values.foreach { fn =>
+        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      }
     // optional args: restrict to the named queries (dev/stress use)
     val wanted = if (args.nonEmpty) SparkEntry.queries.view.filterKeys(args.toSet).toMap
                  else SparkEntry.queries
