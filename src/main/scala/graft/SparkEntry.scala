@@ -369,7 +369,8 @@ object SparkEntry {
     "q_dedup_near" ->
       """SELECT min(doc_id) AS rep_id, count(*) AS n_members
          FROM documents
-         GROUP BY array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')
+         GROUP BY array_to_string(list_sort(list_distinct(
+                    string_split(lower(regexp_replace(text, '[^\p{L}\p{N}\s]', '', 'g')), ' '))), ' ')
          ORDER BY rep_id""",
     "q_dedup_minhash" ->
       s"""WITH $minhashCtes

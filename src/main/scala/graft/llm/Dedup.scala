@@ -29,15 +29,17 @@ object Dedup {
       .select("rep_id", "n_copies", "content_hash")
       .orderBy("rep_id")
 
-  /** Near-dup clustering by canonical token-set key (sorted distinct tokens):
-    * token-order shuffles and repeats collapse to one cluster. */
-  def near(s: SparkSession, dir: String): DataFrame =
+  /** Near-dup clustering by normalized canonical token-set key: lowercase,
+    * strip non-alphanumerics, sorted distinct tokens — token-order shuffles,
+    * case and punctuation variants all collapse to one cluster. */
+  def near(s: SparkSession, dir: String): DataFrame = {
+    val norm = lower(regexp_replace(col("text"), "[^\\p{L}\\p{N}\\s]", ""))
     t(s, dir, "documents")
-      .groupBy(concat_ws(" ", array_sort(array_distinct(tokens(col("text"))))).as("key"))
+      .groupBy(concat_ws(" ", array_sort(array_distinct(tokens(norm)))).as("key"))
       .agg(min("doc_id").as("rep_id"), count(lit(1)).as("n_members"))
-      .filter(col("n_members") >= 1)
       .select("rep_id", "n_members")
       .orderBy("rep_id")
+  }
 
   /** doc_id + mod-P-reduced hashed token array (shared by minhash stages). */
   private def hashedTokens(s: SparkSession, dir: String): DataFrame =
