@@ -66,16 +66,38 @@ object Dedup {
   def lshBands(s: SparkSession, dir: String): DataFrame =
     bandsOf(minhashSignatures(s, dir), Seq.empty)
 
-  /** Candidate pairs: docs sharing any LSH band bucket. The self-join is on
-    * (band, bh) — i.e. shuffle by bucket, never an all-pairs product. */
+  /** Candidate pairs: docs sharing any LSH band bucket. Same distinct-set
+    * collapse as jaccard(): identical token sets share every band, so the
+    * bucket self-join and the pair dedup run on one representative per
+    * distinct set (within-group pairs are always candidates by identity and
+    * emit directly). Output is provably identical to doc-level banding; the
+    * dedup shuffle carries |distinct-set candidate pairs|, not the expanded
+    * member pairs. */
   def minhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val b = lshBands(s, dir)
+    val groups = hashedTokens(s, dir)
+      .select(col("doc_id"), array_sort(array_distinct(col("th"))).as("ths"))
+      .groupBy("ths")
+      .agg(collect_list(col("doc_id")).as("members"))
+      .withColumn("rep", array_min(col("members")))
+    val ex = groups.filter(size(col("members")) > 1)
+      .select(col("rep"), explode(col("members")).as("m"))
+    val same = ex.alias("p").join(ex.alias("q"),
+        col("p.rep") === col("q.rep") && col("p.m") < col("q.m"))
+      .select(col("p.m").as("doc_a"), col("q.m").as("doc_b"))
+    val sig = groups.select(
+      Seq(col("rep").as("doc_id"), col("members")) ++
+        (0 until K).map(i => expr(minHashSql("ths", i)).as(s"m$i")): _*)
+    val b = bandsOf(sig, Seq("members"))
     val x = b.alias("x"); val y = b.alias("y")
-    x.join(y, col("x.band") === col("y.band") && col("x.bh") === col("y.bh")
+    val cross = x.join(y, col("x.band") === col("y.band") && col("x.bh") === col("y.bh")
         && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-      .orderBy("doc_a", "doc_b")
+      .groupBy(col("x.doc_id").as("ra"), col("y.doc_id").as("rb"))
+      .agg(first(col("x.members")).as("mas"), first(col("y.members")).as("mbs"))
+      .select(explode(col("mas")).as("ma"), col("mbs"))
+      .select(col("ma"), explode(col("mbs")).as("mb"))
+      .select(least(col("ma"), col("mb")).as("doc_a"),
+        greatest(col("ma"), col("mb")).as("doc_b"))
+    same.unionByName(cross).orderBy("doc_a", "doc_b")
   }
 
   /** Jaccard over the LSH candidates, threshold 0.95 (the fixture vocabulary
