@@ -45,6 +45,8 @@ object SparkEntry {
     "q_agg_groupby"        -> (Aggregates.groupBy _),
     "q_agg_distinct"       -> (Aggregates.distinctAgg _),
     "q_agg_approx_distinct" -> (Aggregates.approxDistinct _),
+    "q_agg_stats"          -> (Aggregates.stats _),
+    "q_agg_percentile"     -> (Aggregates.percentiles _),
     "q_rollup"             -> (Aggregates.rollupAgg _),
     "q_cube"               -> (Aggregates.cubeAgg _),
     "q_grouping_sets"      -> (Aggregates.groupingSets _),
@@ -53,6 +55,7 @@ object SparkEntry {
     "q_window_rank"        -> (WindowsSorts.rank _),
     "q_window_running"     -> (WindowsSorts.running _),
     "q_window_lag"         -> (WindowsSorts.lagDelta _),
+    "q_window_range"       -> (WindowsSorts.rangeFrame _),
     "q_topk"               -> (WindowsSorts.topk _),
     "q_sort_global"        -> (WindowsSorts.sortGlobal _),
     "q_intersect"          -> (WindowsSorts.intersect _),
@@ -268,6 +271,21 @@ object SparkEntry {
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
                 count(DISTINCT l_suppkey) AS n_supps, count(*) AS n
          FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "q_agg_stats" ->
+      s"""WITH a AS (SELECT o_orderstatus, count(*) AS n,
+                 ${dsum("o_totalprice")} AS s1,
+                 CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS s2
+          FROM orders GROUP BY 1)
+          SELECT o_orderstatus, n, s1 / n AS mean,
+                 (s2 - s1 * s1 / n) / (n - 1) AS var_samp,
+                 sqrt((s2 - s1 * s1 / n) / (n - 1)) AS stddev_samp
+          FROM a ORDER BY o_orderstatus""",
+    "q_agg_percentile" ->
+      """SELECT o_orderstatus,
+                quantile_cont(o_totalprice, 0.5) AS p50,
+                quantile_cont(o_totalprice, 0.9) AS p90,
+                count(*) AS n
+         FROM orders GROUP BY 1 ORDER BY 1""",
     "q_rollup" ->
       s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
                  ${dsum("o_totalprice")} AS total,
@@ -314,6 +332,13 @@ object SparkEntry {
          FROM events
          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
          ORDER BY user_id, ts_ms, event_id""",
+    "q_window_range" ->
+      """SELECT o_custkey, o_orderkey, days, o_totalprice,
+                CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  OVER (PARTITION BY o_custkey ORDER BY days
+                        RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS sum_30d
+         FROM (SELECT *, datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days FROM orders)
+         ORDER BY o_custkey, o_orderkey""",
     "q_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",

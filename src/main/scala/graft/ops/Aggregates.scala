@@ -41,6 +41,37 @@ object Aggregates {
       .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
       .orderBy("l_returnflag")
 
+  /** Deterministic second-moment statistics. Built-in stddev/variance use
+    * Welford merges whose result depends on partition merge order — not
+    * reproducible bit-for-bit across engines or even runs. Instead: exact
+    * DECIMAL sums of x and x² (decimal multiply, no double rounding), cast
+    * to double once (correctly rounded), then the textbook formula in
+    * IEEE double arithmetic written identically in the oracle. */
+  def stats(s: SparkSession, dir: String): DataFrame = {
+    val x = col("o_totalprice")
+    val s1 = sum(x.cast("decimal(18,2)")).cast("double")
+    val s2 = sum(x.cast("decimal(12,2)") * x.cast("decimal(12,2)")).cast("double")
+    t(s, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), s1.as("s1"), s2.as("s2"))
+      .withColumn("mean", col("s1") / col("n"))
+      .withColumn("var_samp",
+        (col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
+      .withColumn("stddev_samp", sqrt(col("var_samp")))
+      .select("o_orderstatus", "n", "mean", "var_samp", "stddev_samp")
+      .orderBy("o_orderstatus")
+  }
+
+  /** Exact percentiles (sort-based, interpolated): median and p90. */
+  def percentiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(
+        expr("percentile(o_totalprice, 0.5D)").as("p50"),
+        expr("percentile(o_totalprice, 0.9D)").as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+
   /** ROLLUP over (status, priority). */
   def rollupAgg(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")

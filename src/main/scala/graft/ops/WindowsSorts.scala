@@ -39,6 +39,22 @@ object WindowsSorts {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** Value-RANGE window frame: per customer, total of orders within the 30
+    * days ending at the current order (the sliding-window-by-value flavor;
+    * rowsBetween is demonstrated by `running`). RANGE includes all peers of
+    * a tied ordering value, so ties don't break determinism. */
+  def rangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val days = datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
+      .cast("long")
+    val w = Window.partitionBy("o_custkey").orderBy(col("days")).rangeBetween(-30, 0)
+    t(s, dir, "orders")
+      .withColumn("days", days)
+      .withColumn("sum_30d",
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double"))
+      .select("o_custkey", "o_orderkey", "days", "o_totalprice", "sum_30d")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   /** lag(): 24h-delta reproduction (`price_change_24h` analog, SURVEY.md §2.1). */
   def lagDelta(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
