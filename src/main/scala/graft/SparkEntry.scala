@@ -40,6 +40,7 @@ object SparkEntry {
     "q_join_range"         -> (Joins.range _),
     "q_join_star2"         -> (Joins.star2 _),
     "q_join_skew_salted"   -> (Joins.skewSalted _),
+    "q_subquery_scalar"    -> (Joins.scalarSubquery _),
     "q_join_asof"          -> (Joins.asof _),
     // Group B — aggregates
     "q_agg_groupby"        -> (Aggregates.groupBy _),
@@ -250,6 +251,11 @@ object SparkEntry {
       s"""SELECT 'flag_' || l_returnflag AS flag_label, count(*) AS n,
                  ${dsum("l_extendedprice")} AS total
           FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "q_subquery_scalar" ->
+      """SELECT c_custkey, c_mktsegment,
+                (SELECT max(o_totalprice) FROM orders WHERE o_custkey = c_custkey) AS max_order,
+                (SELECT count(1) FROM orders WHERE o_custkey = c_custkey) AS n_orders
+         FROM customer ORDER BY c_custkey""",
     "q_join_asof" ->
       """WITH x AS (
            SELECT event_id, user_id, value, ts, event_type,

@@ -117,6 +117,21 @@ object Joins {
       .orderBy("bucket")
   }
 
+  /** Correlated scalar subquery (SQL entry point): Catalyst de-correlates it
+    * into a left outer aggregate join — worth declaring because warehouse
+    * users write this shape constantly. */
+  def scalarSubquery(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("customer_sq")
+    t(s, dir, "orders").createOrReplaceTempView("orders_sq")
+    s.sql("""
+      SELECT c_custkey, c_mktsegment,
+             (SELECT max(o_totalprice) FROM orders_sq WHERE o_custkey = c_custkey) AS max_order,
+             (SELECT count(1) FROM orders_sq WHERE o_custkey = c_custkey) AS n_orders
+      FROM customer_sq
+      ORDER BY c_custkey
+    """)
+  }
+
   /** Salted skew join: l_returnflag has 3 values, so a shuffle join on it
     * puts a third of the fact table on one task. Salting fans each hot key
     * into 8 sub-keys — the fact side derives a deterministic salt from a
