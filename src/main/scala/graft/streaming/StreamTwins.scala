@@ -43,6 +43,14 @@ object StreamTwins {
       .select(unix_millis(col("window.start")).as("hour_ms"),
         col("event_type"), col("n"), col("total"))
 
+  /** Streaming exact dedup: first occurrence of each event_id wins; the
+    * watermark bounds the dedup state (ids older than 2 h are evicted —
+    * the streaming face of Dedup.exact, where batch needs no eviction). */
+  def dedupe(events: DataFrame): DataFrame =
+    events
+      .withWatermark("tsc", "2 hours")
+      .dropDuplicates("event_id")
+
   /** Per-user running stats with custom state (KeyValueGroupedDataset.
     * flatMapGroupsWithState): emits each event with the user's running mean
     * *before* it and an anomaly flag (value > 3× mean after ≥ 3 prior

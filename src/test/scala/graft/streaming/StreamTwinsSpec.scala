@@ -83,6 +83,25 @@ class StreamTwinsSpec extends SparkSpec {
     assert(rows.exists { case (v, m, a) => v == 2.0 && m > 20 && !a }) // mean now includes 100
   }
 
+  test("streaming dedup keeps the first occurrence across micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val events = mem.toDF().toDF("event_id", "tsc", "value")
+    val q = StreamTwins.dedupe(events).writeStream
+      .format("memory").queryName("dedup_out").outputMode("append").start()
+    mem.addData((1L, ts("2024-01-01 00:00:01"), 1.0), (2L, ts("2024-01-01 00:00:02"), 2.0),
+      (1L, ts("2024-01-01 00:00:03"), 99.0)) // in-batch duplicate
+    q.processAllAvailable()
+    mem.addData((2L, ts("2024-01-01 00:10:00"), 88.0), // cross-batch duplicate
+      (3L, ts("2024-01-01 00:10:01"), 3.0))
+    q.processAllAvailable(); q.stop()
+    val got = s.table("dedup_out").orderBy("event_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(got.sameElements(Array((1L, 1.0), (2L, 2.0), (3L, 3.0))))
+  }
+
   test("AvailableNow ingest drains raw files exactly once") {
     val root = java.nio.file.Files.createTempDirectory("graft_stream").toString
     val rawDir = s"$root/raw"; val sink = s"$root/sink"; val cp = s"$root/cp"
