@@ -30,6 +30,8 @@ object SparkEntry {
     "q_dedup_latest"       -> (GroupA.dedupLatest _),
     "q_merge_upsert"       -> (GroupA.mergeUpsert _),
     "q_snapshot_overwrite" -> (GroupA.snapshotOverwrite _),
+    "q_partition_prune"    -> (GroupA.partitionPrune _),
+    "q_agg_collect_set"    -> (Aggregates.collectSet _),
     // Group B — joins
     "q_join_inner"         -> (Joins.inner _),
     "q_join_broadcast"     -> (Joins.broadcastJoin _),
@@ -200,6 +202,14 @@ object SparkEntry {
     "q_snapshot_overwrite" ->
       s"""SELECT o_orderpriority, count(*) AS n, ${dsum("o_totalprice")} AS total
           FROM orders WHERE o_orderstatus='O' GROUP BY 1 ORDER BY 1""",
+    "q_partition_prune" ->
+      s"""SELECT o_orderpriority, count(*) AS n, ${dsum("o_totalprice")} AS total
+          FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1 ORDER BY 1""",
+    "q_agg_collect_set" ->
+      """SELECT o_orderstatus,
+                array_to_string(list_sort(list(DISTINCT o_orderpriority)), '|') AS prios,
+                count(DISTINCT o_orderpriority) AS n_prios
+         FROM orders GROUP BY 1 ORDER BY 1""",
     "q_join_inner" ->
       """SELECT l_orderkey, l_linenumber, o_custkey, o_orderstatus, l_extendedprice
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey

@@ -72,6 +72,17 @@ object Aggregates {
         count(lit(1)).as("n"))
       .orderBy("o_orderstatus")
 
+  /** Set-collecting aggregation: distinct priorities per status, surfaced as
+    * a sorted joined string so the output is order-deterministic (collect_set
+    * itself has no ordering guarantee). */
+  def collectSet(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(
+        concat_ws("|", sort_array(collect_set(col("o_orderpriority")))).as("prios"),
+        countDistinct(col("o_orderpriority")).as("n_prios"))
+      .orderBy("o_orderstatus")
+
   /** ROLLUP over (status, priority). */
   def rollupAgg(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")

@@ -80,6 +80,22 @@ object GroupA {
     Upsert.scd1(target, source, "user_id").orderBy("user_id")
   }
 
+  /** Partition-pruned scan over a partitionBy(year) parquet layout — the
+    * storage-level twin of O5's key-prefix pruning: the filter prunes whole
+    * directories before any I/O (PartitionFilters in the scan; asserted by
+    * PlanSpec). */
+  def partitionPrune(s: SparkSession, dir: String): DataFrame = {
+    val path = s"/tmp/graft_part_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
+    t(s, dir, "orders")
+      .withColumn("o_year", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("o_year").parquet(path)
+    s.read.parquet(path)
+      .filter(col("o_year") === 1996)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum2(col("o_totalprice")).as("total"))
+      .orderBy("o_orderpriority")
+  }
+
   /** O16: TRUNCATE + reload ≡ overwrite snapshot, then scan of post-overwrite
     * state (/root/reference/coininsights.py:173,185). */
   def snapshotOverwrite(s: SparkSession, dir: String): DataFrame = {

@@ -46,4 +46,9 @@ class PlanSpec extends SparkSpec {
   test("rank filter uses the WindowGroupLimit pushdown") {
     assert(plan("q_window_rank").contains("WindowGroupLimit"))
   }
+
+  test("partitioned layout prunes directories via PartitionFilters") {
+    val p = plan("q_partition_prune")
+    assert(p.contains("PartitionFilters") && p.contains("o_year"), p)
+  }
 }
