@@ -54,6 +54,7 @@ object SparkEntry {
     "q_cube"               -> (Aggregates.cubeAgg _),
     "q_grouping_sets"      -> (Aggregates.groupingSets _),
     "q_pivot"              -> (Aggregates.pivot _),
+    "q_unpivot"            -> (Aggregates.unpivot _),
     // Group B — windows, sorts, set ops
     "q_window_rank"        -> (WindowsSorts.rank _),
     "q_window_running"     -> (WindowsSorts.running _),
@@ -328,6 +329,14 @@ object SparkEntry {
                 count(*) FILTER (WHERE lang='fr') AS fr,
                 count(*) FILTER (WHERE lang='zh') AS zh
          FROM documents GROUP BY source ORDER BY source""",
+    "q_unpivot" ->
+      """SELECT * FROM (
+           SELECT o_orderkey, 'o_totalprice' AS metric, o_totalprice AS value FROM orders
+           UNION ALL
+           SELECT o_orderkey, 'days_since' AS metric,
+                  CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS DOUBLE) AS value
+           FROM orders
+         ) ORDER BY o_orderkey, metric""",
     "q_window_rank" ->
       """SELECT p_brand, p_partkey, p_retailprice, rnk, rn FROM (
            SELECT p_brand, p_partkey, p_retailprice,

@@ -113,6 +113,17 @@ object Aggregates {
     """)
   }
 
+  /** Wide→long unpivot (the inverse of pivot, via the official Dataset API):
+    * two per-order measures melted into (metric, value) rows. */
+  def unpivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"),
+        datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
+          .cast("double").as("days_since"))
+      .unpivot(Array(col("o_orderkey")), Array(col("o_totalprice"), col("days_since")),
+        "metric", "value")
+      .orderBy("o_orderkey", "metric")
+
   /** Long→wide pivot: documents per (source, lang). */
   def pivot(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
