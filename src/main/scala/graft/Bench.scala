@@ -3,6 +3,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val spark = Verify.session(s"local[$cpus]", cpus)
     // One warm pass outside timing: JIT + codegen cache + file-footer reads.
     // Runs every query once at the smallest SF so each code path is compiled
@@ -14,18 +15,28 @@ object Bench {
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
     // optional args: restrict to the named queries (dev/stress use)
-    val wanted = if (args.nonEmpty) SparkEntry.queries.view.filterKeys(args.toSet).toMap
-                 else SparkEntry.queries
-    val results = wanted.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val wanted = (if (args.nonEmpty) SparkEntry.queries.view.filterKeys(args.toSet).toMap
+                  else SparkEntry.queries).toSeq.sortBy(_._1)
+    // `reps` timed repetitions per query, report the per-query MEDIAN so
+    // round-over-round comparisons measure the code, not machine noise
+    // (VERDICT r1 item 10). Reps run back-to-back per query so page cache
+    // and codegen state are comparable across reps.
+    def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       System.gc() // keep one query's garbage from billing the next
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val results = wanted.map { case (name, fn) =>
+      val ts = (1 to reps).map(_ => timeOnce(fn)).sorted
+      name -> ts(ts.length / 2)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+    // the JSON line is the LAST stdout line, printed after spark.stop() so no
+    // late executor logging can trail it.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
   }
 }

@@ -44,6 +44,7 @@ object SparkEntry {
     "q_join_skew_salted"   -> (Joins.skewSalted _),
     "q_subquery_scalar"    -> (Joins.scalarSubquery _),
     "q_join_asof"          -> (Joins.asof _),
+    "q_join_asof2"         -> (Joins.asof2 _),
     // Group B — aggregates
     "q_agg_groupby"        -> (Aggregates.groupBy _),
     "q_agg_distinct"       -> (Aggregates.distinctAgg _),
@@ -74,6 +75,7 @@ object SparkEntry {
     "q_dedup_exact"        -> (Dedup.exact _),
     "q_dedup_near"         -> (Dedup.near _),
     "q_dedup_minhash"      -> (Dedup.minhashPairs _),
+    "q_dedup_clusters"     -> (Dedup.clusters _),
     "q_dedup_jaccard"      -> (Dedup.jaccard _),
     "q_dedup_simhash"      -> (Dedup.simhash _),
     "q_dedup_simhash_pairs" -> (Dedup.simhashPairs _),
@@ -276,6 +278,13 @@ object SparkEntry {
            FROM events)
          SELECT event_id, user_id, value, epoch_ms(ts) AS ts_ms, epoch_ms(asof_ts) AS asof_signup_ms
          FROM x WHERE event_type='purchase' ORDER BY event_id""",
+    "q_join_asof2" ->
+      """WITH trades AS (SELECT event_id, user_id, value AS t_value, ts FROM events WHERE event_type='purchase'),
+              quotes AS (SELECT user_id, value AS q_value, ts FROM events WHERE event_type='view')
+         SELECT t.event_id, t.user_id, t.t_value, epoch_ms(t.ts) AS ts_ms,
+                epoch_ms(q.ts) AS quote_ts_ms, q.q_value AS quote_value
+         FROM trades t ASOF LEFT JOIN quotes q ON t.user_id = q.user_id AND t.ts >= q.ts
+         ORDER BY event_id""",
     "q_agg_groupby" ->
       s"""SELECT l_returnflag, l_linestatus,
                  ${dsum("l_quantity")} AS sum_qty,
@@ -419,12 +428,19 @@ object SparkEntry {
     "q_dedup_near" ->
       """SELECT min(doc_id) AS rep_id, count(*) AS n_members
          FROM documents
-         GROUP BY array_to_string(list_sort(list_distinct(
-                    string_split(lower(regexp_replace(text, '[^\p{L}\p{N}\s]', '', 'g')), ' '))), ' ')
+         GROUP BY sha256(array_to_string(list_sort(list_distinct(
+                    string_split(lower(regexp_replace(text, '[^\p{L}\p{N}\s]', '', 'g')), ' '))), ' '))
          ORDER BY rep_id""",
     "q_dedup_minhash" ->
       s"""WITH $minhashCtes
           SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""",
+    "q_dedup_clusters" ->
+      s"""WITH th AS (SELECT doc_id, [${dTokHash("t")} % ${TextHash.P} for t in string_split(text, ' ')] AS h FROM documents),
+          k AS (SELECT doc_id, list_sort(list_distinct(h)) AS ths FROM th)
+          SELECT doc_id,
+                 CAST(min(doc_id) OVER (PARTITION BY ths) AS BIGINT) AS rep_id,
+                 count(*) OVER (PARTITION BY ths) AS n_members
+          FROM k ORDER BY doc_id""",
     "q_dedup_jaccard" ->
       s"""WITH $minhashCtes,
           toks AS (SELECT doc_id, list_distinct(h) AS ths, len(list_distinct(h)) AS nt FROM th)

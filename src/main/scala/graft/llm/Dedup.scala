@@ -31,11 +31,15 @@ object Dedup {
 
   /** Near-dup clustering by normalized canonical token-set key: lowercase,
     * strip non-alphanumerics, sorted distinct tokens — token-order shuffles,
-    * case and punctuation variants all collapse to one cluster. */
+    * case and punctuation variants all collapse to one cluster. The grouping
+    * key is sha256 of the canonical string, not the string itself, so the
+    * exchange carries a 32-byte digest per row instead of the whole
+    * normalized document (same clusters; the oracle twin hashes identically). */
   def near(s: SparkSession, dir: String): DataFrame = {
     val norm = lower(regexp_replace(col("text"), "[^\\p{L}\\p{N}\\s]", ""))
+    val canonical = concat_ws(" ", array_sort(array_distinct(tokens(norm))))
     t(s, dir, "documents")
-      .groupBy(concat_ws(" ", array_sort(array_distinct(tokens(norm)))).as("key"))
+      .groupBy(sha2(canonical, 256).as("key"))
       .agg(min("doc_id").as("rep_id"), count(lit(1)).as("n_members"))
       .select("rep_id", "n_members")
       .orderBy("rep_id")
@@ -66,39 +70,82 @@ object Dedup {
   def lshBands(s: SparkSession, dir: String): DataFrame =
     bandsOf(minhashSignatures(s, dir), Seq.empty)
 
-  /** Candidate pairs: docs sharing any LSH band bucket. Same distinct-set
-    * collapse as jaccard(): identical token sets share every band, so the
-    * bucket self-join and the pair dedup run on one representative per
-    * distinct set (within-group pairs are always candidates by identity and
-    * emit directly). Output is provably identical to doc-level banding; the
-    * dedup shuffle carries |distinct-set candidate pairs|, not the expanded
-    * member pairs. */
-  def minhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val groups = hashedTokens(s, dir)
-      .select(col("doc_id"), array_sort(array_distinct(col("th"))).as("ths"))
-      .groupBy("ths")
-      .agg(collect_list(col("doc_id")).as("members"))
-      .withColumn("rep", array_min(col("members")))
-    val ex = groups.filter(size(col("members")) > 1)
-      .select(col("rep"), explode(col("members")).as("m"))
-    val same = ex.alias("p").join(ex.alias("q"),
+  /** Distinct-token-set collapse shared by the MinHash pipelines, with NO
+    * per-group arrays anywhere (VERDICT r1 item 2): `reps` is one row per
+    * distinct set (rep = min doc_id, the set itself for signatures/verify),
+    * `members` is the (skey, rep, m) ASSIGNMENT as rows — a duplicate class
+    * with 10⁶ copies is 10⁶ rows spread across tasks, not one 10⁶-element
+    * collect_list row that OOMs a single task. The membership join key is a
+    * sha256 digest of the set, so that exchange carries 32 bytes per row,
+    * not the token array. */
+  private case class SetCollapse(reps: DataFrame, members: DataFrame)
+
+  private def setCollapse(s: SparkSession, dir: String): SetCollapse = {
+    val keyed = hashedTokens(s, dir).select(
+      col("doc_id"),
+      array_sort(array_distinct(col("th"))).as("ths"))
+      .withColumn("skey", sha2(concat_ws(",", transform(col("ths"), _.cast("string"))), 256))
+    val reps = keyed.groupBy("skey")
+      .agg(min("doc_id").as("rep"), first("ths").as("ths"), count(lit(1)).as("nm"))
+    val members = keyed.select(col("skey"), col("doc_id").as("m"))
+      .join(reps.select("skey", "rep", "nm"), "skey")
+      .select("rep", "m", "nm")
+    SetCollapse(reps, members)
+  }
+
+  /** Within-group pairs of a collapse: all (a, b) sharing a distinct set —
+    * always candidates by identity. A row self-join on rep: streams pair
+    * rows, never materializes a member array. */
+  private def sameSetPairs(members: DataFrame): DataFrame = {
+    val ex = members.filter(col("nm") > 1).select("rep", "m")
+    ex.alias("p").join(ex.alias("q"),
         col("p.rep") === col("q.rep") && col("p.m") < col("q.m"))
       .select(col("p.m").as("doc_a"), col("q.m").as("doc_b"))
-    val sig = groups.select(
-      Seq(col("rep").as("doc_id"), col("members")) ++
+  }
+
+  /** Expand distinct-set rep pairs (ra, rb, extra…) to member doc pairs via
+    * two row joins on the assignment table — the de-skewed replacement for
+    * collect_list + double explode. */
+  private def expandPairs(repPairs: DataFrame, members: DataFrame,
+                          extra: Seq[String]): DataFrame = {
+    val ma = members.select(col("rep").as("ra"), col("m").as("ma"))
+    val mb = members.select(col("rep").as("rb"), col("m").as("mb"))
+    repPairs.join(ma, "ra").join(mb, "rb")
+      .select(least(col("ma"), col("mb")).as("doc_a") +:
+        greatest(col("ma"), col("mb")).as("doc_b") +: extra.map(col): _*)
+  }
+
+  /** Candidate pairs: docs sharing any LSH band bucket. Identical token sets
+    * share every band, so the bucket self-join and the pair dedup run on one
+    * representative per distinct set (within-group pairs are always
+    * candidates by identity and emit directly). Output is provably identical
+    * to doc-level banding; the dedup shuffle carries |distinct-set candidate
+    * pairs|, not the expanded member pairs. */
+  def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val c = setCollapse(s, dir)
+    val same = sameSetPairs(c.members)
+    val sig = c.reps.select(
+      col("rep").as("doc_id") +:
         (0 until K).map(i => expr(minHashSql("ths", i)).as(s"m$i")): _*)
-    val b = bandsOf(sig, Seq("members"))
+    val b = bandsOf(sig, Seq.empty)
     val x = b.alias("x"); val y = b.alias("y")
-    val cross = x.join(y, col("x.band") === col("y.band") && col("x.bh") === col("y.bh")
+    val repPairs = x.join(y, col("x.band") === col("y.band") && col("x.bh") === col("y.bh")
         && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("ra"), col("y.doc_id").as("rb"))
-      .agg(first(col("x.members")).as("mas"), first(col("y.members")).as("mbs"))
-      .select(explode(col("mas")).as("ma"), col("mbs"))
-      .select(col("ma"), explode(col("mbs")).as("mb"))
-      .select(least(col("ma"), col("mb")).as("doc_a"),
-        greatest(col("ma"), col("mb")).as("doc_b"))
+      .select(col("x.doc_id").as("ra"), col("y.doc_id").as("rb"))
+      .distinct()
+    val cross = expandPairs(repPairs, c.members, Seq.empty)
     same.unionByName(cross).orderBy("doc_a", "doc_b")
   }
+
+  /** Near-dup cluster ASSIGNMENT (doc_id → representative): the linear-output
+    * operator a real 100 TB dedup run materializes — keep the rep, drop the
+    * rest — where the all-pairs queries above are diagnostics. Output size is
+    * |corpus|, so a duplicate class with 10⁶ copies is 10⁶ assignment rows,
+    * never 10¹² pairs. */
+  def clusters(s: SparkSession, dir: String): DataFrame =
+    setCollapse(s, dir).members
+      .select(col("m").as("doc_id"), col("rep").as("rep_id"), col("nm").as("n_members"))
+      .orderBy("doc_id")
 
   /** Jaccard over the LSH candidates, threshold 0.95 (the fixture vocabulary
     * is 31 tokens, so background pairs sit near J≈0.87; 0.95 isolates true
@@ -119,38 +166,25 @@ object Dedup {
     // of running LSH on raw docs — but the band join sees |distinct sets|
     // rows, not |docs|. On duplicate-heavy corpora (the realistic 100 TB
     // case) that is orders of magnitude fewer candidates.
-    val groups = hashedTokens(s, dir)
-      .select(col("doc_id"), array_sort(array_distinct(col("th"))).as("ths"))
-      .groupBy("ths")
-      .agg(collect_list(col("doc_id")).as("members"))
-      .withColumn("nt", size(col("ths")))
-      .withColumn("rep", array_min(col("members")))
+    val c = setCollapse(s, dir)
     // (a) within-group pairs: identical sets, jac = 1.0 by definition
-    val ex = groups.filter(size(col("members")) > 1)
-      .select(col("rep"), explode(col("members")).as("m"))
-    val same = ex.alias("p").join(ex.alias("q"),
-        col("p.rep") === col("q.rep") && col("p.m") < col("q.m"))
-      .select(col("p.m").as("doc_a"), col("q.m").as("doc_b"), lit(1.0).as("jac"))
-    // (b) cross-group LSH candidates on representatives, verified, expanded
-    val sig = groups.select(
-      Seq(col("rep"), col("ths"), col("nt"), col("members")) ++
+    val same = sameSetPairs(c.members).withColumn("jac", lit(1.0))
+    // (b) cross-group LSH candidates on representatives, verified BEFORE the
+    // pair dedup and member expansion shuffles, then expanded by row joins
+    val sig = c.reps.select(
+      Seq(col("rep").as("doc_id"), col("ths"), size(col("ths")).as("nt")) ++
         (0 until K).map(i => expr(minHashSql("ths", i)).as(s"m$i")): _*)
-      .withColumnRenamed("rep", "doc_id")
-    val b = bandsOf(sig, Seq("ths", "nt", "members"))
+    val b = bandsOf(sig, Seq("ths", "nt"))
     val x = b.alias("x"); val y = b.alias("y")
-    val cross = x.join(y, col("x.band") === col("y.band") && col("x.bh") === col("y.bh")
+    val repPairs = x.join(y, col("x.band") === col("y.band") && col("x.bh") === col("y.bh")
         && col("x.doc_id") < col("y.doc_id"))
       .withColumn("inter", size(array_intersect(col("x.ths"), col("y.ths"))))
       .withColumn("jac",
         col("inter").cast("double") / (col("x.nt") + col("y.nt") - col("inter")))
       .filter(col("jac") >= 0.95)
       .groupBy(col("x.doc_id").as("ra"), col("y.doc_id").as("rb"))
-      .agg(first(col("jac")).as("jac"),
-        first(col("x.members")).as("mas"), first(col("y.members")).as("mbs"))
-      .select(explode(col("mas")).as("ma"), col("mbs"), col("jac"))
-      .select(col("ma"), explode(col("mbs")).as("mb"), col("jac"))
-      .select(least(col("ma"), col("mb")).as("doc_a"),
-        greatest(col("ma"), col("mb")).as("doc_b"), col("jac"))
+      .agg(first(col("jac")).as("jac"))
+    val cross = expandPairs(repPairs, c.members, Seq("jac"))
     same.unionByName(cross).orderBy("doc_a", "doc_b")
   }
 
@@ -186,30 +220,31 @@ object Dedup {
     // Same collapse as jaccard(): distance is a function of the signature
     // values alone, so group docs by signature, run the chunk join and the
     // bit_count filter on DISTINCT signatures, and expand member pairs only
-    // for survivors. Docs sharing a signature pair at distance 0 directly.
-    val groups = simhashSig(s, dir)
-      .groupBy("simhash")
-      .agg(collect_list(col("doc_id")).as("members"))
-    val ex = groups.filter(size(col("members")) > 1)
-      .select(col("simhash"), explode(col("members")).as("m"))
+    // for survivors — via row joins on the (simhash, doc) assignment, never
+    // a collect_list array (VERDICT r1 item 2). Docs sharing a signature
+    // pair at distance 0 directly.
+    val sigs = simhashSig(s, dir)
+    val reps = sigs.groupBy("simhash").agg(count(lit(1)).as("nm"))
+    val members = sigs.join(reps, "simhash")
+    val ex = members.filter(col("nm") > 1).select("simhash", "doc_id")
     val same = ex.alias("p").join(ex.alias("q"),
-        col("p.simhash") === col("q.simhash") && col("p.m") < col("q.m"))
-      .select(col("p.m").as("doc_a"), col("q.m").as("doc_b"), lit(0L).as("dist"))
+        col("p.simhash") === col("q.simhash") && col("p.doc_id") < col("q.doc_id"))
+      .select(col("p.doc_id").as("doc_a"), col("q.doc_id").as("doc_b"), lit(0L).as("dist"))
     val chunkStructs = (0 until 4).map(j =>
       struct(lit(j).as("ck"), expr(s"(simhash >> ${15 * j}) & 32767").as("cv")))
-    val chunks = groups
-      .select(col("simhash"), col("members"), explode(array(chunkStructs: _*)).as("c"))
-      .select(col("simhash"), col("members"), col("c.ck").as("ck"), col("c.cv").as("cv"))
+    val chunks = reps
+      .select(col("simhash"), explode(array(chunkStructs: _*)).as("c"))
+      .select(col("simhash"), col("c.ck").as("ck"), col("c.cv").as("cv"))
     val x = chunks.alias("x"); val y = chunks.alias("y")
-    val cross = x.join(y, col("x.ck") === col("y.ck") && col("x.cv") === col("y.cv")
+    val sigPairs = x.join(y, col("x.ck") === col("y.ck") && col("x.cv") === col("y.cv")
         && col("x.simhash") < col("y.simhash"))
       .withColumn("dist", expr("CAST(bit_count(x.simhash ^ y.simhash) AS BIGINT)"))
       .filter(col("dist") <= 3)
-      .groupBy(col("x.simhash").as("sa"), col("y.simhash").as("sb"))
-      .agg(first(col("dist")).as("dist"),
-        first(col("x.members")).as("mas"), first(col("y.members")).as("mbs"))
-      .select(explode(col("mas")).as("ma"), col("mbs"), col("dist"))
-      .select(col("ma"), explode(col("mbs")).as("mb"), col("dist"))
+      .select(col("x.simhash").as("sa"), col("y.simhash").as("sb"), col("dist"))
+      .distinct()
+    val ma = members.select(col("simhash").as("sa"), col("doc_id").as("ma"))
+    val mb = members.select(col("simhash").as("sb"), col("doc_id").as("mb"))
+    val cross = sigPairs.join(ma, "sa").join(mb, "sb")
       .select(least(col("ma"), col("mb")).as("doc_a"),
         greatest(col("ma"), col("mb")).as("doc_b"), col("dist"))
     same.unionByName(cross).orderBy("doc_a", "doc_b")

@@ -34,7 +34,12 @@ object Joins {
   }
 
   /** 4-way star join with a date filter — the flagship query (SparkEntry.entry).
-    * Dims broadcast; the single big shuffle is the final groupBy. */
+    * Region and nation are dimension-sized at any SF and broadcast explicitly;
+    * customer GROWS with SF, so it carries no hint — the planner (statically
+    * from parquet stats, or AQE at runtime) broadcasts it while it fits and
+    * degrades to a shuffle join past autoBroadcastJoinThreshold, instead of
+    * dying on the 8 GB broadcast limit at sf100+. The single big shuffle is
+    * the final groupBy. */
   def multi(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
     val o = t(s, dir, "orders").filter(col("o_orderdate") >= lit("1996-01-01"))
@@ -42,7 +47,7 @@ object Joins {
     val n = t(s, dir, "nation")
     val r = t(s, dir, "region")
     li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy("r_name", "l_returnflag")
@@ -172,6 +177,40 @@ object Joins {
       .select(col("event_id"), col("user_id"), col("value"),
         nsToMs("ts").as("ts_ms"),
         expr("asof_ts div 1000000").as("asof_signup_ms"))
+      .orderBy("event_id")
+  }
+
+  /** Two-relation as-of join (quotes/trades shape): each purchase ("trade")
+    * picks the latest view ("quote") at-or-before its timestamp per user —
+    * a left as-of, so trades with no prior quote survive with nulls.
+    *
+    * Same scalable plan as `asof`: union the two relations with a side
+    * marker, one shuffle by user_id, a linear last(ignoreNulls) scan per
+    * partition. At equal timestamps the quote sorts before the trade
+    * (side 0 < 1), giving the inclusive t.ts >= q.ts semantics of a SQL
+    * ASOF JOIN. A per-row range join would be O(T·Q) per user; this is
+    * O(T+Q) after one exchange. */
+  def asof2(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val quotes = ev.filter(col("event_type") === "view").select(
+      col("user_id"), col("ts"), lit(0).as("side"),
+      lit(null).cast("long").as("event_id"), lit(null).cast("double").as("t_value"),
+      col("ts").as("q_ts"), col("value").as("q_value"))
+    val trades = ev.filter(col("event_type") === "purchase").select(
+      col("user_id"), col("ts"), lit(1).as("side"),
+      col("event_id"), col("value").as("t_value"),
+      lit(null).cast("long").as("q_ts"), lit(null).cast("double").as("q_value"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("side"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    quotes.unionByName(trades)
+      .withColumn("last_q_ts", last(col("q_ts"), ignoreNulls = true).over(w))
+      .withColumn("last_q_value", last(col("q_value"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("event_id"), col("user_id"), col("t_value"),
+        nsToMs("ts").as("ts_ms"),
+        expr("last_q_ts div 1000000").as("quote_ts_ms"),
+        col("last_q_value").as("quote_value"))
       .orderBy("event_id")
   }
 }

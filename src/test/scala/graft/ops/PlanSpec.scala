@@ -21,6 +21,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("flagship degrades customer join to a shuffle join past the broadcast threshold") {
+    // customer carries no broadcast hint (it grows with SF); when the planner
+    // may not broadcast it the plan must fall back to a shuffle join — not
+    // fail, and not force a broadcast that would blow the 8 GB limit at 100×.
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "1KB")
+      val p = plan("q_join_multi")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+      // region/nation stay broadcast — they are hinted, dimension-sized forever
+      assert("BroadcastExchange".r.findAllIn(p).size >= 2, p)
+    } finally spark.conf.set(key, prev)
+  }
+
   test("date filter is pushed into the orders parquet scan") {
     val p = SparkEntry.queries("q_join_multi")(spark, sf)
       .queryExecution.executedPlan.toString
