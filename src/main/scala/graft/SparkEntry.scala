@@ -82,7 +82,9 @@ object SparkEntry {
     "q_dedup_embed"        -> (Dedup.embedNear _),
     "q_sim_topk"           -> (Similarity.bruteTopK _),
     "q_sim_lsh"            -> (Similarity.lshTopK _),
+    "q_sim_lsh_multiprobe" -> (Similarity.lshMultiProbeTopK _),
     "q_sim_ivf"            -> (Similarity.ivfTopK _),
+    "q_sim_ivf_trained"    -> (Similarity.ivfTrainedTopK _),
     "q_array_funcs"        -> (Similarity.arrayFuncs _),
     "q_text_tokens"        -> (TextAnalysis.termFreq _),
     "q_text_stats"         -> (TextAnalysis.stats _),
@@ -135,12 +137,61 @@ object SparkEntry {
   }
 
   /** LSH bucket id (twin of Similarity.bucketSql; dd is 1-based in DuckDB). */
-  private def dBucket(emb: String): String =
-    (0 until Similarity.Planes).map { i =>
+  private def dBucket(emb: String, planes: Int = Similarity.Planes): String =
+    (0 until planes).map { i =>
       val coef = s"(CAST((${(i + 1) * 2654435761L} + (dd-1) * 40503) % 2000001 AS DOUBLE) / 1000000.0 - 1.0)"
       val dot = s"list_sum([CAST($emb[dd] AS DOUBLE) * $coef for dd in generate_series(1, len($emb))])"
       s"(CASE WHEN $dot > 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString("(", " + ", ")")
+
+  /** Unrolled DuckDB twin of Similarity.trainCentroids + ivfTrainedTopK:
+    * c0 = seed (first `Cells` vectors as doubles); each Lloyd iteration is
+    * assign (cosine argmax) → exact BIGINT element sums scaled by 2^48 →
+    * one double division → empty-cell coalesce. The fixture dimension is 64
+    * (q_array_funcs pins it). */
+  private def ivfTrainedSql: String = {
+    val S = Similarity.MeanScale
+    val T = Similarity.TrainIters
+    def cosTo(c: String) =
+      s"${dDot("e.embedding", s"$c.cemb")} / (e.nrm * sqrt(${dDot(s"$c.cemb", s"$c.cemb")}))"
+    val iters = (1 to T).map { i =>
+      val prev = s"c${i - 1}"
+      s"""r$i AS (SELECT e.vec_id, e.embedding, c.cent_id,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${cosTo("c")} DESC, c.cent_id) AS rn
+          FROM e, $prev c),
+          a$i AS (SELECT vec_id, embedding, cent_id FROM r$i WHERE rn = 1),
+          s$i AS (SELECT cent_id, d, SUM(CAST(CAST(embedding[d] AS DOUBLE) * $S AS BIGINT)) AS sm,
+                         COUNT(*) AS n
+                  FROM a$i, generate_series(1, 64) AS g(d) GROUP BY 1, 2),
+          u$i AS (SELECT cent_id, list(CAST(sm AS DOUBLE) / CAST(n * $S AS DOUBLE) ORDER BY d) AS cemb
+                  FROM s$i GROUP BY 1),
+          c$i AS (SELECT p.cent_id, COALESCE(u.cemb, p.cemb) AS cemb
+                  FROM $prev p LEFT JOIN u$i u USING (cent_id))"""
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, embedding, ${dNorm("embedding")} AS nrm FROM embeddings),
+        c0 AS (SELECT vec_id AS cent_id,
+                      [CAST(embedding[i] AS DOUBLE) for i in generate_series(1, len(embedding))] AS cemb
+               FROM embeddings WHERE vec_id < ${Similarity.Cells}),
+        $iters,
+        cent AS (SELECT cent_id, cemb, sqrt(${dDot("cemb", "cemb")}) AS c_nrm FROM c$T),
+        rc AS (SELECT e.vec_id, e.embedding, e.nrm, cent.cent_id,
+                      row_number() OVER (PARTITION BY e.vec_id
+                        ORDER BY ${dDot("e.embedding", "cent.cemb")} / (e.nrm * cent.c_nrm) DESC,
+                                 cent.cent_id) AS crn
+               FROM e, cent),
+        asg AS (SELECT vec_id, embedding, nrm, cent_id FROM rc WHERE crn = 1),
+        probes AS (SELECT vec_id AS q_id, cent_id FROM rc
+                   WHERE crn <= ${Similarity.NProbe} AND vec_id < 8),
+        q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm FROM e WHERE vec_id < 8),
+        c AS (SELECT p.q_id, a.vec_id AS n_id,
+                     ${dDot("q.q_emb", "a.embedding")} / (q.q_nrm * a.nrm) AS cos
+              FROM probes p
+              JOIN asg a ON p.cent_id = a.cent_id AND a.vec_id <> p.q_id
+              JOIN q ON q.q_id = p.q_id),
+        r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS "rank" FROM c)
+        SELECT q_id, n_id, cos, "rank" FROM r WHERE "rank" <= 10 ORDER BY q_id, "rank""""
+  }
 
   private def lexList(l: String): String =
     TextAnalysis.Lexicons.toMap.apply(l).map(w => s"'$w'").mkString("[", ", ", "]")
@@ -490,6 +541,22 @@ object SparkEntry {
                 FROM e JOIN q ON e.bucket = q.q_bucket AND e.vec_id <> q.q_id),
           r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS "rank" FROM c)
           SELECT q_id, n_id, cos, "rank" FROM r WHERE "rank" <= 10 ORDER BY q_id, "rank"""",
+    "q_sim_lsh_multiprobe" -> {
+      val planes = Similarity.MultiProbePlanes
+      s"""WITH e AS (SELECT vec_id, embedding, ${dNorm("embedding")} AS nrm,
+                            ${dBucket("embedding", planes)} AS bucket FROM embeddings),
+          q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm, bucket AS q_bucket
+                FROM e WHERE vec_id < 8),
+          probes AS (SELECT q_id AS p_id, q_emb, q_nrm,
+                            CASE WHEN i = 0 THEN q_bucket
+                                 ELSE xor(q_bucket, (1::BIGINT << (i-1))) END AS pb
+                     FROM q, generate_series(0, $planes) AS g(i)),
+          c AS (SELECT p.p_id AS q_id, e.vec_id AS n_id,
+                       ${dDot("p.q_emb", "e.embedding")} / (p.q_nrm * e.nrm) AS cos
+                FROM e JOIN probes p ON e.bucket = p.pb AND e.vec_id <> p.p_id),
+          r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS "rank" FROM c)
+          SELECT q_id, n_id, cos, "rank" FROM r WHERE "rank" <= 10 ORDER BY q_id, "rank""""
+    },
     "q_sim_ivf" ->
       s"""WITH e AS (SELECT vec_id, embedding, ${dNorm("embedding")} AS nrm FROM embeddings),
           cent AS (SELECT vec_id AS cent_id, embedding AS c_emb, nrm AS c_nrm
@@ -510,6 +577,7 @@ object SparkEntry {
                 JOIN q ON q.q_id = p.q_id),
           r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS "rank" FROM c)
           SELECT q_id, n_id, cos, "rank" FROM r WHERE "rank" <= 10 ORDER BY q_id, "rank"""",
+    "q_sim_ivf_trained" -> ivfTrainedSql,
     "q_array_funcs" ->
       """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS n,
                 CAST(embedding[1] AS DOUBLE) AS e0,
