@@ -15,9 +15,12 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *   warehouse/dim_coin_info, fact_coin_metrics parquet targets (O15)
   *   archive/             processed raw files (O18/O19)
   *
-  * Each target write goes through the stage→merge→swap pattern, so a crashed
+  * Each target write goes through stage → merge → versioned publish
+  * (Warehouse.publish manifest-pointer commit), so a crashed or concurrent
   * run never leaves a half-written target (the reference gets this from
-  * Redshift transactionality; we get it from write-new-dir + atomic swap).
+  * Redshift transactionality; we get it from immutable version dirs + one
+  * atomic pointer swap). Raw files are processed incrementally via the
+  * processed-files Manifest.
   */
 class Pipeline(spark: SparkSession, root: String) {
   val rawDir = s"$root/raw_data"
@@ -26,20 +29,35 @@ class Pipeline(spark: SparkSession, root: String) {
   val dimTarget = s"$root/warehouse/dim_coin_info"
   val factTarget = s"$root/warehouse/fact_coin_metrics"
   val archiveDir = s"$root/archive"
+  val manifestDir = s"$root/manifest"
 
-  /** Transform stage (O7–O13): every raw file under raw_data → 2 CSV stages.
-    * Like the reference, reprocesses the whole prefix each run
-    * (/root/reference/data-transformation.py:32); idempotence comes from the
-    * downstream merge. */
+  /** Raw files not yet recorded in the processed-files manifest. */
+  def newRawFiles(): Seq[String] = {
+    val done = Manifest.processed(spark, manifestDir)
+    Lake.list(spark, rawDir)
+      .filterNot(p => done.contains(new org.apache.hadoop.fs.Path(p).getName))
+  }
+
+  /** Transform stage (O7–O13): NEW raw files under raw_data → 2 CSV stages.
+    * Unlike the reference — which re-transforms the whole prefix every run
+    * (/root/reference/data-transformation.py:32) — the manifest skips files
+    * already staged, so a re-run reads only what arrived since (at 100 TB
+    * that is the difference between a nightly full-lake scan and an
+    * incremental one). Stage writes APPEND; the stage is truncated after a
+    * successful merge, and the dedup-first merge makes the crash paths
+    * exactly-once in effect (see Manifest scaladoc). */
   def transform(): Unit = {
-    if (!Lake.exists(spark, rawDir)) return
-    val raw = Transform.readRaw(spark, rawDir)
+    val fresh = newRawFiles()
+    if (fresh.isEmpty) return
+    val raw = Transform.readRawFiles(spark, fresh)
     writeCsv(Transform.coinInfo(raw), infoStage)
     writeCsv(Transform.coinMetrics(raw), metricsStage)
+    Manifest.record(spark, manifestDir,
+      fresh.map(p => new org.apache.hadoop.fs.Path(p).getName))
   }
 
   private def writeCsv(df: DataFrame, path: String): Unit =
-    df.write.mode(SaveMode.Overwrite)
+    df.write.mode(SaveMode.Append)
       .option("header", true).option("quote", "\"")
       .csv(path)
 
@@ -47,26 +65,21 @@ class Pipeline(spark: SparkSession, root: String) {
     spark.read.option("header", true).option("quote", "\"").schema(schema).csv(path)
 
   /** Load + merge one table (O14+O15): stage CSV → dedup to latest per id →
-    * SCD1 merge into the parquet target → atomic swap. */
+    * SCD1 merge into the current warehouse version → publish a NEW version
+    * via the manifest-pointer commit (Warehouse.publish): readers always see
+    * a complete snapshot, and two interleaved runs both leave a consistent
+    * target (last pointer swap wins — the reference got this from Redshift
+    * transactionality). */
   private def loadMerge(stage: String, target: String,
                         schema: org.apache.spark.sql.types.StructType,
                         orderCols: Seq[String]): Unit = {
     if (!Lake.exists(spark, stage)) return
     val src = readCsv(stage, schema)
     val merged =
-      if (Lake.exists(spark, s"$target/_SUCCESS"))
-        Upsert.merge(spark.read.parquet(target), src, "id", orderCols)
+      if (Warehouse.exists(spark, target))
+        Upsert.merge(Warehouse.read(spark, target), src, "id", orderCols)
       else Upsert.latestPerKey(src, "id", orderCols)
-    // write-new-then-swap: the reference's stage→MERGE gives atomicity via
-    // Redshift transactions; on a plain object store we write to a fresh dir
-    // and swap directories so readers never see a partial target.
-    val tmp = s"$target.tmp"
-    Lake.truncate(spark, tmp)
-    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
-    Lake.truncate(spark, target)
-    val fs = new org.apache.hadoop.fs.Path(target)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(target))
+    Warehouse.publish(spark, target, merged)
   }
 
   /** Full run: transform → load/merge both tables → truncate stages →
@@ -91,9 +104,14 @@ class Pipeline(spark: SparkSession, root: String) {
     loadMerge(metricsStage, factTarget, metricsSchema, Seq("last_updated"))
     Lake.truncate(spark, infoStage)
     Lake.truncate(spark, metricsStage)
+    // single-orchestrator context: the previous version has no readers once
+    // the run's own merge finished, so GC it here; a multi-tenant deployment
+    // would defer vacuum until readers drain.
+    Warehouse.vacuum(spark, dimTarget)
+    Warehouse.vacuum(spark, factTarget)
     Lake.archive(spark, rawDir, archiveDir)
   }
 
-  def dim(): DataFrame = spark.read.parquet(dimTarget)
-  def fact(): DataFrame = spark.read.parquet(factTarget)
+  def dim(): DataFrame = Warehouse.read(spark, dimTarget)
+  def fact(): DataFrame = Warehouse.read(spark, factTarget)
 }

@@ -16,6 +16,11 @@ object Transform {
   def readRaw(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(RawSchema.schema).option("multiLine", true).json(path)
 
+  /** Same, over an explicit file list — the incremental-ingest path reads
+    * ONLY the files the manifest hasn't seen (no prefix re-scan). */
+  def readRawFiles(spark: SparkSession, paths: Seq[String]): DataFrame =
+    spark.read.schema(RawSchema.schema).option("multiLine", true).json(paths: _*)
+
   /** dim side: [id, name, symbol, image_url]; id is COPIED FROM symbol —
     * faithfully reproducing the reference's key choice incl. its collision
     * hazard (/root/reference/data-transformation.py:46; SURVEY.md §7.4). */

@@ -67,6 +67,76 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(btc.getDouble(1) - 65000.99) < 1e-9)
   }
 
+  test("incremental manifest: re-run reads ONLY the new raw file; merge equals full reprocess") {
+    val rootA = freshRoot()
+    dropRaw(rootA, "cryptoinsight_raw_1")
+    val pA = new Pipeline(spark, rootA)
+    pA.run()
+    // simulate a retained raw prefix (the reference's shape): bring the
+    // archived file back into raw_data — the ledger, not archival, must skip it
+    Files.move(Paths.get(rootA, "archive", "cryptoinsight_raw_1"),
+      Paths.get(rootA, "raw_data", "cryptoinsight_raw_1"))
+    val updated = new String(
+      Files.readAllBytes(Paths.get(getClass.getResource("/raw_coins.json").toURI)))
+      .replace("2024-11-15T10:00", "2024-11-15T11:00")
+      .replace("64000.12", "65000.99")
+    Files.write(Paths.get(rootA, "raw_data", "cryptoinsight_raw_2"), updated.getBytes)
+
+    // input-file metrics: the transform's scan must touch only the new file
+    val fresh = pA.newRawFiles()
+    assert(fresh.map(p => new org.apache.hadoop.fs.Path(p).getName)
+      == Seq("cryptoinsight_raw_2"), fresh)
+    val scanned = Transform.readRawFiles(spark, fresh).inputFiles
+    assert(scanned.nonEmpty && scanned.forall(_.endsWith("cryptoinsight_raw_2")), scanned.toSeq)
+    pA.run()
+
+    // full-reprocess twin: both snapshots in one run
+    val rootB = freshRoot()
+    dropRaw(rootB, "cryptoinsight_raw_1")
+    Files.write(Paths.get(rootB, "raw_data", "cryptoinsight_raw_2"), updated.getBytes)
+    val pB = new Pipeline(spark, rootB)
+    pB.run()
+
+    def dimMap(p: Pipeline) = p.dim().collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    def factMap(p: Pipeline) = p.fact().collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getTimestamp(13))).toMap
+    assert(dimMap(pA) == dimMap(pB))
+    assert(factMap(pA) == factMap(pB))
+    assert(factMap(pA)("btc")._1 == 65000.99)
+  }
+
+  test("interleaved writers: pointer commits keep the target consistent, last wins") {
+    val root = freshRoot()
+    val target = s"$root/warehouse/t"
+    import spark.implicits._
+    // Writer A and writer B both observe the same (empty) current version
+    // and compute their outputs — the classic unserialized-merge interleave.
+    assert(!Warehouse.exists(spark, target))
+    val outA = Seq((1, "a1"), (3, "a3")).toDF("id", "v")
+    val outB = Seq((1, "b1"), (2, "b2")).toDF("id", "v")
+    // B publishes first; A publishes second without re-reading
+    Warehouse.publish(spark, target, outB)
+    // between the two commits the target is fully readable (B's snapshot)
+    assert(Warehouse.read(spark, target).count() == 2)
+    Warehouse.publish(spark, target, outA)
+    // last pointer swap wins; the target is complete and consistent
+    val rows = Warehouse.read(spark, target).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(rows == Map(1 -> "a1", 3 -> "a3"))
+    // the superseded version stays readable until vacuum, then GC'd
+    val fs = new org.apache.hadoop.fs.Path(target)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versionsBefore = fs.listStatus(new org.apache.hadoop.fs.Path(target))
+      .count(s => s.isDirectory && s.getPath.getName.startsWith("v_"))
+    assert(versionsBefore == 2)
+    Warehouse.vacuum(spark, target)
+    val versionsAfter = fs.listStatus(new org.apache.hadoop.fs.Path(target))
+      .count(s => s.isDirectory && s.getPath.getName.startsWith("v_"))
+    assert(versionsAfter == 1)
+    assert(Warehouse.read(spark, target).count() == 2)
+  }
+
   test("comma-in-name survives the CSV stage round-trip") {
     val root = freshRoot()
     dropRaw(root, "raw")
