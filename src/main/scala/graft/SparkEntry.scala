@@ -92,6 +92,7 @@ object SparkEntry {
     "q_text_quality"       -> (TextAnalysis.quality _),
     "q_text_fingerprint"   -> (TextAnalysis.fingerprint _),
     "q_text_tokens_bpe"    -> (TextAnalysis.tokenCounts _),
+    "q_text_bpe_apply"     -> (TextAnalysis.bpeApply _),
     "q_multimodal_decode"  -> (graft.multimodal.Multimodal.decodeStats _),
     "q_sessionize"         -> (Sessions.sessionize _),
     "q_window_tumbling"    -> (Sessions.tumbling _),
@@ -631,6 +632,22 @@ object SparkEntry {
                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
                  CAST(len(regexp_extract_all(text, '${TextAnalysis.BpePattern.replace("'", "''")}')) AS BIGINT) AS n_bpe_tokens
           FROM documents ORDER BY doc_id""",
+    "q_text_bpe_apply" -> {
+      // DuckDB twin of TextAnalysis.bpeApply: same |sym| encoding, same
+      // rank-ordered replace chain (RE2 backref \1, global flag).
+      val encD = """regexp_replace(replace(p, ' ', '_'), '(.)', '|\1|', 'g')"""
+      val foldedD = TextAnalysis.BpeMerges.foldLeft(encD) { case (e, (l, r)) =>
+        s"replace($e, '|$l||$r|', '|$l$r|')"
+      }
+      val tokD = s"trim(replace($foldedD, '||', ' '), '|')"
+      val cntD = s"(length($foldedD) - length(replace($foldedD, '|', ''))) // 2"
+      val pat = TextAnalysis.BpePattern.replace("'", "''")
+      s"""WITH x AS (SELECT doc_id, regexp_extract_all(text, '$pat') AS pieces FROM documents)
+          SELECT doc_id,
+                 CAST(COALESCE(list_sum([$cntD for p in pieces]), 0) AS BIGINT) AS n_bpe_tokens,
+                 array_to_string([$tokD for p in pieces], ' ') AS bpe_text
+          FROM x ORDER BY doc_id"""
+    },
     "q_multimodal_decode" ->
       """WITH m AS (SELECT doc_id AS media_id,
                            ['image','audio','video'][(doc_id % 3) + 1] AS kind, text
