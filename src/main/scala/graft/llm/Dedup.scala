@@ -45,11 +45,15 @@ object Dedup {
       .orderBy("rep_id")
   }
 
-  /** doc_id + mod-P-reduced hashed token array (shared by minhash stages). */
+  /** doc_id + mod-P-reduced hashed token array (shared by minhash stages).
+    * `coalesce(text, '')` is semantically a no-op (fixture text is non-null)
+    * but makes the derived set-digest key NON-NULLABLE, so equi-joins on it
+    * skip the `isnotnull` pre-filter — which would otherwise evaluate the
+    * whole md5+sort+sha2 key expression a second time per row. */
   private def hashedTokens(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(
       col("doc_id"),
-      expr(s"transform(split(text, ' '), t -> ${tokHashSql("t")} % ${P}L)").as("th"))
+      expr(s"transform(split(coalesce(text, ''), ' '), t -> ${tokHashSql("t")} % ${P}L)").as("th"))
 
   /** MinHash signatures: K=16 per-function minima over the hashed tokens. */
   def minhashSignatures(s: SparkSession, dir: String): DataFrame =
@@ -87,8 +91,14 @@ object Dedup {
       .withColumn("skey", sha2(concat_ws(",", transform(col("ths"), _.cast("string"))), 256))
     val reps = keyed.groupBy("skey")
       .agg(min("doc_id").as("rep"), first("ths").as("ths"), count(lit(1)).as("nm"))
+    // membership via min/count windows over ONE keyed scan (not a keyed⋈reps
+    // join): the shuffle under the window is identical across every use of
+    // `members`, so Spark's exchange reuse computes the expensive key
+    // expression once; a giant class spills within its window group.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("skey")
     val members = keyed.select(col("skey"), col("doc_id").as("m"))
-      .join(reps.select("skey", "rep", "nm"), "skey")
+      .withColumn("rep", min("m").over(w))
+      .withColumn("nm", count(lit(1)).over(w))
       .select("rep", "m", "nm")
     SetCollapse(reps, members)
   }
@@ -141,11 +151,20 @@ object Dedup {
     * operator a real 100 TB dedup run materializes — keep the rep, drop the
     * rest — where the all-pairs queries above are diagnostics. Output size is
     * |corpus|, so a duplicate class with 10⁶ copies is 10⁶ assignment rows,
-    * never 10¹² pairs. */
-  def clusters(s: SparkSession, dir: String): DataFrame =
-    setCollapse(s, dir).members
-      .select(col("m").as("doc_id"), col("rep").as("rep_id"), col("nm").as("n_members"))
+    * never 10¹² pairs. One scan + one shuffle: min/count windows over the
+    * set-digest partition (a giant class spills within its window group —
+    * bounded memory, no single-row array). */
+  def clusters(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("skey")
+    hashedTokens(s, dir)
+      .select(col("doc_id"),
+        sha2(concat_ws(",",
+          transform(array_sort(array_distinct(col("th"))), _.cast("string"))), 256).as("skey"))
+      .select(col("doc_id"),
+        min("doc_id").over(w).as("rep_id"),
+        count(lit(1)).over(w).as("n_members"))
       .orderBy("doc_id")
+  }
 
   /** Jaccard over the LSH candidates, threshold 0.95 (the fixture vocabulary
     * is 31 tokens, so background pairs sit near J≈0.87; 0.95 isolates true
