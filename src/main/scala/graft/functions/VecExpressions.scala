@@ -8,7 +8,9 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
-/** `vec_dot(a, b)`: double-precision dot product of two float arrays.
+/** `vec_dot(a, b)`: double-precision dot product of two numeric arrays
+  * (each side independently `array<float>` or `array<double>` — the trained
+  * IVF path scores float embeddings against double centroids).
   *
   * The one custom Catalyst Expression in the engine, and it exists for the
   * reason SURVEY.md §4.2 allows: the built-in higher-order form
@@ -24,30 +26,38 @@ import org.apache.spark.sql.types._
   * Null elements are not supported (embedding arrays are dense); a null
   * array yields null via the standard null-safe path.
   */
-case class FloatVecDot(left: Expression, right: Expression)
+case class VecDot(left: Expression, right: Expression)
   extends BinaryExpression {
 
-  override def checkInputDataTypes(): TypeCheckResult = {
-    val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(FloatType, _) => true
-      case _ => false
-    })
-    if (ok) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"vec_dot expects (array<float>, array<float>), got " +
-        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  private def elemType(e: Expression): Option[DataType] = e.dataType match {
+    case ArrayType(FloatType, _) => Some(FloatType)
+    case ArrayType(DoubleType, _) => Some(DoubleType)
+    case _ => None
   }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemType(left).isDefined && elemType(right).isDefined)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"vec_dot expects array<float|double> on each side, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_dot"
 
+  @inline private def get(arr: ArrayData, t: DataType, i: Int): Double =
+    if (t == FloatType) arr.getFloat(i).toDouble else arr.getDouble(i)
+
   override def nullSafeEval(a: Any, b: Any): Any = {
+    val lt = elemType(left).get
+    val rt = elemType(right).get
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
     var s = 0.0
     var i = 0
     while (i < n) {
-      s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      s += get(x, lt, i) * get(y, rt, i)
       i += 1
     }
     s
@@ -58,18 +68,21 @@ case class FloatVecDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
+      def g(arr: String, side: Expression) =
+        if (elemType(side).get == FloatType) s"((double) $arr.getFloat($i))"
+        else s"$arr.getDouble($i)"
       s"""
          |int $n = Math.min($a.numElements(), $b.numElements());
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $s += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |  $s += ${g(a, left)} * ${g(b, right)};
          |}
          |${ev.value} = $s;
        """.stripMargin
     })
 
   override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): FloatVecDot =
+      newLeft: Expression, newRight: Expression): VecDot =
     copy(left = newLeft, right = newRight)
 }
 
@@ -80,7 +93,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
       FunctionIdentifier("vec_dot"),
-      new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot"),
-      (children: Seq[Expression]) => FloatVecDot(children.head, children(1))))
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (children: Seq[Expression]) => VecDot(children.head, children(1))))
   }
 }

@@ -23,7 +23,7 @@ import graft.Tables._
 object Similarity {
 
   /** Left-to-right double dot product of two float-array columns — the
-    * custom codegen'd expression (graft.functions.FloatVecDot), registered
+    * custom codegen'd expression (graft.functions.VecDot), registered
     * by GraftExtensions. Bit-identical to the built-in HOF form (same
     * accumulation order), but without per-element lambda dispatch on the
     * pair-join hot path. Sessions built without GraftExtensions (a foreign
@@ -193,11 +193,15 @@ object Similarity {
 
   /** One spherical-k-means assignment pass: every vector ranked against every
     * centroid by cosine (centroids are metadata-sized — broadcast; the only
-    * per-corpus work is the N×k scoring, partitioned by vector). */
+    * per-corpus work is the N×k scoring, partitioned by vector). Uses the
+    * codegen'd vec_dot (float×double overload) when registered; the HOF form
+    * is bit-identical on foreign sessions. */
   private def rankAgainst(e: DataFrame, cents: DataFrame): DataFrame = {
-    val c = cents.withColumn("c_nrm", expr(s"sqrt(${genericDot("c_emb", "c_emb")})"))
+    val s = e.sparkSession
+    val dot = if (s.catalog.functionExists("vec_dot")) dotSql _ else genericDot _
+    val c = cents.withColumn("c_nrm", expr(s"sqrt(${dot("c_emb", "c_emb")})"))
     e.crossJoin(broadcast(c))
-      .withColumn("c_cos", expr(genericDot("embedding", "c_emb")) / (col("nrm") * col("c_nrm")))
+      .withColumn("c_cos", expr(dot("embedding", "c_emb")) / (col("nrm") * col("c_nrm")))
       .withColumn("crn", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("cent_id"))))
   }
@@ -230,6 +234,12 @@ object Similarity {
       cents = cents.alias("o").join(upd.alias("u"), Seq("cent_id"), "left")
         .select(col("cent_id"),
           coalesce(col("u.c_emb"), col("o.c_emb")).as("c_emb"))
+      // centroids are k×d rows (metadata-sized at any corpus scale);
+      // materializing each iteration stops the lineage from re-running every
+      // previous assignment pass — the same reason MLlib k-means keeps
+      // centroids out of the lineage entirely.
+      cents = cents.cache()
+      cents.count()
     }
     cents
   }
