@@ -76,6 +76,10 @@ object SparkEntry {
     "q_dedup_near"         -> (Dedup.near _),
     "q_dedup_minhash"      -> (Dedup.minhashPairs _),
     "q_dedup_clusters"     -> (Dedup.clusters _),
+    "q_dedup_shingle"      -> (Dedup.shinglePairs _),
+    "q_decontaminate"      -> (graft.llm.Curation.decontaminate _),
+    "q_sample_stratified"  -> (graft.llm.Curation.stratifiedSample _),
+    "q_text_repetition"    -> (graft.llm.Curation.repetition _),
     "q_dedup_jaccard"      -> (Dedup.jaccard _),
     "q_dedup_simhash"      -> (Dedup.simhash _),
     "q_dedup_simhash_pairs" -> (Dedup.simhashPairs _),
@@ -118,9 +122,11 @@ object SparkEntry {
   private def dNorm(a: String) =
     s"sqrt(list_sum([CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE) for i in generate_series(1, len($a))]))"
 
-  /** Shared minhash CTEs: th (hashed tokens) → sig (16 minima) → bands
-    * (twin of Dedup.minhashSignatures/bandsOf: Bands × Rows, mod-P fold). */
-  private def minhashCtes: String = {
+  /** Shared minhash CTEs: th (hashed features) → sig (16 minima) → bands
+    * (twin of Dedup.minhashSignatures/bandsOf: Bands × Rows, mod-P fold).
+    * `thList` is the hashed-feature list expression — word tokens for the
+    * default pipelines, char shingles for q_dedup_shingle. */
+  private def minhashCtesFor(thList: String): String = {
     import TextHash.{A, B, K, P, Bands, Rows}
     val ms = (0 until K).map(i =>
       s"list_min([(${A(i)} * x + ${B(i)}) % $P for x in h]) AS m$i").mkString(", ")
@@ -129,12 +135,22 @@ object SparkEntry {
         .reduce((acc, m) => s"((($acc) * 31 + $m) % $P)")
       s"SELECT doc_id, $j AS band, $bh AS bh FROM sig"
     }.mkString(" UNION ALL ")
-    s"""th AS (SELECT doc_id, [${dTokHash("t")} % ${TextHash.P} for t in string_split(text, ' ')] AS h FROM documents),
+    s"""th AS (SELECT doc_id, $thList AS h FROM documents),
         sig AS (SELECT doc_id, $ms FROM th),
         bands AS ($bands),
         pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
                   FROM bands x JOIN bands y
                     ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id)"""
+  }
+
+  private def minhashCtes: String =
+    minhashCtesFor(s"[${dTokHash("t")} % ${TextHash.P} for t in string_split(text, ' ')]")
+
+  private def shingleCtes: String = {
+    val n = TextHash.ShingleLen
+    minhashCtesFor(
+      s"[${dTokHash(s"substring(text, i, $n)")} % ${TextHash.P} " +
+        s"for i in generate_series(1, greatest(length(coalesce(text, '')) - ${n - 1}, 1))]")
   }
 
   /** LSH bucket id (twin of Similarity.bucketSql; dd is 1-based in DuckDB). */
@@ -503,6 +519,47 @@ object SparkEntry {
           JOIN toks a ON p.doc_a = a.doc_id
           JOIN toks b ON p.doc_b = b.doc_id
           WHERE jac >= 0.95 ORDER BY doc_a, doc_b""",
+    "q_dedup_shingle" ->
+      s"""WITH $shingleCtes
+          SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""",
+    "q_decontaminate" -> {
+      val n = graft.llm.Curation.DecontamN
+      val grams =
+        s"[array_to_string(t[i:i+${n - 1}], ' ') for i in generate_series(1, len(t) - ${n - 1})]"
+      s"""WITH g AS (SELECT DISTINCT doc_id, sh FROM (
+                SELECT doc_id, unnest($grams) AS sh
+                FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))),
+          bench AS (SELECT DISTINCT sh FROM g WHERE doc_id % ${graft.llm.Curation.BenchMod} = 0),
+          train AS (SELECT doc_id, sh FROM g WHERE doc_id % ${graft.llm.Curation.BenchMod} <> 0)
+          SELECT doc_id, count(*) AS n_shared_shingles
+          FROM train JOIN bench USING (sh)
+          GROUP BY 1 ORDER BY 1"""
+    },
+    "q_sample_stratified" ->
+      s"""SELECT doc_id, source, CAST(rate AS BIGINT) AS sample_rate FROM (
+            SELECT doc_id, source,
+                   CASE WHEN regexp_extract(source, '^src([0-9])$$', 1) <> ''
+                        THEN CASE WHEN CAST(regexp_extract(source, '^src([0-9])$$', 1) AS INT) < 5
+                                  THEN 50 ELSE 25 END
+                        ELSE 10 END AS rate,
+                   ${dTokHash("source || '|' || CAST(doc_id AS VARCHAR)")} AS h
+            FROM documents)
+          WHERE h % 100 < rate ORDER BY doc_id""",
+    "q_text_repetition" -> {
+      def grams(k: Int) =
+        s"[array_to_string(t[i:i+${k - 1}], ' ') for i in generate_series(1, len(t) - ${k - 1})]"
+      def frac(k: Int) =
+        s"""CASE WHEN len(t) >= $k THEN CAST(1 AS DOUBLE)
+              - CAST(len(list_distinct(${grams(k)})) AS DOUBLE) / CAST(len(${grams(k)}) AS DOUBLE)
+            ELSE CAST(0 AS DOUBLE) END"""
+      s"""SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+                 ${frac(2)} AS dup_2gram_frac,
+                 ${frac(3)} AS dup_3gram_frac,
+                 CASE WHEN dup_2gram_frac > 0.6 OR dup_3gram_frac > 0.5
+                      THEN 'drop' ELSE 'keep' END AS label
+          FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+          ORDER BY doc_id"""
+    },
     "q_dedup_simhash" ->
       s"""WITH $simhashCtes
           SELECT doc_id, simhash FROM sh ORDER BY doc_id""",

@@ -84,8 +84,14 @@ object Dedup {
     * not the token array. */
   private case class SetCollapse(reps: DataFrame, members: DataFrame)
 
-  private def setCollapse(s: SparkSession, dir: String): SetCollapse = {
-    val keyed = hashedTokens(s, dir).select(
+  private def setCollapse(s: SparkSession, dir: String): SetCollapse =
+    setCollapseOf(hashedTokens(s, dir))
+
+  /** Collapse over any (doc_id, th: array<long>) hashed-feature input —
+    * token hashes for the word-level pipelines, shingle hashes for
+    * `shinglePairs`. */
+  private def setCollapseOf(hashed: DataFrame): SetCollapse = {
+    val keyed = hashed.select(
       col("doc_id"),
       array_sort(array_distinct(col("th"))).as("ths"))
       .withColumn("skey", sha2(concat_ws(",", transform(col("ths"), _.cast("string"))), 256))
@@ -131,8 +137,10 @@ object Dedup {
     * candidates by identity and emit directly). Output is provably identical
     * to doc-level banding; the dedup shuffle carries |distinct-set candidate
     * pairs|, not the expanded member pairs. */
-  def minhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val c = setCollapse(s, dir)
+  def minhashPairs(s: SparkSession, dir: String): DataFrame =
+    minhashPairsOf(setCollapse(s, dir))
+
+  private def minhashPairsOf(c: SetCollapse): DataFrame = {
     val same = sameSetPairs(c.members)
     val sig = c.reps.select(
       col("rep").as("doc_id") +:
@@ -146,6 +154,22 @@ object Dedup {
     val cross = expandPairs(repPairs, c.members, Seq.empty)
     same.unionByName(cross).orderBy("doc_a", "doc_b")
   }
+
+  /** Character-5-gram shingle hashes (the classic document-fingerprint
+    * feature — Broder shingling): one hashed shingle per text offset,
+    * mod-P-reduced like the token hashes. */
+  private def hashedShingles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      expr(s"transform(sequence(1, greatest(length(coalesce(text, '')) - ${ShingleLen - 1}, 1)), " +
+        s"i -> ${tokHashSql(s"substring(text, i, $ShingleLen)")} % ${P}L)").as("th"))
+
+  /** MinHash+LSH near-dup candidates over CHAR-SHINGLE sets — the
+    * shingle→minhash→band→bucket-join pipeline in its textbook form (the
+    * token-set variant above catches word reorders; shingles catch edits).
+    * Same collapse, banding and expansion machinery. */
+  def shinglePairs(s: SparkSession, dir: String): DataFrame =
+    minhashPairsOf(setCollapseOf(hashedShingles(s, dir)))
 
   /** Near-dup cluster ASSIGNMENT (doc_id → representative): the linear-output
     * operator a real 100 TB dedup run materializes — keep the rep, drop the

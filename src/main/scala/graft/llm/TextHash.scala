@@ -34,6 +34,9 @@ object TextHash {
   /** SimHash signature width (bits 0..59). */
   val SimBits: Int = 60
 
+  /** Character shingle length for the Broder-shingling dedup variant. */
+  val ShingleLen: Int = 5
+
   /** Single-space tokenizer (fixture text is pre-normalized lowercase). */
   def tokens(c: Column): Column = split(c, " ")
 
