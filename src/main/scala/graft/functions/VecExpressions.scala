@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -86,6 +86,94 @@ case class VecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `minhash_sig(th)`: the K=16 MinHash minima of a hashed-feature array in
+  * ONE pass — `array<long>` in, `array<long>` (length K) out.
+  *
+  * Semantics are exactly the HOF fallback's
+  * (`array_min(transform(th, x -> (Aᵢ·x + Bᵢ) % P))` per i, TextHash
+  * constants): same integer arithmetic, so the DuckDB oracle twins are
+  * untouched. The HOF form walks the array K times with a lambda dispatch
+  * per element — 16 × |shingles| closure calls per doc; this emits one tight
+  * loop updating K accumulators. Null/empty arrays yield null, matching
+  * `array_min` of an empty transform. */
+case class MinHashSig(child: Expression) extends UnaryExpression {
+  // constants mirrored from graft.llm.TextHash (kept literal here so the
+  // expression is self-contained for codegen)
+  private val P = 1000000007L
+  private val K = 16
+  private val A = (0 until K).map(i => (i * 2654435761L + 1L) % P)
+  private val B = (0 until K).map(i => (i * 40503L + 7L) % P)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig expects array<bigint>, got ${t.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "minhash_sig"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return null
+    val mins = Array.fill(K)(Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      val x = arr.getLong(j)
+      var i = 0
+      while (i < K) {
+        val h = (A(i) * x + B(i)) % P
+        if (h < mins(i)) mins(i) = h
+        i += 1
+      }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val childGen = child.genCode(ctx)
+    val arr = childGen.value
+    val n = ctx.freshName("n")
+    val j = ctx.freshName("j")
+    val i = ctx.freshName("i")
+    val x = ctx.freshName("x")
+    val h = ctx.freshName("h")
+    val mins = ctx.freshName("mins")
+    val gad = classOf[org.apache.spark.sql.catalyst.util.GenericArrayData].getName
+    // coefficient arrays live once per generated class, not once per row
+    val as = ctx.addReferenceObj("minhashA", A.toArray, "long[]")
+    val bs = ctx.addReferenceObj("minhashB", B.toArray, "long[]")
+    val body =
+      s"""
+         |boolean ${ev.isNull} = true;
+         |ArrayData ${ev.value} = null;
+         |if (!${childGen.isNull}) {
+         |  int $n = $arr.numElements();
+         |  if ($n > 0) {
+         |    long[] $mins = new long[$K];
+         |    java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |    for (int $j = 0; $j < $n; $j++) {
+         |      long $x = $arr.getLong($j);
+         |      for (int $i = 0; $i < $K; $i++) {
+         |        long $h = ($as[$i] * $x + $bs[$i]) % ${P}L;
+         |        if ($h < $mins[$i]) $mins[$i] = $h;
+         |      }
+         |    }
+         |    ${ev.isNull} = false;
+         |    ${ev.value} = new $gad($mins);
+         |  }
+         |}
+       """.stripMargin
+    ev.copy(code = childGen.code + code"$body")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
 /** Registers graft's SQL functions; enabled via
   * `spark.sql.extensions=graft.functions.GraftExtensions`
   * (wired in Verify.session, which every entry point uses). */
@@ -95,5 +183,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (children: Seq[Expression]) => VecDot(children.head, children(1))))
+    e.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (children: Seq[Expression]) => MinHashSig(children.head)))
   }
 }

@@ -55,10 +55,22 @@ object Dedup {
       col("doc_id"),
       expr(s"transform(split(coalesce(text, ''), ' '), t -> ${tokHashSql("t")} % ${P}L)").as("th"))
 
+  /** Append m0..m{K-1} signature columns computed from hashed-feature column
+    * `src`: one pass through the codegen'd `minhash_sig` expression when
+    * registered (GraftExtensions), else the K-pass HOF fallback — identical
+    * integer arithmetic, bit-equal outputs, same DuckDB twins. */
+  private def withSig(df: DataFrame, src: String, keep: Seq[String]): DataFrame =
+    if (df.sparkSession.catalog.functionExists("minhash_sig"))
+      df.withColumn("_sig", expr(s"minhash_sig($src)"))
+        .select(keep.map(col) ++ (0 until K).map(i =>
+          element_at(col("_sig"), i + 1).as(s"m$i")): _*)
+    else
+      df.select(keep.map(col) ++ (0 until K).map(i =>
+        expr(minHashSql(src, i)).as(s"m$i")): _*)
+
   /** MinHash signatures: K=16 per-function minima over the hashed tokens. */
   def minhashSignatures(s: SparkSession, dir: String): DataFrame =
-    hashedTokens(s, dir).select(
-      col("doc_id") +: (0 until K).map(i => expr(minHashSql("th", i)).as(s"m$i")): _*)
+    withSig(hashedTokens(s, dir), "th", Seq("doc_id"))
 
   /** LSH bands: Bands × Rows → (doc_id, band, bh) exploded rows, carrying any
     * extra columns present on the signature input. */
@@ -142,9 +154,7 @@ object Dedup {
 
   private def minhashPairsOf(c: SetCollapse): DataFrame = {
     val same = sameSetPairs(c.members)
-    val sig = c.reps.select(
-      col("rep").as("doc_id") +:
-        (0 until K).map(i => expr(minHashSql("ths", i)).as(s"m$i")): _*)
+    val sig = withSig(c.reps.withColumnRenamed("rep", "doc_id"), "ths", Seq("doc_id"))
     val b = bandsOf(sig, Seq.empty)
     val x = b.alias("x"); val y = b.alias("y")
     val repPairs = x.join(y, col("x.band") === col("y.band") && col("x.bh") === col("y.bh")
@@ -214,9 +224,9 @@ object Dedup {
     val same = sameSetPairs(c.members).withColumn("jac", lit(1.0))
     // (b) cross-group LSH candidates on representatives, verified BEFORE the
     // pair dedup and member expansion shuffles, then expanded by row joins
-    val sig = c.reps.select(
-      Seq(col("rep").as("doc_id"), col("ths"), size(col("ths")).as("nt")) ++
-        (0 until K).map(i => expr(minHashSql("ths", i)).as(s"m$i")): _*)
+    val sig = withSig(
+      c.reps.withColumnRenamed("rep", "doc_id").withColumn("nt", size(col("ths"))),
+      "ths", Seq("doc_id", "ths", "nt"))
     val b = bandsOf(sig, Seq("ths", "nt"))
     val x = b.alias("x"); val y = b.alias("y")
     val repPairs = x.join(y, col("x.band") === col("y.band") && col("x.bh") === col("y.bh")
