@@ -84,6 +84,8 @@ object SparkEntry {
     "q_dedup_simhash"      -> (Dedup.simhash _),
     "q_dedup_simhash_pairs" -> (Dedup.simhashPairs _),
     "q_dedup_embed"        -> (Dedup.embedNear _),
+    "q_dedup_embed_lsh"    -> (Dedup.embedNearLsh _),
+    "q_pack_sequences"     -> (graft.llm.Curation.packSequences _),
     "q_sim_topk"           -> (Similarity.bruteTopK _),
     "q_sim_lsh"            -> (Similarity.lshTopK _),
     "q_sim_lsh_multiprobe" -> (Similarity.lshMultiProbeTopK _),
@@ -581,6 +583,25 @@ object SparkEntry {
                  ${dDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
           FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
           WHERE cos >= 0.35 ORDER BY vec_a, vec_b""",
+    "q_dedup_embed_lsh" ->
+      s"""WITH e AS (SELECT vec_id, embedding, ${dNorm("embedding")} AS nrm,
+                            ${dBucket("embedding", Similarity.MultiProbePlanes)} AS bucket
+                     FROM embeddings)
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                 ${dDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
+          FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+          WHERE cos >= 0.35 ORDER BY vec_a, vec_b""",
+    "q_pack_sequences" ->
+      s"""SELECT doc_id, source, n_tokens,
+                 tok_before // ${graft.llm.Curation.PackBudget} AS bin_id,
+                 tok_before % ${graft.llm.Curation.PackBudget} AS bin_offset
+          FROM (SELECT doc_id, source,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                       COALESCE(CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+                         OVER (PARTITION BY source ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS tok_before
+                FROM documents)
+          ORDER BY doc_id""",
     "q_sim_topk" ->
       s"""WITH e AS (SELECT vec_id, embedding, ${dNorm("embedding")} AS nrm FROM embeddings),
           q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm FROM e WHERE vec_id < 8),

@@ -66,6 +66,28 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Sequence packing (the LLM dataloader op): concat-and-split packing of
+    * each source shard into fixed token-budget bins — doc order is doc_id
+    * within source, bin = floor(preceding-token-count / budget), offset =
+    * preceding-token-count mod budget. One shuffle, keyed by the shard
+    * (source); at 100 TB the shard key is whatever unit a dataloader packs
+    * independently, so no global window exists anywhere. */
+  val PackBudget = 2048L
+
+  def packSequences(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("tok_before", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        expr(s"tok_before div $PackBudget").as("bin_id"),
+        (col("tok_before") % PackBudget).as("bin_offset"))
+      .orderBy("doc_id")
+  }
+
   /** Gopher-style repetition signals: duplicate 2-gram / 3-gram fractions
     * per doc (1 − distinct/total) and a keep/drop flag. Pure per-row
     * expressions — no shuffle at all before the output sort. */

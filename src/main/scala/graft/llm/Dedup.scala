@@ -303,8 +303,28 @@ object Dedup {
     same.unionByName(cross).orderBy("doc_a", "doc_b")
   }
 
+  /** Embedding-cosine near-dup blocked by the hyperplane-LSH bucket instead
+    * of the label — the unblocked scale path SCALE.md promised: finds
+    * cross-label near-dups, still a bucket equi-join (each vector lives in
+    * one bucket; pairs only within), never all-pairs. Approximate by design:
+    * a near-dup pair split across buckets is missed — the multi-probe
+    * machinery quantifies that trade (Similarity.Planes scaladoc). */
+  def embedNearLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(
+      col("vec_id"), col("embedding"),
+      expr(Similarity.normFor(s)("embedding")).as("nrm"),
+      expr(Similarity.bucketSql("embedding", Similarity.MultiProbePlanes)).as("bucket"))
+    val a = e.alias("a"); val b = e.alias("b")
+    a.join(b, col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos",
+        expr(Similarity.dotFor(s)("a.embedding", "b.embedding")) / (col("a.nrm") * col("b.nrm")))
+      .filter(col("cos") >= 0.35)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos"))
+      .orderBy("vec_a", "vec_b")
+  }
+
   /** Embedding-cosine near-dup: label-blocked pairs (the cheap blocking key;
-    * the unblocked scale path is Similarity.lshTopK) with exact double-
+    * the unblocked scale path is embedNearLsh above) with exact double-
     * precision cosine ≥ 0.35. */
   def embedNear(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings").select(

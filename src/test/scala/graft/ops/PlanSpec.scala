@@ -66,4 +66,26 @@ class PlanSpec extends SparkSpec {
     val p = plan("q_partition_prune")
     assert(p.contains("PartitionFilters") && p.contains("o_year"), p)
   }
+
+  test("round-2 pair generators are bucket joins: no cartesian, no collect_list") {
+    for (q <- Seq("q_dedup_shingle", "q_dedup_embed_lsh", "q_decontaminate")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+      assert(!p.contains("collect_list"), s"$q: $p")
+    }
+  }
+
+  test("per-row curation ops stay shuffle-free before the output sort") {
+    for (q <- Seq("q_text_repetition", "q_sample_stratified", "q_text_bpe_apply")) {
+      val p = plan(q)
+      // only the range partitioning of the final orderBy — no hash exchange
+      assert(!p.contains("hashpartitioning"), s"$q: $p")
+    }
+  }
+
+  test("sequence packing windows by the shard key, never a single partition") {
+    val p = plan("q_pack_sequences")
+    assert(!p.contains("SinglePartition"), p)
+    assert(p.contains("hashpartitioning(source"), p)
+  }
 }
