@@ -74,12 +74,7 @@ class Pipeline(spark: SparkSession, root: String) {
                         schema: org.apache.spark.sql.types.StructType,
                         orderCols: Seq[String]): Unit = {
     if (!Lake.exists(spark, stage)) return
-    val src = readCsv(stage, schema)
-    val merged =
-      if (Warehouse.exists(spark, target))
-        Upsert.merge(Warehouse.read(spark, target), src, "id", orderCols)
-      else Upsert.latestPerKey(src, "id", orderCols)
-    Warehouse.publish(spark, target, merged)
+    Warehouse.upsertPublish(spark, target, readCsv(stage, schema), "id", orderCols)
   }
 
   /** Full run: transform → load/merge both tables → truncate stages →

@@ -75,6 +75,17 @@ object Warehouse {
     v
   }
 
+  /** SCD1-merge `src` into the target's current version and publish the
+    * result as a new version — the one write path shared by the batch
+    * pipeline and the streaming foreachBatch sink. */
+  def upsertPublish(spark: SparkSession, target: String, src: DataFrame,
+                    key: String, orderCols: Seq[String]): String = {
+    val merged =
+      if (exists(spark, target)) Upsert.merge(read(spark, target), src, key, orderCols)
+      else Upsert.latestPerKey(src, key, orderCols)
+    publish(spark, target, merged)
+  }
+
   /** Drop every version dir except the current one (call once readers of the
     * previous version have drained; on an object store this is the offline
     * GC job). */

@@ -30,6 +30,37 @@ object StreamTwins {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
 
+  /** The reference DAG as a PERMANENT incremental service (the scale answer
+    * to its per-run full-prefix reprocess): a file-source readStream over
+    * raw_data; each micro-batch transforms ONLY the newly-arrived raw files
+    * and SCD1-merges both tables through the Warehouse pointer commit. The
+    * checkpoint's file log is the streaming-native form of the batch
+    * Manifest ledger — exactly-once file progress across restarts.
+    * AvailableNow drains-and-stops (sensor semantics); drop the trigger for
+    * a true continuous service. */
+  def incrementalPipeline(spark: SparkSession, rawDir: String,
+                          dimTarget: String, factTarget: String,
+                          checkpoint: String): DataStreamWriter[Row] =
+    spark.readStream
+      .schema(graft.etl.RawSchema.schema)
+      .option("multiLine", true)
+      .json(rawDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val raw = batch.cache()
+          try {
+            graft.etl.Warehouse.upsertPublish(spark, dimTarget,
+              graft.etl.Transform.coinInfo(raw), "id", Seq("name"))
+            graft.etl.Warehouse.upsertPublish(spark, factTarget,
+              graft.etl.Transform.coinMetrics(raw), "id", Seq("last_updated"))
+          } finally raw.unpersist()
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+
   /** Tumbling 1-hour twin of Sessions.tumbling: same window() grouping plus a
     * 2-hour watermark (late events beyond it are dropped, state is bounded —
     * the knob the batch job doesn't need). `events` must carry TimestampType

@@ -116,4 +116,42 @@ class StreamTwinsSpec extends SparkSpec {
     q2.awaitTermination(60000)
     assert(spark.read.parquet(sink).count() == 5)
   }
+
+  test("incremental pipeline service: drain, merge, and never reprocess") {
+    import graft.etl.Warehouse
+    val root = java.nio.file.Files.createTempDirectory("graft_incr").toString
+    val rawDir = s"$root/raw"; val cp = s"$root/cp"
+    val dim = s"$root/wh/dim"; val fact = s"$root/wh/fact"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(rawDir))
+    val res = getClass.getResourceAsStream("/raw_coins.json")
+    java.nio.file.Files.copy(res, java.nio.file.Paths.get(rawDir, "dump1.json"))
+
+    def drain(): Unit = {
+      val q = StreamTwins.incrementalPipeline(spark, rawDir, dim, fact, cp).start()
+      q.awaitTermination(120000)
+    }
+    drain()
+    // same expectations as the batch PipelineSpec golden
+    val d1 = Warehouse.read(spark, dim).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(d1.size == 4 && d1("w") == "Wormhole, Inc. Token")
+    val f1 = Warehouse.read(spark, fact).collect()
+    assert(f1.length == 4)
+
+    // a newer snapshot arrives: merged incrementally (upsert, not append)
+    val fixture = java.nio.file.Paths.get(getClass.getResource("/raw_coins.json").toURI)
+    val updated = new String(java.nio.file.Files.readAllBytes(fixture))
+      .replace("2024-11-15T10:00", "2024-11-15T11:00")
+      .replace("64000.12", "65000.99")
+    java.nio.file.Files.write(java.nio.file.Paths.get(rawDir, "dump2.json"), updated.getBytes)
+    drain()
+    val f2 = Warehouse.read(spark, fact).collect()
+    assert(f2.length == 4)
+    assert(math.abs(f2.find(_.getString(0) == "btc").get.getDouble(1) - 65000.99) < 1e-9)
+
+    // nothing new: the checkpoint file log skips everything, no new version
+    val vBefore = Warehouse.currentVersion(spark, fact)
+    drain()
+    assert(Warehouse.currentVersion(spark, fact) == vBefore)
+  }
 }
