@@ -67,6 +67,24 @@ class LshEquivalenceSpec extends SparkSpec {
     got.foreach { case (k, v) => assert(v == expected(k), s"jac mismatch at $k") }
   }
 
+  test("shinglePairs equals doc-level banding over char-5-gram shingle sets") {
+    val shingleSets: Map[Long, Vector[Long]] = docs.map { case (id, text) =>
+      val n = TextHash.ShingleLen
+      val upper = math.max(text.length - (n - 1), 1)
+      id -> (1 to upper).map(i =>
+        tokHash(text.substring(i - 1, math.min(i - 1 + n, text.length))) % P)
+        .distinct.sorted.toVector
+    }.toMap
+    val byBand = docs.flatMap { case (id, _) =>
+      bandHashes(shingleSets(id)).zipWithIndex.map { case (bh, j) => ((j, bh), id) }
+    }.groupBy(_._1).values.map(_.map(_._2).sorted)
+    val expected = byBand.flatMap(ids =>
+      for (i <- ids.indices; k <- i + 1 until ids.size) yield (ids(i), ids(k))).toSet
+    val got = Dedup.shinglePairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+  }
+
   test("simhashPairs equals doc-level chunk LSH with hamming <= 3") {
     // simhash uses the raw 60-bit token hash (no mod-P), per Dedup.simhashSig
     val sims: Map[Long, Long] = docs.map { case (id, text) =>
