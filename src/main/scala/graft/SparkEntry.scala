@@ -43,6 +43,8 @@ object SparkEntry {
     "q_join_star2"         -> (Joins.star2 _),
     "q_join_skew_salted"   -> (Joins.skewSalted _),
     "q_subquery_scalar"    -> (Joins.scalarSubquery _),
+    "q_subquery_corr_agg"  -> (Joins.correlatedAgg _),
+    "q_window_navigation"  -> (WindowsSorts.navigation _),
     "q_join_asof"          -> (Joins.asof _),
     "q_join_asof2"         -> (Joins.asof2 _),
     // Group B — aggregates
@@ -339,6 +341,24 @@ object SparkEntry {
                 (SELECT max(o_totalprice) FROM orders WHERE o_custkey = c_custkey) AS max_order,
                 (SELECT count(1) FROM orders WHERE o_custkey = c_custkey) AS n_orders
          FROM customer ORDER BY c_custkey""",
+    "q_subquery_corr_agg" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+         FROM orders o
+         WHERE o_totalprice > 2 * (
+           SELECT CAST(CAST(SUM(CAST(i.o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / COUNT(1)
+           FROM orders i WHERE i.o_custkey = o.o_custkey)
+         ORDER BY o_orderkey""",
+    "q_window_navigation" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+                first_value(o_totalprice) OVER wf AS first_price,
+                last_value(o_totalprice) OVER wf AS last_price,
+                CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+                percent_rank() OVER w AS pct_rank
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         ORDER BY o_custkey, o_orderkey""",
     "q_join_asof" ->
       """WITH x AS (
            SELECT event_id, user_id, value, ts, event_type,

@@ -137,6 +137,22 @@ object Joins {
     """)
   }
 
+  /** Correlated aggregate subquery: orders beating 2× their customer's mean —
+    * Catalyst decorrelates the per-row agg subquery into one aggregate plus a
+    * join (the rewrite warehouse users rely on; a naive engine re-runs the
+    * subquery per row). Money mean is decimal-staged for the oracle. */
+  def correlatedAgg(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders_ca")
+    s.sql("""
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders_ca o
+      WHERE o_totalprice > 2 * (
+        SELECT CAST(SUM(CAST(i.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(1)
+        FROM orders_ca i WHERE i.o_custkey = o.o_custkey)
+      ORDER BY o_orderkey
+    """)
+  }
+
   /** Salted skew join: l_returnflag has 3 values, so a shuffle join on it
     * puts a third of the fact table on one task. Salting fans each hot key
     * into 8 sub-keys — the fact side derives a deterministic salt from a

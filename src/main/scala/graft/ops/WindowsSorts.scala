@@ -27,6 +27,23 @@ object WindowsSorts {
       .orderBy("p_brand", "rn")
   }
 
+  /** Window navigation surface: first/last over the full partition frame,
+    * quartile ntile, percent_rank — the remaining warehouse window family.
+    * The ordering key (o_orderdate, o_orderkey) is unique per customer, so
+    * every function is deterministic. */
+  def navigation(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, dir, "orders")
+      .withColumn("first_price", first(col("o_totalprice")).over(full))
+      .withColumn("last_price", last(col("o_totalprice")).over(full))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .select("o_custkey", "o_orderkey", "o_totalprice",
+        "first_price", "last_price", "quartile", "pct_rank")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   /** Running sum with an explicit frame (decimal-accumulated for the oracle). */
   def running(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("o_custkey")
