@@ -1,0 +1,31 @@
+package graft.llm
+
+import graft.{SparkEntry, SparkSpec}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+
+/** The engine claims graceful degradation on foreign sessions: every query
+  * that uses a custom expression (vec_dot, minhash_sig) falls back to the
+  * built-in HOF form when the function is not registered, with BIT-IDENTICAL
+  * results. This spec runs the affected queries on a sibling session whose
+  * function registry has the graft functions dropped and compares collected
+  * output row-for-row. */
+class FallbackSpec extends SparkSpec {
+
+  private lazy val plain = {
+    val p = spark.newSession()
+    Seq("vec_dot", "minhash_sig").foreach(f =>
+      p.sessionState.functionRegistry.dropFunction(FunctionIdentifier(f)))
+    assert(!p.catalog.functionExists("vec_dot"))
+    assert(!p.catalog.functionExists("minhash_sig"))
+    p
+  }
+
+  for (q <- Seq("q_sim_topk", "q_sim_ivf_trained", "q_sim_lsh_multiprobe",
+    "q_dedup_embed", "q_dedup_minhash", "q_dedup_jaccard", "q_dedup_shingle"))
+    test(s"$q is bit-identical without the custom expressions") {
+      val fn = SparkEntry.queries(q)
+      val want = fn(spark, sf).collect().map(_.toString).toSeq
+      val got = fn(plain, sf).collect().map(_.toString).toSeq
+      assert(got == want)
+    }
+}
