@@ -83,6 +83,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("documents scans are column-pruned to what each operator needs") {
+    // q_dedup_exact needs (doc_id, text) — the scan must not read the rest
+    val p = plan("q_dedup_exact")
+    assert(p.contains("ReadSchema"), p)
+    assert(!p.contains("n_chars") && !p.contains("source"), p)
+    // q_text_stats aggregates by (lang, source) — must not read doc_id
+    val p2 = plan("q_text_stats")
+    assert(!p2.contains("doc_id"), p2)
+  }
+
   test("sequence packing windows by the shard key, never a single partition") {
     val p = plan("q_pack_sequences")
     assert(!p.contains("SinglePartition"), p)
