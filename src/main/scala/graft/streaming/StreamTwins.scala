@@ -114,6 +114,29 @@ object StreamTwins {
       }
   }
 
+  /** Stream-static enrichment: the streaming face of the broadcast-dim join
+    * (q_join_broadcast). The static side is re-resolved per micro-batch, so
+    * a slowly-changing dimension published via Warehouse is picked up on its
+    * next version without restarting the query. */
+  def enrich(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), "user_id")
+
+  /** Stream-stream interval join — the streaming twin of the as-of family:
+    * each purchase matches the same user's views within the preceding hour.
+    * Watermarks on BOTH sides bound the join state (views older than the
+    * watermark minus the interval are evicted); the time-range predicate is
+    * what lets Spark compute that eviction frontier. */
+  def purchasesWithRecentViews(views: DataFrame, purchases: DataFrame): DataFrame = {
+    val v = views.withWatermark("tsc", "2 hours").alias("v")
+    val p = purchases.withWatermark("tsc", "2 hours").alias("p")
+    p.join(v,
+      expr("v.user_id = p.user_id AND " +
+        "v.tsc BETWEEN p.tsc - INTERVAL 1 HOUR AND p.tsc"))
+      .select(col("p.user_id").as("user_id"),
+        col("p.tsc").as("purchase_ts"), col("v.tsc").as("view_ts"),
+        col("p.value").as("purchase_value"))
+  }
+
   /** Session twin of Sessions.sessionize: native session_window with the same
     * 30-min gap. State per (user, open session) only — watermark closes and
     * emits sessions, keeping state bounded on an unbounded stream. */

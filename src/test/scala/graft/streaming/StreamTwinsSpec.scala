@@ -102,6 +102,43 @@ class StreamTwinsSpec extends SparkSpec {
     assert(got.sameElements(Array((1L, 1.0), (2L, 2.0), (3L, 3.0))))
   }
 
+  test("stream-static enrichment joins each micro-batch against the dim") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[(Long, Double)]
+    mem.addData((1L, 10.0), (2L, 20.0), (9L, 90.0)) // 9 has no dim row
+    val events = mem.toDF().toDF("user_id", "value")
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "segment")
+    val q = StreamTwins.enrich(events, dim).writeStream
+      .format("memory").queryName("enrich_out").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = s.table("enrich_out").orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    assert(got.sameElements(Array((1L, 10.0, "gold"), (2L, 20.0, "silver"))))
+  }
+
+  test("stream-stream interval join matches views within the preceding hour") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val vm = MemoryStream[(Long, Timestamp)]
+    val pm = MemoryStream[(Long, Timestamp, Double)]
+    vm.addData(
+      (1L, ts("2024-01-01 09:30:00")), // within the hour before purchase
+      (1L, ts("2024-01-01 07:00:00")), // too old
+      (2L, ts("2024-01-01 09:45:00"))) // other user
+    pm.addData((1L, ts("2024-01-01 10:00:00"), 5.0))
+    val views = vm.toDF().toDF("user_id", "tsc")
+    val purchases = pm.toDF().toDF("user_id", "tsc", "value")
+    val q = StreamTwins.purchasesWithRecentViews(views, purchases).writeStream
+      .format("memory").queryName("ssj_out").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = s.table("ssj_out").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(2), r.getDouble(3)))
+    assert(got.sameElements(Array((1L, ts("2024-01-01 09:30:00"), 5.0))))
+  }
+
   test("AvailableNow ingest drains raw files exactly once") {
     val root = java.nio.file.Files.createTempDirectory("graft_stream").toString
     val rawDir = s"$root/raw"; val sink = s"$root/sink"; val cp = s"$root/cp"
