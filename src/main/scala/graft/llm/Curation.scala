@@ -22,10 +22,15 @@ object Curation {
     * fixture — a deterministic stand-in for an eval-suite table. */
   val BenchMod = 97
 
-  private def ngrams(toksCol: String, n: Int): String =
-    s"""CASE WHEN size(split($toksCol, ' ')) >= $n
-        THEN transform(sequence(1, size(split($toksCol, ' ')) - ${n - 1}),
-               i -> concat_ws(' ', slice(split($toksCol, ' '), i, $n)))
+  /** n-gram strings over an ALREADY-TOKENIZED array column. The token array
+    * must be staged in a prior projection — referencing `split(text)` here
+    * would re-tokenize inside the position lambda, O(len) per n-gram
+    * position (CollapseProject keeps the staged array because it is
+    * referenced more than once and non-cheap). */
+  private def ngrams(tCol: String, n: Int): String =
+    s"""CASE WHEN size($tCol) >= $n
+        THEN transform(sequence(1, size($tCol) - ${n - 1}),
+               i -> concat_ws(' ', slice($tCol, i, $n)))
         ELSE array() END"""
 
   /** Train/test contamination check: training docs sharing ≥ 1 distinct
@@ -36,7 +41,8 @@ object Curation {
     * so the exchange carries set sizes, not occurrence counts. */
   def decontaminate(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
-      .select(col("doc_id"), explode(expr(ngrams("text", DecontamN))).as("sh"))
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), explode(expr(ngrams("t", DecontamN))).as("sh"))
       .distinct()
     val bench = d.filter(col("doc_id") % BenchMod === 0)
       .select("sh").distinct()
@@ -92,17 +98,18 @@ object Curation {
     * per doc (1 − distinct/total) and a keep/drop flag. Pure per-row
     * expressions — no shuffle at all before the output sort. */
   def repetition(s: SparkSession, dir: String): DataFrame = {
-    def dupFrac(n: Int): String =
-      s"""CASE WHEN size(split(text, ' ')) >= $n THEN
-            1.0D - CAST(size(array_distinct(${ngrams("text", n)})) AS DOUBLE)
-                   / CAST(size(${ngrams("text", n)}) AS DOUBLE)
+    def dupFrac(g: String): String =
+      s"""CASE WHEN size($g) > 0 THEN
+            1.0D - CAST(size(array_distinct($g)) AS DOUBLE) / CAST(size($g) AS DOUBLE)
           ELSE 0.0D END"""
     t(s, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"),
+        expr(ngrams("t", 2)).as("g2"), expr(ngrams("t", 3)).as("g3"))
       .select(
-        col("doc_id"),
-        size(tokens(col("text"))).cast("long").as("n_tokens"),
-        expr(dupFrac(2)).as("dup_2gram_frac"),
-        expr(dupFrac(3)).as("dup_3gram_frac"))
+        col("doc_id"), col("n_tokens"),
+        expr(dupFrac("g2")).as("dup_2gram_frac"),
+        expr(dupFrac("g3")).as("dup_3gram_frac"))
       .withColumn("label",
         when(col("dup_2gram_frac") > 0.6 || col("dup_3gram_frac") > 0.5, "drop")
           .otherwise("keep"))
