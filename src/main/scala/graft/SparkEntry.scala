@@ -29,6 +29,7 @@ object SparkEntry {
     "q_union_all"          -> (GroupA.unionAll _),
     "q_dedup_latest"       -> (GroupA.dedupLatest _),
     "q_merge_upsert"       -> (GroupA.mergeUpsert _),
+    "q_merge_cdc"          -> (GroupA.mergeCdc _),
     "q_snapshot_overwrite" -> (GroupA.snapshotOverwrite _),
     "q_partition_prune"    -> (GroupA.partitionPrune _),
     "q_agg_collect_set"    -> (Aggregates.collectSet _),
@@ -81,6 +82,7 @@ object SparkEntry {
     "q_dedup_shingle"      -> (Dedup.shinglePairs _),
     "q_decontaminate"      -> (graft.llm.Curation.decontaminate _),
     "q_sample_stratified"  -> (graft.llm.Curation.stratifiedSample _),
+    "q_sample_per_group"   -> (graft.llm.Curation.samplePerGroup _),
     "q_text_repetition"    -> (graft.llm.Curation.repetition _),
     "q_dedup_jaccard"      -> (Dedup.jaccard _),
     "q_dedup_simhash"      -> (Dedup.simhash _),
@@ -274,6 +276,20 @@ object SparkEntry {
                 CASE WHEN s.user_id IS NOT NULL THEN s.ts_ms ELSE t.ts_ms END AS ts_ms
          FROM tgt t FULL OUTER JOIN src s ON t.user_id = s.user_id
          ORDER BY user_id""",
+    "q_merge_cdc" ->
+      """WITH tgt AS (SELECT c_custkey, c_name, c_mktsegment FROM customer),
+         chg AS (
+           SELECT c_custkey, c_name, c_mktsegment, 'D' AS op FROM customer WHERE c_custkey % 10 = 0
+           UNION ALL
+           SELECT c_custkey, upper(c_name), c_mktsegment, 'U' FROM customer WHERE c_custkey % 10 = 1
+           UNION ALL
+           SELECT c_custkey + 1000000, 'new ' || c_name, c_mktsegment, 'I' FROM customer WHERE c_custkey % 10 = 2)
+         SELECT CASE WHEN s.c_custkey IS NOT NULL THEN s.c_custkey ELSE t.c_custkey END AS c_custkey,
+                CASE WHEN s.c_custkey IS NOT NULL THEN s.c_name ELSE t.c_name END AS c_name,
+                CASE WHEN s.c_custkey IS NOT NULL THEN s.c_mktsegment ELSE t.c_mktsegment END AS c_mktsegment
+         FROM tgt t FULL OUTER JOIN chg s ON t.c_custkey = s.c_custkey
+         WHERE NOT (s.c_custkey IS NOT NULL AND s.op = 'D')
+         ORDER BY c_custkey""",
     "q_snapshot_overwrite" ->
       s"""SELECT o_orderpriority, count(*) AS n, ${dsum("o_totalprice")} AS total
           FROM orders WHERE o_orderstatus='O' GROUP BY 1 ORDER BY 1""",
@@ -567,6 +583,13 @@ object SparkEntry {
                    ${dTokHash("source || '|' || CAST(doc_id AS VARCHAR)")} AS h
             FROM documents)
           WHERE h % 100 < rate ORDER BY doc_id""",
+    "q_sample_per_group" ->
+      s"""SELECT lang, rn, doc_id FROM (
+            SELECT lang, doc_id,
+                   CAST(row_number() OVER (PARTITION BY lang
+                     ORDER BY ${dTokHash("'heldout42|' || CAST(doc_id AS VARCHAR)")}, doc_id) AS BIGINT) AS rn
+            FROM documents)
+          WHERE rn <= ${graft.llm.Curation.HeldoutPerGroup} ORDER BY lang, rn""",
     "q_text_repetition" -> {
       def grams(k: Int) =
         s"[array_to_string(t[i:i+${k - 1}], ' ') for i in generate_series(1, len(t) - ${k - 1})]"

@@ -41,4 +41,22 @@ object Upsert {
   /** Dedup-then-merge in one call (the reference's COPY→MERGE round). */
   def merge(target: DataFrame, source: DataFrame, key: String, orderCols: Seq[String]): DataFrame =
     scd1(target, latestPerKey(source, key, orderCols), key)
+
+  /** CDC merge: `changes` carries an `op` column — 'D' tombstones delete the
+    * key, anything else ('I'/'U') upserts the payload; unmatched target rows
+    * survive. The delete clause is what the reference's TRUNCATE-and-reload
+    * sidesteps and every incremental CDC feed needs. Same single full-outer
+    * join by key — deletes cost nothing extra. `changes` must be unique per
+    * key (pre-dedup with latestPerKey). */
+  def applyCdc(target: DataFrame, changes: DataFrame, key: String): DataFrame = {
+    val tgt = target.alias("t")
+    val chg = changes.alias("s")
+    val matched: Column = col(s"s.$key").isNotNull
+    val cols = target.columns.map { c =>
+      when(matched, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)
+    }
+    tgt.join(chg, col(s"t.$key") === col(s"s.$key"), "full_outer")
+      .filter(!matched || col("s.op") =!= "D")
+      .select(cols.toSeq: _*)
+  }
 }

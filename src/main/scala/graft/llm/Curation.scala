@@ -72,6 +72,24 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Deterministic per-group sampling: the first `HeldoutPerGroup` docs per
+    * language in md5-hash order — held-out / eval-set construction that is
+    * reproducible across runs, engines and cluster sizes (no RNG, unlike
+    * df.sampleBy whose draws are partition-order-dependent). */
+  val HeldoutPerGroup = 5
+
+  def samplePerGroup(s: SparkSession, dir: String): DataFrame = {
+    val h = tokHash(concat_ws("|", lit("heldout42"), col("doc_id").cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("h"), col("doc_id"))
+    t(s, dir, "documents")
+      .withColumn("h", h)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= HeldoutPerGroup)
+      .select("lang", "rn", "doc_id")
+      .orderBy("lang", "rn")
+  }
+
   /** Sequence packing (the LLM dataloader op): concat-and-split packing of
     * each source shard into fixed token-budget bins — doc order is doc_id
     * within source, bin = floor(preceding-token-count / budget), offset =

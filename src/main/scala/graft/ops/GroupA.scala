@@ -80,6 +80,26 @@ object GroupA {
     Upsert.scd1(target, source, "user_id").orderBy("user_id")
   }
 
+  /** CDC merge with tombstones: deletes ('D'), updates ('U') and inserts
+    * ('I') applied in one full-outer join — the MERGE delete clause Redshift
+    * has and the reference's TRUNCATE-reload sidesteps; the operator every
+    * incremental CDC feed needs. The change set is derived deterministically
+    * from the fixture: custkey%10==0 delete, ==1 uppercase-name update,
+    * ==2 shifted-key insert. */
+  def mergeCdc(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+    val del = c.filter(col("c_custkey") % 10 === 0)
+      .withColumn("op", lit("D"))
+    val upd = c.filter(col("c_custkey") % 10 === 1)
+      .withColumn("c_name", upper(col("c_name"))).withColumn("op", lit("U"))
+    val ins = c.filter(col("c_custkey") % 10 === 2)
+      .withColumn("c_custkey", col("c_custkey") + 1000000)
+      .withColumn("c_name", concat(lit("new "), col("c_name")))
+      .withColumn("op", lit("I"))
+    Upsert.applyCdc(c, del.unionByName(upd).unionByName(ins), "c_custkey")
+      .orderBy("c_custkey")
+  }
+
   /** Partition-pruned scan over a partitionBy(year) parquet layout — the
     * storage-level twin of O5's key-prefix pruning: the filter prunes whole
     * directories before any I/O (PartitionFilters in the scan; asserted by

@@ -85,4 +85,20 @@ class UpsertSpec extends SparkSpec {
     val m = canon(Upsert.merge(df(Seq.empty), s, "id", ord))
     assert(m == Set(("a", 2L, 2.0)))
   }
+
+  test("applyCdc: tombstones delete, upserts apply, absent-key delete is a no-op, idempotent") {
+    import org.apache.spark.sql.functions.{col, when}
+    val target = df(Seq(("a", 1L, 1.0), ("b", 1L, 2.0), ("c", 1L, 3.0)))
+    val changes = df(Seq(("a", 2L, 9.0), ("b", 0L, 0.0), ("x", 0L, 0.0), ("d", 1L, 4.0)))
+      .withColumn("op",
+        when(col("id").isin("b", "x"), "D")
+          .when(col("id") === "d", "I").otherwise("U"))
+    val once = Upsert.applyCdc(target, changes, "id")
+    assert(canon(once.drop("op")) ==
+      Set(("a", 2L, 9.0), ("c", 1L, 3.0), ("d", 1L, 4.0)))
+    // applying the same change set again converges (deletes already gone,
+    // updates overwrite with identical payloads)
+    val twice = Upsert.applyCdc(once.drop("op"), changes, "id")
+    assert(canon(twice.drop("op")) == canon(once.drop("op")))
+  }
 }
