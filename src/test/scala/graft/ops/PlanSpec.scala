@@ -98,4 +98,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), p)
     assert(p.contains("hashpartitioning(source"), p)
   }
+
+  test("EVERY registered query plans without scale-killers") {
+    // catch-all regression net over the whole surface: no cartesian product,
+    // no unbounded per-group array aggregation, no single-partition exchange
+    // (global sorts are range-partitioned; top-k is TakeOrderedAndProject).
+    // allowlisted: the k-means centroid re-assembly collects exactly d=64
+    // (pos, mean) elements per centroid — bounded by the embedding dimension,
+    // not the corpus (Similarity.trainCentroids).
+    val boundedArrays = Set("q_sim_ivf_trained")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
+      val p = plan(q)
+      Seq(
+        "CartesianProduct" -> p.contains("CartesianProduct"),
+        "collect_list" -> (p.contains("collect_list") && !boundedArrays(q)),
+        "SinglePartition" -> p.contains("SinglePartition"),
+      ).collect { case (what, true) => s"$q: $what" }
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
 }
