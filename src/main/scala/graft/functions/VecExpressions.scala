@@ -174,6 +174,75 @@ case class MinHashSig(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `simhash_sig(th)`: the 60-bit SimHash signature of a hashed-token array
+  * in one pass — `array<long>` in, `long` out.
+  *
+  * Semantics are exactly the fallback pipeline's (explode + 60 sign-sums +
+  * bit assembly, graft.llm.Dedup.simhashSig): per bit b, count +1 when the
+  * hash has bit b set else −1; signature bit b is set iff the count is
+  * strictly positive. The fallback needs an exchange (groupBy doc) and 60
+  * conditional aggregates per token row; this is a shuffle-FREE per-row
+  * projection. Empty array → 0 (no counter positive), null → null. */
+case class SimHashSig(child: Expression) extends UnaryExpression {
+  private val Bits = 60
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"simhash_sig expects array<bigint>, got ${t.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_sig"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val counts = new Array[Int](Bits)
+    var j = 0
+    while (j < arr.numElements()) {
+      val x = arr.getLong(j)
+      var b = 0
+      while (b < Bits) {
+        counts(b) += (if (((x >> b) & 1L) == 1L) 1 else -1)
+        b += 1
+      }
+      j += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < Bits) {
+      if (counts(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val j = ctx.freshName("j")
+      val b = ctx.freshName("b")
+      val x = ctx.freshName("x")
+      val counts = ctx.freshName("counts")
+      val sig = ctx.freshName("sig")
+      s"""
+         |int[] $counts = new int[$Bits];
+         |for (int $j = 0; $j < $arr.numElements(); $j++) {
+         |  long $x = $arr.getLong($j);
+         |  for (int $b = 0; $b < $Bits; $b++) {
+         |    $counts[$b] += (((($x >> $b) & 1L) == 1L) ? 1 : -1);
+         |  }
+         |}
+         |long $sig = 0L;
+         |for (int $b = 0; $b < $Bits; $b++) {
+         |  if ($counts[$b] > 0) $sig |= (1L << $b);
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashSig =
+    copy(child = newChild)
+}
+
 /** Registers graft's SQL functions; enabled via
   * `spark.sql.extensions=graft.functions.GraftExtensions`
   * (wired in Verify.session, which every entry point uses). */
@@ -187,5 +256,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
       (children: Seq[Expression]) => MinHashSig(children.head)))
+    e.injectFunction((
+      FunctionIdentifier("simhash_sig"),
+      new ExpressionInfo(classOf[SimHashSig].getName, "simhash_sig"),
+      (children: Seq[Expression]) => SimHashSig(children.head)))
   }
 }

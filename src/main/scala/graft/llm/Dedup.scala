@@ -249,21 +249,29 @@ object Dedup {
 
   /** SimHash signatures (no output ordering — shared by the queries below).
     * Per (doc, bit): sum of ±1 over distinct token hashes; bit set iff the
-    * sum is strictly positive. One exploded pass, 60 partial-aggregable
-    * sums — no per-pair work. */
-  def simhashSig(s: SparkSession, dir: String): DataFrame = {
-    val tok = t(s, dir, "documents")
-      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
-      .withColumn("h", tokHash(col("tok")))
-    val bitSums = (0 until SimBits).map(b =>
-      sum(expr(s"CASE WHEN (h >> $b) % 2 = 1 THEN 1 ELSE -1 END")).as(s"s$b"))
-    val sig = (0 until SimBits)
-      .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L))
-      .reduce(_ + _)
-    tok.groupBy("doc_id")
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), sig.as("simhash"))
-  }
+    * sum is strictly positive. With GraftExtensions this is a SHUFFLE-FREE
+    * per-row pass through the codegen'd `simhash_sig` expression; foreign
+    * sessions fall back to the explode + 60-partial-sums aggregate —
+    * bit-identical output either way (FallbackSpec). */
+  def simhashSig(s: SparkSession, dir: String): DataFrame =
+    if (s.catalog.functionExists("simhash_sig"))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        expr(s"simhash_sig(transform(array_distinct(split(text, ' ')), t -> ${tokHashSql("t")}))")
+          .as("simhash"))
+    else {
+      val tok = t(s, dir, "documents")
+        .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
+        .withColumn("h", tokHash(col("tok")))
+      val bitSums = (0 until SimBits).map(b =>
+        sum(expr(s"CASE WHEN (h >> $b) % 2 = 1 THEN 1 ELSE -1 END")).as(s"s$b"))
+      val sig = (0 until SimBits)
+        .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L))
+        .reduce(_ + _)
+      tok.groupBy("doc_id")
+        .agg(bitSums.head, bitSums.tail: _*)
+        .select(col("doc_id"), sig.as("simhash"))
+    }
 
   /** SimHash: 60-bit signature per doc. */
   def simhash(s: SparkSession, dir: String): DataFrame =

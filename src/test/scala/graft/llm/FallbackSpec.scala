@@ -13,15 +13,17 @@ class FallbackSpec extends SparkSpec {
 
   private lazy val plain = {
     val p = spark.newSession()
-    Seq("vec_dot", "minhash_sig").foreach(f =>
+    Seq("vec_dot", "minhash_sig", "simhash_sig").foreach(f =>
       p.sessionState.functionRegistry.dropFunction(FunctionIdentifier(f)))
     assert(!p.catalog.functionExists("vec_dot"))
     assert(!p.catalog.functionExists("minhash_sig"))
+    assert(!p.catalog.functionExists("simhash_sig"))
     p
   }
 
   for (q <- Seq("q_sim_topk", "q_sim_ivf_trained", "q_sim_lsh_multiprobe",
-    "q_dedup_embed", "q_dedup_minhash", "q_dedup_jaccard", "q_dedup_shingle"))
+    "q_dedup_embed", "q_dedup_minhash", "q_dedup_jaccard", "q_dedup_shingle",
+    "q_dedup_simhash", "q_dedup_simhash_pairs"))
     test(s"$q is bit-identical without the custom expressions") {
       val fn = SparkEntry.queries(q)
       val want = fn(spark, sf).collect().map(_.toString).toSeq
