@@ -31,12 +31,20 @@ object Bench {
       val ts = (1 to reps).map(_ => timeOnce(fn)).sorted
       name -> ts(ts.length / 2)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // per-query values rounded to ms so the stdout line stays small enough
+    // for log-tail capture (VERDICT r2 item 2)
+    def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     spark.stop()
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // the artifact is also written to a file so a truncated stdout tail can
+    // never lose the record (VERDICT r2 item 2)
+    val out = new java.io.PrintWriter("/root/repo/bench_out.json")
+    try out.println(line) finally out.close()
     // the JSON line is the LAST stdout line, printed after spark.stop() so no
     // late executor logging can trail it.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(line)
   }
 }

@@ -40,6 +40,7 @@ object SparkEntry {
     "q_join_left"          -> (Joins.left _),
     "q_join_semi"          -> (Joins.semi _),
     "q_join_anti"          -> (Joins.anti _),
+    "q_join_anti_null"     -> (Joins.antiNull _),
     "q_join_range"         -> (Joins.range _),
     "q_join_star2"         -> (Joins.star2 _),
     "q_join_skew_salted"   -> (Joins.skewSalted _),
@@ -334,6 +335,20 @@ object SparkEntry {
       """SELECT c_custkey, c_mktsegment FROM customer
          WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus='P')
          ORDER BY c_custkey""",
+    "q_join_anti_null" ->
+      """WITH blocked AS (
+           SELECT CASE WHEN o_orderstatus = 'P' THEN o_custkey END AS k FROM orders
+         )
+         SELECT 'in_blocked' AS variant,
+                (SELECT count(1) FROM customer WHERE c_custkey IN (SELECT k FROM blocked)) AS n
+         UNION ALL
+         SELECT 'not_in_naive',
+                (SELECT count(1) FROM customer WHERE c_custkey NOT IN (SELECT k FROM blocked))
+         UNION ALL
+         SELECT 'not_in_null_safe',
+                (SELECT count(1) FROM customer
+                 WHERE c_custkey NOT IN (SELECT k FROM blocked WHERE k IS NOT NULL))
+         ORDER BY variant""",
     "q_join_range" ->
       s"""SELECT r_regionkey AS bucket, count(*) AS n, ${dsum("p_retailprice")} AS total
           FROM part JOIN region

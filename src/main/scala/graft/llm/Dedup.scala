@@ -317,21 +317,39 @@ object Dedup {
     same.unionByName(cross).orderBy("doc_a", "doc_b")
   }
 
+  /** Pre-threshold pair-candidate stage of `embedNearLsh`, parameterized by
+    * plane count — exposed so AnnStressSpec can assert sub-quadratic PAIR
+    * growth at the derived plane count (the query-side `lshCandidates` case
+    * does not exercise the self-join's N² term). */
+  private[graft] def embedPairCandidates(s: SparkSession, dir: String,
+                                         planes: Int): DataFrame = {
+    val e = t(s, dir, "embeddings").select(
+      col("vec_id"), col("embedding"),
+      expr(Similarity.normFor(s)("embedding")).as("nrm"),
+      expr(Similarity.bucketSql("embedding", planes)).as("bucket"))
+    val a = e.alias("a"); val b = e.alias("b")
+    a.join(b, col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos",
+        expr(Similarity.dotFor(s)("a.embedding", "b.embedding")) / (col("a.nrm") * col("b.nrm")))
+  }
+
   /** Embedding-cosine near-dup blocked by the hyperplane-LSH bucket instead
     * of the label — the unblocked scale path SCALE.md promised: finds
     * cross-label near-dups, still a bucket equi-join (each vector lives in
     * one bucket; pairs only within), never all-pairs. Approximate by design:
     * a near-dup pair split across buckets is missed — the multi-probe
-    * machinery quantifies that trade (Similarity.Planes scaladoc). */
+    * machinery quantifies that trade (Similarity.Planes scaladoc).
+    *
+    * The plane count is DERIVED from the corpus size (VERDICT r2 item 1):
+    * `Similarity.planesFor` holds expected bucket occupancy near
+    * PairTargetBucket, so within-bucket pair candidates stay ~N·B/2 — linear
+    * in N — instead of N²/16 on a frozen fixture-tuned bucket count. The
+    * derivation costs one parquet-metadata count. At every fixture tier
+    * (N ≤ 2000) it yields the old constant 4, so the oracle twin (which must
+    * bake a literal) is unchanged and stays exact at the checked SFs. */
   def embedNearLsh(s: SparkSession, dir: String): DataFrame = {
-    val e = t(s, dir, "embeddings").select(
-      col("vec_id"), col("embedding"),
-      expr(Similarity.normFor(s)("embedding")).as("nrm"),
-      expr(Similarity.bucketSql("embedding", Similarity.MultiProbePlanes)).as("bucket"))
-    val a = e.alias("a"); val b = e.alias("b")
-    a.join(b, col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cos",
-        expr(Similarity.dotFor(s)("a.embedding", "b.embedding")) / (col("a.nrm") * col("b.nrm")))
+    val planes = Similarity.planesFor(t(s, dir, "embeddings").count())
+    embedPairCandidates(s, dir, planes)
       .filter(col("cos") >= 0.35)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos"))
       .orderBy("vec_a", "vec_b")

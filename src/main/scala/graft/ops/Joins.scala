@@ -106,6 +106,33 @@ object Joins {
       .orderBy("c_custkey")
   }
 
+  /** The NOT IN three-valued-logic trap (VERDICT r2 item 5): a NOT IN whose
+    * subquery column contains a NULL can never be TRUE (x <> NULL is
+    * UNKNOWN), so the naive filter silently returns ZERO rows — the classic
+    * warehouse wrong-answer generator. Declared as three labeled counts so
+    * the asymmetry is the checked output: naive NOT IN = 0, null-filtered
+    * NOT IN = the real anti count (≡ NOT EXISTS, `anti` above), while IN is
+    * unaffected by the NULLs. Spark and DuckDB agree on standard 3VL. */
+  def antiNull(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("customer_an")
+    t(s, dir, "orders").createOrReplaceTempView("orders_an")
+    s.sql("""
+      WITH blocked AS (
+        SELECT CASE WHEN o_orderstatus = 'P' THEN o_custkey END AS k FROM orders_an
+      )
+      SELECT 'in_blocked' AS variant,
+             (SELECT count(1) FROM customer_an WHERE c_custkey IN (SELECT k FROM blocked)) AS n
+      UNION ALL
+      SELECT 'not_in_naive',
+             (SELECT count(1) FROM customer_an WHERE c_custkey NOT IN (SELECT k FROM blocked))
+      UNION ALL
+      SELECT 'not_in_null_safe',
+             (SELECT count(1) FROM customer_an
+              WHERE c_custkey NOT IN (SELECT k FROM blocked WHERE k IS NOT NULL))
+      ORDER BY variant
+    """)
+  }
+
   /** Non-equi range (theta) join: price buckets derived from region keys.
     * The bucket side is 5 rows → broadcast nested-loop, which is the right
     * plan at any scale for a tiny build side. */
