@@ -86,6 +86,32 @@ object Warehouse {
     publish(spark, target, merged)
   }
 
+  /** OPTIMIZE-style compaction (VERDICT r2 item 7): rewrite the CURRENT
+    * version into ~`targetFiles` files and publish the rewrite as a new
+    * version through the same pointer commit. A long-running incremental
+    * service accretes one small version dir per micro-batch; periodic
+    * compaction bounds the file count the NEXT reader opens without ever
+    * blocking concurrent readers (they keep the old immutable version until
+    * the pointer swap) or writers (a concurrent publish just wins the swap —
+    * last-writer-wins, same as two upserts). Data is unchanged: same rows,
+    * fewer files. Returns the new version name.
+    *
+    * At warehouse scale `targetFiles` comes from total bytes / desired file
+    * size (the 128 MB–1 GB object-store sweet spot); `repartition` is a full
+    * shuffle of the version — the price of co-sizing, paid off the serving
+    * path. */
+  def compact(spark: SparkSession, target: String, targetFiles: Int): String =
+    publish(spark, target, read(spark, target).repartition(targetFiles))
+
+  /** Parquet part-file count of the current version — the quantity compaction
+    * bounds (and a spec hook). */
+  def currentFileCount(spark: SparkSession, target: String): Int = {
+    val v = currentVersion(spark, target).getOrElse(
+      sys.error(s"no published version under $target"))
+    fs(spark, target).listStatus(new Path(s"$target/$v")).toSeq
+      .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+  }
+
   /** Drop every version dir except the current one (call once readers of the
     * previous version have drained; on an object store this is the offline
     * GC job). */

@@ -137,6 +137,44 @@ class PipelineSpec extends SparkSpec {
     assert(Warehouse.read(spark, target).count() == 2)
   }
 
+  test("compact bounds the file count after small publishes; data and commit semantics unchanged") {
+    val root = freshRoot()
+    val target = s"$root/warehouse/c"
+    import spark.implicits._
+    // an incremental service accretes small files: publish a version whose
+    // data is spread over 16 tiny part files (micro-batch shrapnel)
+    val df = (1 to 64).map(i => (i, s"v$i")).toDF("id", "v").repartition(16)
+    Warehouse.publish(spark, target, df)
+    assert(Warehouse.currentFileCount(spark, target) >= 16)
+    val before = Warehouse.read(spark, target).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+
+    val vc = Warehouse.compact(spark, target, 2)
+    // compaction is a pointer commit like any publish: the new version is
+    // current, the old one stays readable until vacuum
+    assert(Warehouse.currentVersion(spark, target).contains(vc))
+    assert(Warehouse.currentFileCount(spark, target) <= 2)
+    val after = Warehouse.read(spark, target).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(after == before, "compaction must not change the data")
+
+    val fs = new org.apache.hadoop.fs.Path(target)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def versions() = fs.listStatus(new org.apache.hadoop.fs.Path(target))
+      .count(s => s.isDirectory && s.getPath.getName.startsWith("v_"))
+    assert(versions() == 2)
+    Warehouse.vacuum(spark, target)
+    assert(versions() == 1)
+    assert(Warehouse.read(spark, target).count() == 64)
+
+    // upsert-after-compact behaves exactly as upsert-after-publish
+    Warehouse.upsertPublish(spark, target,
+      Seq((1, "v1b"), (65, "v65")).toDF("id", "v"), "id", Seq("v"))
+    val merged = Warehouse.read(spark, target).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(merged.size == 65 && merged(1) == "v1b" && merged(65) == "v65")
+  }
+
   test("comma-in-name survives the CSV stage round-trip") {
     val root = freshRoot()
     dropRaw(root, "raw")

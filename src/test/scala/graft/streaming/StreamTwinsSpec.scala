@@ -191,4 +191,42 @@ class StreamTwinsSpec extends SparkSpec {
     drain()
     assert(Warehouse.currentVersion(spark, fact) == vBefore)
   }
+
+  test("replayed micro-batch is a warehouse no-op (crash between publish and checkpoint)") {
+    // foreachBatch is at-least-once: if the process dies AFTER upsertPublish
+    // but BEFORE the checkpoint commit, the restarted query re-delivers the
+    // SAME micro-batch (batches commit in order, so only the last uncommitted
+    // one can replay — a STALE batch can never reappear). The dedup-first
+    // source-wins merge makes that re-delivery idempotent: identical source
+    // rows merge to identical content. (VERDICT r2 item 6)
+    import graft.etl.{Transform, Warehouse}
+    val root = java.nio.file.Files.createTempDirectory("graft_replay").toString
+    val rawDir = s"$root/raw"; val cp = s"$root/cp"
+    val dim = s"$root/wh/dim"; val fact = s"$root/wh/fact"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(rawDir))
+    val res = getClass.getResourceAsStream("/raw_coins.json")
+    java.nio.file.Files.copy(res, java.nio.file.Paths.get(rawDir, "dump1.json"))
+
+    val q = StreamTwins.incrementalPipeline(spark, rawDir, dim, fact, cp).start()
+    q.awaitTermination(120000)
+    def snap(target: String): Seq[Seq[Any]] = Warehouse.read(spark, target)
+      .collect().toSeq.map(_.toSeq).sortBy(_.mkString("|"))
+    val dimBefore = snap(dim); val factBefore = snap(fact)
+
+    // re-deliver the exact micro-batch through the same merge path the
+    // foreachBatch body runs — the restart-after-crash window
+    val replay = spark.read.schema(graft.etl.RawSchema.schema)
+      .option("multiLine", true).json(rawDir)
+    Warehouse.upsertPublish(spark, dim, Transform.coinInfo(replay), "id", Seq("name"))
+    Warehouse.upsertPublish(spark, fact, Transform.coinMetrics(replay), "id", Seq("last_updated"))
+
+    assert(snap(dim) == dimBefore, "replayed batch must not change the dim table")
+    assert(snap(fact) == factBefore, "replayed batch must not change the fact table")
+
+    // and the real restart agrees: the checkpoint skips the drained files
+    val vDim = Warehouse.currentVersion(spark, dim)
+    val q2 = StreamTwins.incrementalPipeline(spark, rawDir, dim, fact, cp).start()
+    q2.awaitTermination(120000)
+    assert(Warehouse.currentVersion(spark, dim) == vDim)
+  }
 }
