@@ -243,6 +243,89 @@ case class SimHashSig(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `shingle_hashes(text)`: the mod-P-reduced 60-bit md5 hashes of the
+  * DISTINCT character-5-gram shingles of a string, in one pass — string in,
+  * `array<long>` out.
+  *
+  * Semantics are exactly the built-in fallback's
+  * (`transform(array_distinct(transform(sequence(...), i ->
+  * substring(text, i, 5))), sh -> conv(substring(md5(sh),1,15),16,10) % P)`,
+  * graft.llm.Dedup.hashedShingles): same shingle set — including the
+  * whole-short-string shingle for texts under 5 chars — same first-occurrence
+  * order, same md5-prefix integer. The HOF form materializes an array of
+  * |text| substring objects, string-dedups it, then walks it again through a
+  * lambda per shingle; this slides one window over the string and hashes each
+  * distinct shingle once. The md5 itself (the irreducible cost — VERDICT r2
+  * plan audit) runs on the same bytes either way.
+  *
+  * The per-row work happens in `compute` — invoked as a single call from the
+  * generated code via a bound reference, which keeps the surrounding stage
+  * inside WholeStageCodegen (no CodegenFallback, no per-element dispatch). */
+case class ShingleHashes(child: Expression) extends UnaryExpression {
+  private val P = 1000000007L
+  private val Len = 5
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes expects a string, got ${t.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  def compute(s: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val n = s.numChars()
+    // mirrors sequence(1, greatest(n - 4, 1)): short/empty strings yield one
+    // (possibly truncated/empty) shingle, exactly like substring's clamping
+    val count = math.max(n - (Len - 1), 1)
+    val seen = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
+    var i = 0
+    while (i < count) {
+      seen.add(s.substring(i, math.min(i + Len, n)))
+      i += 1
+    }
+    val md = ShingleHashes.md5.get()
+    val out = new Array[Long](seen.size())
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) {
+      md.reset()
+      val d = md.digest(it.next().getBytes)
+      // first 15 hex chars of the digest = 7 full bytes + the high nibble of
+      // byte 7 — the same 60-bit value conv(substring(md5(x),1,15),16,10)
+      // parses (and DuckDB's ('0x'||substr(md5(x),1,15))::BIGINT)
+      var v = 0L
+      var b = 0
+      while (b < 7) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+      v = (v << 4) | ((d(7) & 0xf0L) >>> 4)
+      out(k) = v % P
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("shingleHashes", this, classOf[ShingleHashes].getName)
+    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $self.compute($s);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+object ShingleHashes {
+  /** One MessageDigest per executor thread — getInstance per row would
+    * dominate the hash itself. */
+  private val md5 = ThreadLocal.withInitial(
+    new java.util.function.Supplier[java.security.MessageDigest] {
+      override def get(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    })
+}
+
 /** Registers graft's SQL functions; enabled via
   * `spark.sql.extensions=graft.functions.GraftExtensions`
   * (wired in Verify.session, which every entry point uses). */
@@ -260,5 +343,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash_sig"),
       new ExpressionInfo(classOf[SimHashSig].getName, "simhash_sig"),
       (children: Seq[Expression]) => SimHashSig(children.head)))
+    e.injectFunction((
+      FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+      (children: Seq[Expression]) => ShingleHashes(children.head)))
   }
 }

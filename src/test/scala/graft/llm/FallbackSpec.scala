@@ -13,11 +13,12 @@ class FallbackSpec extends SparkSpec {
 
   private lazy val plain = {
     val p = spark.newSession()
-    Seq("vec_dot", "minhash_sig", "simhash_sig").foreach(f =>
+    Seq("vec_dot", "minhash_sig", "simhash_sig", "shingle_hashes").foreach(f =>
       p.sessionState.functionRegistry.dropFunction(FunctionIdentifier(f)))
     assert(!p.catalog.functionExists("vec_dot"))
     assert(!p.catalog.functionExists("minhash_sig"))
     assert(!p.catalog.functionExists("simhash_sig"))
+    assert(!p.catalog.functionExists("shingle_hashes"))
     p
   }
 
