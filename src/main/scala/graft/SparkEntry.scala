@@ -85,6 +85,8 @@ object SparkEntry {
     "q_sample_stratified"  -> (graft.llm.Curation.stratifiedSample _),
     "q_sample_per_group"   -> (graft.llm.Curation.samplePerGroup _),
     "q_text_repetition"    -> (graft.llm.Curation.repetition _),
+    "q_text_pii_scrub"     -> (graft.llm.Curation.piiScrub _),
+    "q_curate_filter"      -> (graft.llm.Curation.curateFilter _),
     "q_dedup_jaccard"      -> (Dedup.jaccard _),
     "q_dedup_simhash"      -> (Dedup.simhash _),
     "q_dedup_simhash_pairs" -> (Dedup.simhashPairs _),
@@ -620,6 +622,43 @@ object SparkEntry {
           FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
           ORDER BY doc_id"""
     },
+    "q_text_pii_scrub" -> {
+      import graft.llm.Curation.{EmailRe, IpRe, PhoneRe}
+      s"""WITH a AS (SELECT doc_id,
+                 text || ' contact user' || CAST(doc_id AS VARCHAR)
+                      || '@mail.example.com or +1-555-'
+                      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                      || ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1' AS aug
+          FROM documents)
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(aug, '$EmailRe')) AS BIGINT) AS n_emails,
+                 CAST(len(regexp_extract_all(aug, '$IpRe')) AS BIGINT) AS n_ips,
+                 CAST(len(regexp_extract_all(aug, '$PhoneRe')) AS BIGINT) AS n_phones,
+                 regexp_replace(regexp_replace(regexp_replace(aug,
+                   '$EmailRe', '<EMAIL>', 'g'), '$IpRe', '<IP>', 'g'),
+                   '$PhoneRe', '<PHONE>', 'g') AS scrubbed
+          FROM a ORDER BY doc_id"""
+    },
+    "q_curate_filter" ->
+      """WITH x AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         y AS (SELECT doc_id,
+                 CAST(len(t) AS BIGINT) AS n_tokens,
+                 CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+                 CAST(len(list_filter(t, tok -> list_contains(
+                   ['the','a','of','and','to','in','is','on','for','with'], tok))) AS BIGINT) AS stop_hits,
+                 CASE WHEN len(t) >= 2
+                      THEN CAST(len(list_distinct(
+                        [array_to_string(t[i:i+1], ' ') for i in generate_series(1, len(t) - 1)])) AS BIGINT)
+                      ELSE 0 END AS n_g2_distinct,
+                 CASE WHEN len(t) >= 2 THEN CAST(len(t) - 1 AS BIGINT) ELSE 0 END AS n_g2
+          FROM x)
+          SELECT doc_id, n_tokens,
+                 (n_tokens >= 5 AND n_tokens <= 5000) AS gate_len,
+                 (n_distinct * 5 >= n_tokens) AS gate_ttr,
+                 (stop_hits * 20 >= n_tokens) AS gate_stop,
+                 (n_g2 = 0 OR n_g2_distinct * 5 >= n_g2 * 2) AS gate_rep,
+                 (gate_len AND gate_ttr AND gate_stop AND gate_rep) AS kept
+          FROM y ORDER BY doc_id""",
     "q_dedup_simhash" ->
       s"""WITH $simhashCtes
           SELECT doc_id, simhash FROM sh ORDER BY doc_id""",

@@ -50,7 +50,14 @@ object Upsert {
     * key (pre-dedup with latestPerKey). */
   def applyCdc(target: DataFrame, changes: DataFrame, key: String): DataFrame = {
     val tgt = target.alias("t")
-    val chg = changes.alias("s")
+    // Unknown op codes fail the job loudly (distributed, at first evaluation)
+    // instead of being silently upserted — a malformed CDC feed is corrupt
+    // input, and "treat garbage as UPDATE" is how a feed bug becomes a
+    // warehouse bug. raise_error keeps this inside codegen; no UDF.
+    val checked = changes.withColumn("op",
+      when(col("op").isin("I", "U", "D"), col("op"))
+        .otherwise(raise_error(concat(lit("applyCdc: unknown op code: "), col("op")))))
+    val chg = checked.alias("s")
     val matched: Column = col(s"s.$key").isNotNull
     val cols = target.columns.map { c =>
       when(matched, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)

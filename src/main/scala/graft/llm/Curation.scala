@@ -112,6 +112,78 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** PII scrub patterns — plain character-class regexes (no backreferences,
+    * no lookaround) so Java regex (Spark) and RE2 (DuckDB) match identically.
+    * Scrub order: emails first (they contain dots and digits), then dotted
+    * quads, then +-prefixed phone runs — each earlier pass removes text the
+    * later patterns could partially match. */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val IpRe = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  val PhoneRe = "\\+[0-9][0-9-]{5,}[0-9]"
+
+  /** PII redaction (the compliance pass every training corpus runs before
+    * anything else): per-row regex scrub of emails / IPv4s / phone numbers,
+    * plus match counts for the audit trail. The fixture text carries no PII,
+    * so a deterministic synthetic suffix (email, phone, IP derived from
+    * doc_id) is appended first — the OPERATOR under test is the scrub, and
+    * its input is identical in the oracle twin. Shuffle-free before the
+    * output sort; at 100 TB this is a pure map stage. */
+  def piiScrub(s: SparkSession, dir: String): DataFrame = {
+    val aug = concat(
+      col("text"), lit(" contact user"), col("doc_id").cast("string"),
+      lit("@mail.example.com or +1-555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+      lit(" from 10."), (col("doc_id") % 256).cast("string"), lit(".0.1"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), aug.as("aug"))
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("aug"), lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(col("aug"), lit(IpRe), lit(0))).cast("long").as("n_ips"),
+        size(regexp_extract_all(col("aug"), lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("aug"), lit(EmailRe), lit("<EMAIL>")),
+            lit(IpRe), lit("<IP>")),
+          lit(PhoneRe), lit("<PHONE>")).as("scrubbed"))
+      .orderBy("doc_id")
+  }
+
+  /** Composite curation gate — the C4/Gopher-style keep/drop decision as ONE
+    * operator: length, type-token-ratio, stopword-density and repetition
+    * gates evaluated per doc, with per-gate flags for the audit trail (a real
+    * pipeline logs WHY a doc dropped, not just that it did). Every gate is
+    * INTEGER arithmetic (ratio thresholds cross-multiplied), so the oracle
+    * twin is trivially exact — no float comparisons anywhere. Pure per-row
+    * expressions; one map stage at any scale. */
+  def curateFilter(s: SparkSession, dir: String): DataFrame = {
+    val enWords = TextAnalysis.Lexicons.toMap.apply("en")
+    val lex = array(enWords.map(lit): _*)
+    t(s, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        size(array_distinct(col("t"))).cast("long").as("n_distinct"),
+        size(filter(col("t"), tok => array_contains(lex, tok))).cast("long").as("stop_hits"),
+        expr(ngrams("t", 2)).as("g2"))
+      .select(col("doc_id"), col("n_tokens"),
+        col("n_distinct"), col("stop_hits"),
+        size(col("g2")).cast("long").as("n_g2"),
+        size(array_distinct(col("g2"))).cast("long").as("n_g2_distinct"))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        (col("n_tokens") >= 5 && col("n_tokens") <= 5000).as("gate_len"),
+        // ttr >= 0.2  ⇔  5·distinct >= tokens
+        (col("n_distinct") * 5 >= col("n_tokens")).as("gate_ttr"),
+        // stop_ratio >= 0.05  ⇔  20·hits >= tokens
+        (col("stop_hits") * 20 >= col("n_tokens")).as("gate_stop"),
+        // dup_2gram_frac <= 0.6  ⇔  5·distinct2 >= 2·total2 (vacuous if none)
+        (col("n_g2") === 0 || col("n_g2_distinct") * 5 >= col("n_g2") * 2).as("gate_rep"))
+      .withColumn("kept",
+        col("gate_len") && col("gate_ttr") && col("gate_stop") && col("gate_rep"))
+      .orderBy("doc_id")
+  }
+
   /** Gopher-style repetition signals: duplicate 2-gram / 3-gram fractions
     * per doc (1 − distinct/total) and a keep/drop flag. Pure per-row
     * expressions — no shuffle at all before the output sort. */

@@ -101,4 +101,15 @@ class UpsertSpec extends SparkSpec {
     val twice = Upsert.applyCdc(once.drop("op"), changes, "id")
     assert(canon(twice.drop("op")) == canon(once.drop("op")))
   }
+
+  test("applyCdc rejects unknown op codes loudly") {
+    import org.apache.spark.sql.functions.lit
+    val target = df(Seq(("a", 1L, 1.0)))
+    val garbage = df(Seq(("a", 2L, 9.0))).withColumn("op", lit("UPSERT"))
+    val e = intercept[Exception] {
+      Upsert.applyCdc(target, garbage, "id").collect()
+    }
+    assert(e.getMessage.contains("unknown op code")
+      || e.getCause != null && e.getCause.getMessage.contains("unknown op code"))
+  }
 }
