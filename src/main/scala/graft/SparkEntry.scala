@@ -108,7 +108,9 @@ object SparkEntry {
     "q_text_bpe_apply"     -> (TextAnalysis.bpeApply _),
     "q_multimodal_decode"  -> (graft.multimodal.Multimodal.decodeStats _),
     "q_sessionize"         -> (Sessions.sessionize _),
+    "q_event_funnel"       -> (Sessions.funnel _),
     "q_window_tumbling"    -> (Sessions.tumbling _),
+    "q_scd2_history"       -> (GroupA.scd2History _),
   )
 
   /** DECIMAL-staged exact sum, surfaced as DOUBLE (matches Tables.dsum2).
@@ -861,5 +863,39 @@ object SparkEntry {
       s"""SELECT CAST((epoch_ms(ts) // 3600000) * 3600000 AS BIGINT) AS hour_ms,
                  event_type, count(*) AS n, ${dsum("value")} AS total
           FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_event_funnel" ->
+      """WITH e AS (SELECT user_id, event_type,
+                 CAST(epoch_ns(ts) // 1000000 AS BIGINT) AS ms FROM events),
+         s1 AS (SELECT user_id, min(ms) AS t_signup FROM e
+                WHERE event_type = 'signup' GROUP BY 1),
+         s2 AS (SELECT e.user_id, min(ms) AS t_view FROM e JOIN s1 USING (user_id)
+                WHERE event_type = 'view' AND ms >= t_signup GROUP BY 1),
+         s3 AS (SELECT e.user_id, min(ms) AS t_click FROM e JOIN s2 USING (user_id)
+                WHERE event_type = 'click' AND ms >= t_view GROUP BY 1),
+         s4 AS (SELECT e.user_id, min(ms) AS t_purchase FROM e JOIN s3 USING (user_id)
+                WHERE event_type = 'purchase' AND ms >= t_click GROUP BY 1)
+         SELECT s1.user_id, t_signup, t_view, t_click, t_purchase,
+                CAST(CASE WHEN t_purchase IS NOT NULL THEN 4
+                          WHEN t_click IS NOT NULL THEN 3
+                          WHEN t_view IS NOT NULL THEN 2
+                          ELSE 1 END AS BIGINT) AS stage_reached
+         FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+              LEFT JOIN s4 USING (user_id)
+         ORDER BY user_id""",
+    "q_scd2_history" ->
+      """WITH ordered AS (
+           SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+                  lag(o_orderstatus) OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey) AS prev
+           FROM orders),
+         changes AS (SELECT * FROM ordered WHERE prev IS NULL OR prev <> o_orderstatus),
+         hist AS (
+           SELECT o_custkey, o_orderstatus AS status, o_orderdate AS valid_from,
+                  lead(o_orderdate) OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey) AS valid_to
+           FROM changes)
+         SELECT o_custkey, status, valid_from, valid_to,
+                (valid_to IS NULL) AS is_current
+         FROM hist ORDER BY o_custkey, valid_from, status""",
   )
 }

@@ -35,6 +35,38 @@ object Sessions {
       .orderBy("user_id", "session_id")
   }
 
+  /** Ordered conversion funnel signup → view → click → purchase: a user
+    * reaches stage k only via an event AT OR AFTER their stage-(k-1) time
+    * (first-touch semantics — the classic product-analytics operator, which
+    * a naive per-type min() gets wrong when stages happen out of order).
+    * Four filtered aggregates chained by equi-joins, ALL keyed on user_id:
+    * every exchange hashes the same key, so the chain is one co-partitioned
+    * shuffle family, linear at any scale. Times surface as epoch ms (the
+    * ns fixture values are whole µs, so div is exact in both engines). */
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").select(
+      col("user_id"), col("event_type"), nsToMs("ts").as("ms"))
+    def stage(typ: String, prev: DataFrame, prevT: String, out: String) =
+      e.filter(col("event_type") === typ).join(prev, "user_id")
+        .filter(col("ms") >= col(prevT))
+        .groupBy("user_id").agg(min("ms").as(out))
+    val signup = e.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ms").as("t_signup"))
+    val view = stage("view", signup, "t_signup", "t_view")
+    val click = stage("click", view, "t_view", "t_click")
+    val buy = stage("purchase", click, "t_click", "t_purchase")
+    signup
+      .join(view.select("user_id", "t_view"), Seq("user_id"), "left")
+      .join(click.select("user_id", "t_click"), Seq("user_id"), "left")
+      .join(buy.select("user_id", "t_purchase"), Seq("user_id"), "left")
+      .withColumn("stage_reached",
+        when(col("t_purchase").isNotNull, 4L)
+          .when(col("t_click").isNotNull, 3L)
+          .when(col("t_view").isNotNull, 2L)
+          .otherwise(1L))
+      .orderBy("user_id")
+  }
+
   /** Tumbling 1-hour window aggregation by event_type, via the native
     * window() bucketing (streaming-compatible grouping). */
   def tumbling(s: SparkSession, dir: String): DataFrame =

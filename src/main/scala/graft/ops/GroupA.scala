@@ -100,6 +100,28 @@ object GroupA {
       .orderBy("c_custkey")
   }
 
+  /** SCD TYPE-2 history build from a change log — the warehouse op the SCD1
+    * merge family (above) deliberately discards: instead of overwriting, each
+    * attribute change opens a new validity interval. Orders play the change
+    * log (per customer, status over order time): change detection drops
+    * no-op rows (lag equality), then valid_from/valid_to come from lead()
+    * over the surviving changes; the open interval is the current row.
+    * Two windows on the same (custkey, time) partitioning — one shuffle,
+    * linear per key at any scale. */
+  def scd2History(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byKey = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderstatus"), col("o_orderdate"), col("o_orderkey"))
+      .withColumn("prev", lag("o_orderstatus", 1).over(byKey))
+      .filter(col("prev").isNull || col("prev") =!= col("o_orderstatus"))
+      .select(col("o_custkey"), col("o_orderstatus").as("status"),
+        col("o_orderdate").as("valid_from"),
+        lead("o_orderdate", 1).over(byKey).as("valid_to"))
+      .withColumn("is_current", col("valid_to").isNull)
+      .orderBy("o_custkey", "valid_from", "status")
+  }
+
   /** Partition-pruned scan over a partitionBy(year) parquet layout — the
     * storage-level twin of O5's key-prefix pruning: the filter prunes whole
     * directories before any I/O (PartitionFilters in the scan; asserted by
