@@ -319,11 +319,117 @@ case class ShingleHashes(child: Expression) extends UnaryExpression {
 object ShingleHashes {
   /** One MessageDigest per executor thread — getInstance per row would
     * dominate the hash itself. */
-  private val md5 = ThreadLocal.withInitial(
+  private[functions] val md5 = ThreadLocal.withInitial(
     new java.util.function.Supplier[java.security.MessageDigest] {
       override def get(): java.security.MessageDigest =
         java.security.MessageDigest.getInstance("MD5")
     })
+
+  /** First 15 hex chars of an md5 digest as a 60-bit long — the value
+    * conv(substring(md5(x),1,15),16,10) parses. */
+  private[functions] def trunc60(d: Array[Byte]): Long = {
+    var v = 0L
+    var b = 0
+    while (b < 7) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+    (v << 4) | ((d(7) & 0xf0L) >>> 4)
+  }
+}
+
+/** `token_hashes(text)` / `token_hashes_distinct(text)`: single-space
+  * tokenization + 60-bit md5 token hash in one pass — string in,
+  * `array<long>` out.
+  *
+  *  - `token_hashes` (distinct=false): one hash PER TOKEN in order,
+  *    duplicates kept, reduced mod P — exactly
+  *    `transform(split(text, ' '), t -> conv(substring(md5(t),1,15),16,10) % P)`,
+  *    the hashed-feature input of the minhash collapse (Dedup.hashedTokens).
+  *  - `token_hashes_distinct` (distinct=true): hashes of the DISTINCT tokens
+  *    in first-occurrence order, UNreduced — exactly
+  *    `transform(array_distinct(split(text, ' ')), t -> conv(substring(md5(t),1,15),16,10))`,
+  *    the input of simhash_sig.
+  *
+  * Split semantics mirror Spark's `split(text, ' ')` with the default -1
+  * limit: leading / trailing / consecutive spaces yield empty tokens, and
+  * the empty string yields one empty token. Splitting scans BYTES for 0x20,
+  * which is exact for UTF-8 (a space byte never occurs inside a multi-byte
+  * sequence). The fallback form md5s into a hex STRING, substrings it and
+  * string-parses the number per token — three allocations this one-pass
+  * digest-to-long form never makes. */
+case class TokenHashes(child: Expression, distinct: Boolean)
+  extends UnaryExpression {
+  private val P = 1000000007L
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string, got ${t.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String =
+    if (distinct) "token_hashes_distinct" else "token_hashes"
+
+  def compute(s: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val bytes = s.getBytes
+    val md = ShingleHashes.md5.get()
+    def hashSlice(start: Int, end: Int): Long = {
+      md.reset()
+      md.update(bytes, start, end - start)
+      val v = ShingleHashes.trunc60(md.digest())
+      if (distinct) v else v % P
+    }
+    if (distinct) {
+      val seen = new java.util.LinkedHashMap[org.apache.spark.unsafe.types.UTF8String, Unit]()
+      var start = 0
+      var i = 0
+      while (i <= bytes.length) {
+        if (i == bytes.length || bytes(i) == ' ') {
+          seen.putIfAbsent(
+            org.apache.spark.unsafe.types.UTF8String.fromBytes(bytes, start, i - start), ())
+          start = i + 1
+        }
+        i += 1
+      }
+      val out = new Array[Long](seen.size())
+      val it = seen.keySet().iterator()
+      var k = 0
+      while (it.hasNext) {
+        val tok = it.next().getBytes
+        md.reset()
+        md.update(tok, 0, tok.length)
+        out(k) = ShingleHashes.trunc60(md.digest())
+        k += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    } else {
+      var nTok = 1
+      var i = 0
+      while (i < bytes.length) { if (bytes(i) == ' ') nTok += 1; i += 1 }
+      val out = new Array[Long](nTok)
+      var k = 0
+      var start = 0
+      i = 0
+      while (i <= bytes.length) {
+        if (i == bytes.length || bytes(i) == ' ') {
+          out(k) = hashSlice(start, i)
+          k += 1
+          start = i + 1
+        }
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("tokenHashes", this, classOf[TokenHashes].getName)
+    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $self.compute($s);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenHashes =
+    copy(child = newChild)
 }
 
 /** Registers graft's SQL functions; enabled via
@@ -347,5 +453,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("shingle_hashes"),
       new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
       (children: Seq[Expression]) => ShingleHashes(children.head)))
+    e.injectFunction((
+      FunctionIdentifier("token_hashes"),
+      new ExpressionInfo(classOf[TokenHashes].getName, "token_hashes"),
+      (children: Seq[Expression]) => TokenHashes(children.head, distinct = false)))
+    e.injectFunction((
+      FunctionIdentifier("token_hashes_distinct"),
+      new ExpressionInfo(classOf[TokenHashes].getName, "token_hashes_distinct"),
+      (children: Seq[Expression]) => TokenHashes(children.head, distinct = true)))
   }
 }

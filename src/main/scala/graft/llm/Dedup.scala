@@ -51,9 +51,13 @@ object Dedup {
     * skip the `isnotnull` pre-filter — which would otherwise evaluate the
     * whole md5+sort+sha2 key expression a second time per row. */
   private def hashedTokens(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents").select(
-      col("doc_id"),
-      expr(s"transform(split(coalesce(text, ''), ' '), t -> ${tokHashSql("t")} % ${P}L)").as("th"))
+    if (s.catalog.functionExists("token_hashes"))
+      t(s, dir, "documents").select(
+        col("doc_id"), expr("token_hashes(coalesce(text, ''))").as("th"))
+    else
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        expr(s"transform(split(coalesce(text, ''), ' '), t -> ${tokHashSql("t")} % ${P}L)").as("th"))
 
   /** Append m0..m{K-1} signature columns computed from hashed-feature column
     * `src`: one pass through the codegen'd `minhash_sig` expression when
@@ -258,7 +262,11 @@ object Dedup {
     * sessions fall back to the explode + 60-partial-sums aggregate —
     * bit-identical output either way (FallbackSpec). */
   def simhashSig(s: SparkSession, dir: String): DataFrame =
-    if (s.catalog.functionExists("simhash_sig"))
+    if (s.catalog.functionExists("simhash_sig") && s.catalog.functionExists("token_hashes_distinct"))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        expr("simhash_sig(token_hashes_distinct(text))").as("simhash"))
+    else if (s.catalog.functionExists("simhash_sig"))
       t(s, dir, "documents").select(
         col("doc_id"),
         expr(s"simhash_sig(transform(array_distinct(split(text, ' ')), t -> ${tokHashSql("t")}))")

@@ -13,18 +13,17 @@ class FallbackSpec extends SparkSpec {
 
   private lazy val plain = {
     val p = spark.newSession()
-    Seq("vec_dot", "minhash_sig", "simhash_sig", "shingle_hashes").foreach(f =>
-      p.sessionState.functionRegistry.dropFunction(FunctionIdentifier(f)))
-    assert(!p.catalog.functionExists("vec_dot"))
-    assert(!p.catalog.functionExists("minhash_sig"))
-    assert(!p.catalog.functionExists("simhash_sig"))
-    assert(!p.catalog.functionExists("shingle_hashes"))
+    Seq("vec_dot", "minhash_sig", "simhash_sig", "shingle_hashes",
+        "token_hashes", "token_hashes_distinct").foreach { f =>
+      p.sessionState.functionRegistry.dropFunction(FunctionIdentifier(f))
+      assert(!p.catalog.functionExists(f))
+    }
     p
   }
 
   for (q <- Seq("q_sim_topk", "q_sim_ivf_trained", "q_sim_lsh_multiprobe",
     "q_dedup_embed", "q_dedup_minhash", "q_dedup_jaccard", "q_dedup_shingle",
-    "q_dedup_simhash", "q_dedup_simhash_pairs"))
+    "q_dedup_simhash", "q_dedup_simhash_pairs", "q_dedup_clusters"))
     test(s"$q is bit-identical without the custom expressions") {
       val fn = SparkEntry.queries(q)
       val want = fn(spark, sf).collect().map(_.toString).toSeq
