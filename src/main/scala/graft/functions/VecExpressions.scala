@@ -432,6 +432,72 @@ case class TokenHashes(child: Expression, distinct: Boolean)
     copy(child = newChild)
 }
 
+/** `hyperplane_bucket(emb, planes)`: the `planes`-bit random-hyperplane LSH
+  * bucket id of a numeric array in one pass — the sign bits of `planes`
+  * deterministic-pseudo-random hyperplane dot products
+  * (Similarity.bucketSql's integer-congruential coefficient formula, same
+  * IEEE operation sequence: per plane, products accumulate left-to-right in
+  * double). The HOF form walks the array once PER PLANE through two lambdas
+  * (transform + aggregate) — 2·planes·d dispatches per row on the
+  * similarity-join hot path; this is one tight loop. `planes` must be a
+  * foldable integer (it parameterizes the plan, not the data). */
+case class HyperplaneBucket(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  private def elemOk(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!elemOk(left.dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"hyperplane_bucket expects array<float|double>, got ${left.dataType.simpleString}")
+    else if (right.dataType != IntegerType || !right.foldable)
+      TypeCheckResult.TypeCheckFailure("hyperplane_bucket expects a literal int plane count")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hyperplane_bucket"
+
+  private lazy val isFloat = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  def compute(arr: ArrayData, planes: Int): Long = {
+    val n = arr.numElements()
+    var bucket = 0L
+    var i = 0
+    while (i < planes) {
+      val base = (i + 1) * 2654435761L
+      var s = 0.0
+      var d = 0
+      while (d < n) {
+        val x = if (isFloat) arr.getFloat(d).toDouble else arr.getDouble(d)
+        val coef = ((base + d * 40503L) % 2000001L).toDouble / 1000000.0 - 1.0
+        s += x * coef
+        d += 1
+      }
+      if (s > 0.0) bucket |= (1L << i)
+      i += 1
+    }
+    bucket
+  }
+
+  override def nullSafeEval(a: Any, p: Any): Any =
+    compute(a.asInstanceOf[ArrayData], p.asInstanceOf[Int])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("hyperplaneBucket", this, classOf[HyperplaneBucket].getName)
+    nullSafeCodeGen(ctx, ev, (a, p) => s"${ev.value} = $self.compute($a, $p);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HyperplaneBucket =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Registers graft's SQL functions; enabled via
   * `spark.sql.extensions=graft.functions.GraftExtensions`
   * (wired in Verify.session, which every entry point uses). */
@@ -461,5 +527,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("token_hashes_distinct"),
       new ExpressionInfo(classOf[TokenHashes].getName, "token_hashes_distinct"),
       (children: Seq[Expression]) => TokenHashes(children.head, distinct = true)))
+    e.injectFunction((
+      FunctionIdentifier("hyperplane_bucket"),
+      new ExpressionInfo(classOf[HyperplaneBucket].getName, "hyperplane_bucket"),
+      (children: Seq[Expression]) => HyperplaneBucket(children.head, children(1))))
   }
 }

@@ -354,7 +354,7 @@ object Dedup {
     val e = t(s, dir, "embeddings").select(
       col("vec_id"), col("embedding"),
       expr(Similarity.normFor(s)("embedding")).as("nrm"),
-      expr(Similarity.bucketSql("embedding", planes)).as("bucket"))
+      expr(Similarity.bucketFor(s)("embedding", planes)).as("bucket"))
     val a = e.alias("a"); val b = e.alias("b")
     a.join(b, col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .withColumn("cos",

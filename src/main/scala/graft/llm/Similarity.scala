@@ -87,6 +87,14 @@ object Similarity {
       s"(CASE WHEN $dot > 0D THEN ${1L << i}L ELSE 0L END)"
     }.mkString("(", " + ", ")")
 
+  /** Bucket id via the one-pass codegen'd expression when registered
+    * (GraftExtensions), else the HOF form — same IEEE operation sequence,
+    * bit-identical bucket ids (FallbackSpec). */
+  private[graft] def bucketFor(s: SparkSession)(emb: String, planes: Int): String =
+    if (s.catalog.functionExists("hyperplane_bucket"))
+      s"hyperplane_bucket($emb, $planes)"
+    else bucketSql(emb, planes)
+
   private def queries(e: DataFrame): DataFrame =
     e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
@@ -118,7 +126,7 @@ object Similarity {
     * Q×(planes+1) probe rows against the bucketed corpus — never Q×N. */
   private[graft] def lshCandidates(s: SparkSession, dir: String,
                                    planes: Int, probeDist: Int): DataFrame = {
-    val e = withNorm(s, dir).withColumn("bucket", expr(bucketSql("embedding", planes)))
+    val e = withNorm(s, dir).withColumn("bucket", expr(bucketFor(s)("embedding", planes)))
     val q = e.filter(col("vec_id") < 8).select(
       col("vec_id").as("q_id"), col("embedding").as("q_emb"),
       col("nrm").as("q_nrm"), col("bucket").as("q_bucket"))

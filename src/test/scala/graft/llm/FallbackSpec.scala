@@ -14,7 +14,7 @@ class FallbackSpec extends SparkSpec {
   private lazy val plain = {
     val p = spark.newSession()
     Seq("vec_dot", "minhash_sig", "simhash_sig", "shingle_hashes",
-        "token_hashes", "token_hashes_distinct").foreach { f =>
+        "token_hashes", "token_hashes_distinct", "hyperplane_bucket").foreach { f =>
       p.sessionState.functionRegistry.dropFunction(FunctionIdentifier(f))
       assert(!p.catalog.functionExists(f))
     }
@@ -23,7 +23,8 @@ class FallbackSpec extends SparkSpec {
 
   for (q <- Seq("q_sim_topk", "q_sim_ivf_trained", "q_sim_lsh_multiprobe",
     "q_dedup_embed", "q_dedup_minhash", "q_dedup_jaccard", "q_dedup_shingle",
-    "q_dedup_simhash", "q_dedup_simhash_pairs", "q_dedup_clusters"))
+    "q_dedup_simhash", "q_dedup_simhash_pairs", "q_dedup_clusters",
+    "q_sim_lsh", "q_dedup_embed_lsh"))
     test(s"$q is bit-identical without the custom expressions") {
       val fn = SparkEntry.queries(q)
       val want = fn(spark, sf).collect().map(_.toString).toSeq
