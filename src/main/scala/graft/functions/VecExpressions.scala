@@ -432,6 +432,55 @@ case class TokenHashes(child: Expression, distinct: Boolean)
     copy(child = newChild)
 }
 
+/** `long_array_md5(arr)`: 16-byte md5 digest of a long array's big-endian
+  * bytes — a collision-safe set DIGEST for the dedup collapse keys
+  * (`array<long>` in, `binary` out).
+  *
+  * The fallback key is `sha2(concat_ws(',', transform(ths, cast string)))`:
+  * per row that allocates one string per element plus a multi-KB join before
+  * hashing. This digests the raw 8-byte values. The key is INTERNAL (a
+  * grouping/join handle, never query output), so the two forms need not
+  * produce equal bytes — FallbackSpec's output bit-identity still holds
+  * because distinct sets map to distinct keys under either hash (md5's
+  * 128 bits keep the birthday bound beyond corpus scale). */
+case class LongArrayMd5(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"long_array_md5 expects array<bigint>, got ${t.simpleString}")
+  }
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "long_array_md5"
+
+  def compute(arr: ArrayData): Array[Byte] = {
+    val md = ShingleHashes.md5.get()
+    md.reset()
+    val buf = new Array[Byte](8)
+    var i = 0
+    while (i < arr.numElements()) {
+      val v = arr.getLong(i)
+      buf(0) = (v >>> 56).toByte; buf(1) = (v >>> 48).toByte
+      buf(2) = (v >>> 40).toByte; buf(3) = (v >>> 32).toByte
+      buf(4) = (v >>> 24).toByte; buf(5) = (v >>> 16).toByte
+      buf(6) = (v >>> 8).toByte; buf(7) = v.toByte
+      md.update(buf, 0, 8)
+      i += 1
+    }
+    md.digest()
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("longArrayMd5", this, classOf[LongArrayMd5].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $self.compute($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LongArrayMd5 =
+    copy(child = newChild)
+}
+
 /** `hyperplane_bucket(emb, planes)`: the `planes`-bit random-hyperplane LSH
   * bucket id of a numeric array in one pass — the sign bits of `planes`
   * deterministic-pseudo-random hyperplane dot products
@@ -531,5 +580,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("hyperplane_bucket"),
       new ExpressionInfo(classOf[HyperplaneBucket].getName, "hyperplane_bucket"),
       (children: Seq[Expression]) => HyperplaneBucket(children.head, children(1))))
+    e.injectFunction((
+      FunctionIdentifier("long_array_md5"),
+      new ExpressionInfo(classOf[LongArrayMd5].getName, "long_array_md5"),
+      (children: Seq[Expression]) => LongArrayMd5(children.head)))
   }
 }

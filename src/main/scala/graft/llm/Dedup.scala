@@ -106,11 +106,20 @@ object Dedup {
   /** Collapse over any (doc_id, th: array<long>) hashed-feature input —
     * token hashes for the word-level pipelines, shingle hashes for
     * `shinglePairs`. */
+  /** Set-digest grouping key over a sorted-distinct long array: the codegen'd
+    * 16-byte md5-of-raw-bytes when registered, else sha256 of the
+    * comma-joined decimal string. The key is internal (grouping handle, not
+    * output), so the forms only need injectivity-in-practice, not equality. */
+  private def setKey(s: SparkSession, ths: Column): Column =
+    if (s.catalog.functionExists("long_array_md5"))
+      call_function("long_array_md5", ths)
+    else sha2(concat_ws(",", transform(ths, _.cast("string"))), 256)
+
   private def setCollapseOf(hashed: DataFrame): SetCollapse = {
     val keyed = hashed.select(
       col("doc_id"),
       array_sort(array_distinct(col("th"))).as("ths"))
-      .withColumn("skey", sha2(concat_ws(",", transform(col("ths"), _.cast("string"))), 256))
+      .withColumn("skey", setKey(hashed.sparkSession, col("ths")))
     val reps = keyed.groupBy("skey")
       .agg(min("doc_id").as("rep"), first("ths").as("ths"), count(lit(1)).as("nm"))
     // membership via min/count windows over ONE keyed scan (not a keyed⋈reps
@@ -206,8 +215,7 @@ object Dedup {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("skey")
     hashedTokens(s, dir)
       .select(col("doc_id"),
-        sha2(concat_ws(",",
-          transform(array_sort(array_distinct(col("th"))), _.cast("string"))), 256).as("skey"))
+        setKey(s, array_sort(array_distinct(col("th")))).as("skey"))
       .select(col("doc_id"),
         min("doc_id").over(w).as("rep_id"),
         count(lit(1)).over(w).as("n_members"))

@@ -14,7 +14,8 @@ class FallbackSpec extends SparkSpec {
   private lazy val plain = {
     val p = spark.newSession()
     Seq("vec_dot", "minhash_sig", "simhash_sig", "shingle_hashes",
-        "token_hashes", "token_hashes_distinct", "hyperplane_bucket").foreach { f =>
+        "token_hashes", "token_hashes_distinct", "hyperplane_bucket",
+        "long_array_md5").foreach { f =>
       p.sessionState.functionRegistry.dropFunction(FunctionIdentifier(f))
       assert(!p.catalog.functionExists(f))
     }
