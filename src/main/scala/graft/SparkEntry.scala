@@ -109,6 +109,7 @@ object SparkEntry {
     "q_multimodal_decode"  -> (graft.multimodal.Multimodal.decodeStats _),
     "q_sessionize"         -> (Sessions.sessionize _),
     "q_event_funnel"       -> (Sessions.funnel _),
+    "q_retention"          -> (Sessions.retention _),
     "q_window_tumbling"    -> (Sessions.tumbling _),
     "q_scd2_history"       -> (GroupA.scd2History _),
   )
@@ -882,6 +883,13 @@ object SparkEntry {
          FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
               LEFT JOIN s4 USING (user_id)
          ORDER BY user_id""",
+    "q_retention" ->
+      """WITH days AS (SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events),
+         firsts AS (SELECT user_id, min(day) AS cohort_day FROM days GROUP BY 1)
+         SELECT cohort_day, day - cohort_day AS day_offset,
+                CAST(count(*) AS BIGINT) AS n_users
+         FROM days JOIN firsts USING (user_id)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_scd2_history" ->
       """WITH ordered AS (
            SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,

@@ -67,6 +67,25 @@ object Sessions {
       .orderBy("user_id")
   }
 
+  /** Cohort retention matrix — the other classic product-analytics operator:
+    * users grouped by first-activity day (the cohort), counted on each later
+    * active day as an offset from it. (cohort_day, day_offset, n_users) is
+    * the retention curve per cohort. Distinct-(user, day) first so a chatty
+    * user counts once per day; every stage shuffles on user_id or the
+    * (cohort, offset) pair — no window over the whole timeline, linear at
+    * any scale. Days are integer epoch-day arithmetic in both engines. */
+  def retention(s: SparkSession, dir: String): DataFrame = {
+    val days = t(s, dir, "events")
+      .select(col("user_id"), expr("ts div 1000000 div 86400000").as("day"))
+      .distinct()
+    val first = days.groupBy("user_id").agg(min("day").as("cohort_day"))
+    days.join(first, "user_id")
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      // (user, day) is distinct upstream, so the count is a user count
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
   /** Tumbling 1-hour window aggregation by event_type, via the native
     * window() bucketing (streaming-compatible grouping). */
   def tumbling(s: SparkSession, dir: String): DataFrame =
