@@ -88,6 +88,7 @@ object SparkEntry {
     "q_text_pii_scrub"     -> (graft.llm.Curation.piiScrub _),
     "q_curate_filter"      -> (graft.llm.Curation.curateFilter _),
     "q_dedup_jaccard"      -> (Dedup.jaccard _),
+    "q_dedup_components"   -> (Dedup.components _),
     "q_dedup_simhash"      -> (Dedup.simhash _),
     "q_dedup_simhash_pairs" -> (Dedup.simhashPairs _),
     "q_dedup_embed"        -> (Dedup.embedNear _),
@@ -580,6 +581,30 @@ object SparkEntry {
     "q_dedup_shingle" ->
       s"""WITH $shingleCtes
           SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""",
+    // transitive closure via a recursive CTE: reach(s, d) = d reachable from
+    // s through jaccard-verified edges; component = min reachable doc.
+    "q_dedup_components" ->
+      s"""WITH RECURSIVE $minhashCtes,
+          toks AS (SELECT doc_id, list_distinct(h) AS ths, len(list_distinct(h)) AS nt FROM th),
+          edges AS (SELECT p.doc_a, p.doc_b,
+                 CAST(len(list_intersect(a.ths, b.ths)) AS DOUBLE)
+                   / (a.nt + b.nt - len(list_intersect(a.ths, b.ths))) AS jac
+                FROM pairs p
+                JOIN toks a ON p.doc_a = a.doc_id
+                JOIN toks b ON p.doc_b = b.doc_id
+                WHERE jac >= 0.95),
+          und AS (SELECT doc_a AS s, doc_b AS d FROM edges
+                  UNION ALL SELECT doc_b, doc_a FROM edges),
+          reach(s, d) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT u.s, r.d FROM und u JOIN reach r ON u.d = r.s),
+          comp AS (SELECT s AS doc_id, min(d) AS component_id FROM reach GROUP BY s)
+          SELECT c.doc_id, CAST(c.component_id AS BIGINT) AS component_id,
+                 CAST(z.n AS BIGINT) AS n_members
+          FROM comp c JOIN (SELECT component_id, count(*) AS n FROM comp GROUP BY 1) z
+            ON c.component_id = z.component_id
+          ORDER BY c.doc_id""",
     "q_decontaminate" -> {
       val n = graft.llm.Curation.DecontamN
       val grams =

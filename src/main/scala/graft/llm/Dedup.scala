@@ -246,12 +246,20 @@ object Dedup {
     val same = sameSetPairs(c.members).withColumn("jac", lit(1.0))
     // (b) cross-group LSH candidates on representatives, verified BEFORE the
     // pair dedup and member expansion shuffles, then expanded by row joins
+    val cross = expandPairs(verifiedRepPairs(c), c.members, Seq("jac"))
+    same.unionByName(cross).orderBy("doc_a", "doc_b")
+  }
+
+  /** Jaccard-verified DISTINCT-SET pairs (ra, rb, jac ≥ 0.95): the rep-level
+    * core of `jaccard` — banding, candidate join and verification all happen
+    * on one representative per distinct set. */
+  private def verifiedRepPairs(c: SetCollapse): DataFrame = {
     val sig = withSig(
       c.reps.withColumnRenamed("rep", "doc_id").withColumn("nt", size(col("ths"))),
       "ths", Seq("doc_id", "ths", "nt"))
     val b = bandsOf(sig, Seq("ths", "nt"))
     val x = b.alias("x"); val y = b.alias("y")
-    val repPairs = x.join(y, col("x.band") === col("y.band") && col("x.bh") === col("y.bh")
+    x.join(y, col("x.band") === col("y.band") && col("x.bh") === col("y.bh")
         && col("x.doc_id") < col("y.doc_id"))
       .withColumn("inter", size(array_intersect(col("x.ths"), col("y.ths"))))
       .withColumn("jac",
@@ -259,8 +267,6 @@ object Dedup {
       .filter(col("jac") >= 0.95)
       .groupBy(col("x.doc_id").as("ra"), col("y.doc_id").as("rb"))
       .agg(first(col("jac")).as("jac"))
-    val cross = expandPairs(repPairs, c.members, Seq("jac"))
-    same.unionByName(cross).orderBy("doc_a", "doc_b")
   }
 
   /** SimHash signatures (no output ordering — shared by the queries below).
@@ -351,6 +357,61 @@ object Dedup {
       .select(least(col("ma"), col("mb")).as("doc_a"),
         greatest(col("ma"), col("mb")).as("doc_b"), col("dist"))
     same.unionByName(cross).orderBy("doc_a", "doc_b")
+  }
+
+  /** Connected components over the VERIFIED near-dup graph — the transitive
+    * closure that turns pair lists into dedup clusters (A≈B and B≈C put A
+    * and C in one cluster even when A≉C directly). `clusters` above collapses
+    * only IDENTICAL token sets; this is the production semantic of a
+    * MinHash-LSH dedup: component id = min doc_id reachable through
+    * jaccard-verified edges.
+    *
+    * Algorithm: iterative min-label propagation to fixpoint — per round,
+    * every doc takes the min of its own label and its neighbors' labels (one
+    * shuffle keyed by doc per round); rounds are bounded by the component
+    * diameter, which near-dup graphs keep tiny (dup classes are cliques).
+    * The driver loop only ever sees two SCALAR counts per round
+    * (materialize + convergence check) — labels stay distributed, the same
+    * control pattern as the k-means trainer. At extreme scale the same loop
+    * admits the large-star/small-star optimization; the per-round plan is
+    * already the bucket-join shape that needs. */
+  def components(s: SparkSession, dir: String): DataFrame = {
+    // Edges are LINEAR in the corpus, never the expanded pair list: a
+    // duplicate class is a STAR (member → its set's rep), not a clique — a
+    // 10⁶-copy class contributes 10⁶ edges where the expanded jaccard pairs
+    // would be 5·10¹¹ — and cross-set edges stay at the rep level (one per
+    // verified distinct-set pair). Connectivity is identical: any two
+    // same-set docs meet at their rep; any cross-set pair (a∈A, b∈B)
+    // qualifies iff its reps do (jaccard is a function of the sets), and
+    // then a–repA–repB–b connects them.
+    val c = setCollapse(s, dir)
+    val star = c.members.filter(col("nm") > 1 && col("m") =!= col("rep"))
+      .select(col("m").as("doc_a"), col("rep").as("doc_b"))
+    val cross = verifiedRepPairs(c).select(col("ra").as("doc_a"), col("rb").as("doc_b"))
+    val edges = star.unionByName(cross)
+    val und = edges.unionByName(
+      edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))).cache()
+    var labels = t(s, dir, "documents")
+      .select(col("doc_id"), col("doc_id").as("comp")).cache()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 64) {
+      val nbr = und.join(labels, und("doc_b") === labels("doc_id"))
+        .select(col("doc_a").as("doc_id"), col("comp"))
+      val next = labels.unionByName(nbr)
+        .groupBy("doc_id").agg(min("comp").as("comp")).cache()
+      next.count() // materialize: bounds lineage like the k-means trainer
+      changed = next.join(labels.withColumnRenamed("comp", "old"), "doc_id")
+        .filter(col("comp") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      rounds += 1
+    }
+    und.unpersist()
+    val sizes = labels.groupBy("comp").agg(count(lit(1)).as("n_members"))
+    labels.join(sizes, "comp")
+      .select(col("doc_id"), col("comp").as("component_id"), col("n_members"))
+      .orderBy("doc_id")
   }
 
   /** Pre-threshold pair-candidate stage of `embedNearLsh`, parameterized by

@@ -38,6 +38,15 @@ class DedupStressSpec extends SparkSpec {
     assert(out.filter(col("rep_id") === 0).count() === 1000000L)
   }
 
+  test("10^6-copy duplicate class: connected components complete on STAR edges") {
+    // the expanded pair graph would be 5*10^11 edges for this class; the
+    // star construction makes it 10^6 — components must complete and put
+    // the whole class in one component
+    writeDocs(1000000L, 50000L)
+    val out = Dedup.components(spark, root)
+    assert(out.filter(col("component_id") === 0).count() === 1000000L)
+  }
+
   test("3k-copy duplicate class: full pair pipeline streams ~4.5M pairs") {
     writeDocs(3000L, 5000L)
     val pairs = Dedup.minhashPairs(spark, root)
