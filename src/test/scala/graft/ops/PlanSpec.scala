@@ -99,6 +99,34 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("hashpartitioning(source"), p)
   }
 
+  test("round-3 event operators shuffle on user_id, never a global window") {
+    // funnel: every join/agg keys on user_id — one co-partitioned shuffle
+    // family; retention: no window function at all (min-day via aggregate)
+    for (q <- Seq("q_event_funnel", "q_retention")) {
+      val p = plan(q)
+      assert(p.contains("hashpartitioning(user_id"), s"$q: $p")
+      assert(!p.contains("SinglePartition"), s"$q: $p")
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+    }
+  }
+
+  test("scd2 history runs both windows on ONE custkey shuffle") {
+    val p = plan("q_scd2_history")
+    // lag (change detect) and lead (validity interval) share the
+    // (o_custkey, time) partitioning — exactly one hash exchange before the
+    // output sort's range partitioning
+    assert("hashpartitioning\\(o_custkey".r.findAllIn(p).size >= 1, p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
+  test("pii scrub and curation gate are pure map stages before the output sort") {
+    for (q <- Seq("q_text_pii_scrub", "q_curate_filter")) {
+      val p = plan(q)
+      assert(!p.contains("hashpartitioning"), s"$q: $p")
+      assert(!p.contains("SinglePartition"), s"$q: $p")
+    }
+  }
+
   test("EVERY registered query plans without scale-killers") {
     // catch-all regression net over the whole surface: no cartesian product,
     // no unbounded per-group array aggregation, no single-partition exchange
