@@ -366,15 +366,19 @@ object Dedup {
     * MinHash-LSH dedup: component id = min doc_id reachable through
     * jaccard-verified edges.
     *
-    * Algorithm: iterative min-label propagation to fixpoint — per round,
-    * every doc takes the min of its own label and its neighbors' labels (one
-    * shuffle keyed by doc per round); rounds are bounded by the component
-    * diameter, which near-dup graphs keep tiny (dup classes are cliques).
-    * The driver loop only ever sees two SCALAR counts per round
-    * (materialize + convergence check) — labels stay distributed, the same
-    * control pattern as the k-means trainer. At extreme scale the same loop
-    * admits the large-star/small-star optimization; the per-round plan is
-    * already the bucket-join shape that needs. */
+    * Algorithm: min-label propagation WITH pointer jumping, run only over
+    * the REP graph. Two structural reductions before any iteration:
+    * (1) star edges (member → its set's rep) never change connectivity —
+    * cross-set edges exist only at rep level, so components of the full
+    * graph are exactly components of the rep graph, with every member
+    * inheriting its rep's label in ONE final join (not one per round);
+    * (2) per round, after the neighbor-min step, each vertex also jumps to
+    * its label's label (comp := label(comp), monotone since label(x) ≤ x
+    * and label(x) is reachable from x) — halving the remaining chain each
+    * round, so rounds are O(log diameter) instead of O(diameter). The
+    * driver loop only ever sees one SCALAR count per round (the convergence
+    * check); labels stay distributed. Component id = min doc_id reachable,
+    * identical to plain propagation, because rep = min member of its set. */
   def components(s: SparkSession, dir: String): DataFrame = {
     // Edges are LINEAR in the corpus, never the expanded pair list: a
     // duplicate class is a STAR (member → its set's rep), not a clique — a
@@ -384,32 +388,91 @@ object Dedup {
     // same-set docs meet at their rep; any cross-set pair (a∈A, b∈B)
     // qualifies iff its reps do (jaccard is a function of the sets), and
     // then a–repA–repB–b connects them.
-    val c = setCollapse(s, dir)
-    val star = c.members.filter(col("nm") > 1 && col("m") =!= col("rep"))
-      .select(col("m").as("doc_a"), col("rep").as("doc_b"))
+    // hashedTokens is the expensive stage (per-token md5 over every doc) and
+    // BOTH branches below need it — the rep graph (via reps) and the final
+    // member→component join (via members). Those run as separate actions, so
+    // exchange reuse can't share the scan; cache it once, drop it after the
+    // loop. The members projection is 2 columns/doc — checkpoint it eagerly
+    // (which also materializes the hashed cache exactly once).
+    val hashed = hashedTokens(s, dir).cache()
+    val c = setCollapseOf(hashed)
+    val members = c.members.select(col("m").as("doc_id"), col("rep")).localCheckpoint()
     val cross = verifiedRepPairs(c).select(col("ra").as("doc_a"), col("rb").as("doc_b"))
-    val edges = star.unionByName(cross)
-    val und = edges.unionByName(
-      edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))).cache()
-    var labels = t(s, dir, "documents")
-      .select(col("doc_id"), col("doc_id").as("comp")).cache()
+    val und = cross.unionByName(
+      cross.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))).cache()
+    // Iterative loops MUST truncate lineage, not just cache: cache() keeps
+    // the full logical plan, so each round's union+join+agg DOUBLES the plan
+    // of the next — exponential plan growth that OOMs the driver around
+    // round ~15 (seen at sf0.1) long before any executor breaks a sweat.
+    // localCheckpoint (eager) materializes AND cuts the plan to a leaf, so
+    // every round starts from a constant-size plan — the same discipline
+    // GraphX/GraphFrames apply; a multi-executor deployment would point
+    // sc.setCheckpointDir at durable storage and use checkpoint() instead
+    // (localCheckpoint blocks die with an executor).
     var changed = 1L
     var rounds = 0
+    val dbg = sys.env.contains("GRAFT_CC_DEBUG")
+    var tPrev = System.nanoTime
+    def mark(tag: String): Unit = if (dbg) {
+      val t = System.nanoTime; System.err.println(f"CCDBG $tag ${(t - tPrev) / 1e9}%.3f"); tPrev = t
+    }
+    // The loop's working set is the rep graph — orders of magnitude smaller
+    // than the corpus. Size its shuffles from the MEASURED edge count
+    // (≥20k edges/partition, never above the session setting — at 100 TB the
+    // edge count pushes this back to the full session parallelism), and turn
+    // AQE off for the loop only: per-round re-optimization latency exceeds
+    // anything AQE can save on constant-size iterative plans. Both settings
+    // are restored before the returned (lazy) DataFrame ever executes.
+    val conf = s.conf
+    val aqePrev = conf.get("spark.sql.adaptive.enabled", "true")
+    val partsPrev = conf.get("spark.sql.shuffle.partitions")
+    val edgeCount = und.count() // also materializes the edge cache pre-loop
+    mark("edges")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.shuffle.partitions",
+      math.min(partsPrev.toLong, edgeCount / 20000 + 1).toString)
+    var labels: DataFrame = null
+    try {
+    labels = und.select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("comp", col("doc_id")).localCheckpoint()
+    mark("labels-init")
     while (changed > 0 && rounds < 64) {
       val nbr = und.join(labels, und("doc_b") === labels("doc_id"))
         .select(col("doc_a").as("doc_id"), col("comp"))
-      val next = labels.unionByName(nbr)
-        .groupBy("doc_id").agg(min("comp").as("comp")).cache()
-      next.count() // materialize: bounds lineage like the k-means trainer
-      changed = next.join(labels.withColumnRenamed("comp", "old"), "doc_id")
-        .filter(col("comp") =!= col("old")).count()
-      labels.unpersist()
-      labels = next
+      val prop = labels.unionByName(nbr)
+        .groupBy("doc_id").agg(min("comp").as("comp"))
+      // pointer jump: comp := label(comp). Every comp value is itself a
+      // vertex id (labels start as own ids and only ever take mins of other
+      // labels), so the lookup join always hits; left+coalesce keeps the
+      // row even if a plan change ever breaks that invariant. The previous
+      // round's label rides along as `old` so the convergence check is a
+      // filter-count over the checkpoint leaf, not a second join pipeline —
+      // each round is exactly two jobs (checkpoint + leaf count).
+      val tagged = prop
+        .join(prop.select(col("doc_id").as("comp"), col("comp").as("jmp")),
+          Seq("comp"), "left")
+        .join(labels.select(col("doc_id"), col("comp").as("old")), "doc_id")
+        .select(col("doc_id"), coalesce(col("jmp"), col("comp")).as("comp"),
+          col("old"))
+        .localCheckpoint()
+      changed = tagged.filter(col("comp") =!= col("old")).count()
+      labels = tagged.select("doc_id", "comp")
       rounds += 1
+      mark(s"round$rounds changed=$changed")
+    }
+    } finally {
+      conf.set("spark.sql.adaptive.enabled", aqePrev)
+      conf.set("spark.sql.shuffle.partitions", partsPrev)
     }
     und.unpersist()
-    val sizes = labels.groupBy("comp").agg(count(lit(1)).as("n_members"))
-    labels.join(sizes, "comp")
+    hashed.unpersist()
+    // Members inherit their rep's component in one join; reps that touch no
+    // cross edge (and thus never entered the loop) keep their own id.
+    val docComp = members
+      .join(labels.select(col("doc_id").as("rep"), col("comp")), Seq("rep"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), col("rep")).as("comp"))
+    val sizes = docComp.groupBy("comp").agg(count(lit(1)).as("n_members"))
+    docComp.join(sizes, "comp")
       .select(col("doc_id"), col("comp").as("component_id"), col("n_members"))
       .orderBy("doc_id")
   }
