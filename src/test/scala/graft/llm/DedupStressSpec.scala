@@ -47,6 +47,48 @@ class DedupStressSpec extends SparkSpec {
     assert(out.filter(col("component_id") === 0).count() === 1000000L)
   }
 
+  test("400-doc similarity chain: components = exact closure, rounds stay logarithmic") {
+    // A sliding 300-token window, stepping 1 token per doc: adjacent docs
+    // share 299/301 of their tokens (jac ≈ .993) and docs up to ~14 apart
+    // stay above the 0.95 verify threshold — a PATH-shaped near-dup graph
+    // with diameter ≈ 30, the worst case for label propagation. Plain
+    // per-hop propagation needs ~diameter rounds; with the pre-fix
+    // cache()-only loop the logical plan doubled per round, putting the
+    // DRIVER out of heap near round 15 — this corpus would not complete.
+    // Pointer jumping covers it in O(log diameter) rounds and the
+    // checkpointed loop keeps every round's plan constant-size.
+    val n = 400
+    val win = 300
+    val rows = (0 until n).map { i =>
+      (i.toLong, (i until i + win).map(t => s"tok$t").mkString(" "))
+    }
+    import spark.implicits._
+    rows.toDF("doc_id", "text").repartition(8)
+      .write.mode("overwrite").parquet(s"$root/documents.parquet")
+    val comp = Dedup.components(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.size === n)
+    // Ground truth: union-find over the SAME verified edge set the operator
+    // consumes — identical-set stars (clusters) + jaccard-verified pairs.
+    // Both pipelines are fully deterministic (md5 minhash, no RNG), so the
+    // LSH-candidate edge set is reproducible across the two invocations.
+    val star = Dedup.clusters(spark, root).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val pairs = Dedup.jaccard(spark, root).select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    (star ++ pairs).foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+    assert(comp === expected)
+    // the chain really is one long component, not disconnected islands —
+    // otherwise this spec would not exercise multi-round propagation
+    assert(expected.values.toSet.size < n / 4)
+  }
+
   test("3k-copy duplicate class: full pair pipeline streams ~4.5M pairs") {
     writeDocs(3000L, 5000L)
     val pairs = Dedup.minhashPairs(spark, root)
