@@ -89,6 +89,7 @@ object SparkEntry {
     "q_curate_filter"      -> (graft.llm.Curation.curateFilter _),
     "q_dedup_jaccard"      -> (Dedup.jaccard _),
     "q_dedup_components"   -> (Dedup.components _),
+    "q_dedup_incremental"  -> (Dedup.incrementalDedup _),
     "q_dedup_simhash"      -> (Dedup.simhash _),
     "q_dedup_simhash_pairs" -> (Dedup.simhashPairs _),
     "q_dedup_embed"        -> (Dedup.embedNear _),
@@ -605,6 +606,34 @@ object SparkEntry {
           FROM comp c JOIN (SELECT component_id, count(*) AS n FROM comp GROUP BY 1) z
             ON c.component_id = z.component_id
           ORDER BY c.doc_id""",
+    // incremental dedup: the twin band-joins ALL docs, then restricts to
+    // (corpus, batch) candidate pairs. The Spark side collapses the corpus
+    // to distinct sets first — identical sets share every band, and rep =
+    // min corpus member, so "min corpus doc among best matches" is the same
+    // winner on both sides.
+    "q_dedup_incremental" ->
+      s"""WITH $minhashCtes,
+          toks AS (SELECT doc_id, list_distinct(h) AS ths, len(list_distinct(h)) AS nt FROM th),
+          cand AS (SELECT y.doc_id AS doc_id, x.doc_id AS corp
+                   FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh
+                   WHERE x.doc_id % ${graft.llm.Dedup.DeltaMod} <> ${graft.llm.Dedup.DeltaMod - 1}
+                     AND y.doc_id % ${graft.llm.Dedup.DeltaMod} = ${graft.llm.Dedup.DeltaMod - 1}),
+          ver AS (SELECT c.doc_id, c.corp,
+                    CAST(len(list_intersect(a.ths, b.ths)) AS DOUBLE)
+                      / (a.nt + b.nt - len(list_intersect(a.ths, b.ths))) AS jac
+                  FROM cand c
+                  JOIN toks a ON c.corp = a.doc_id
+                  JOIN toks b ON c.doc_id = b.doc_id
+                  WHERE jac >= 0.95),
+          best AS (SELECT doc_id, corp, jac,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY jac DESC, corp ASC) AS rn
+                   FROM ver)
+          SELECT d.doc_id, CAST(b.corp AS BIGINT) AS dup_of, b.jac,
+                 b.corp IS NOT NULL AS is_dup
+          FROM (SELECT doc_id FROM documents
+                WHERE doc_id % ${graft.llm.Dedup.DeltaMod} = ${graft.llm.Dedup.DeltaMod - 1}) d
+          LEFT JOIN (SELECT doc_id, corp, jac FROM best WHERE rn = 1) b USING (doc_id)
+          ORDER BY d.doc_id""",
     "q_decontaminate" -> {
       val n = graft.llm.Curation.DecontamN
       val grams =

@@ -25,7 +25,8 @@ class FallbackSpec extends SparkSpec {
   for (q <- Seq("q_sim_topk", "q_sim_ivf_trained", "q_sim_lsh_multiprobe",
     "q_dedup_embed", "q_dedup_minhash", "q_dedup_jaccard", "q_dedup_shingle",
     "q_dedup_simhash", "q_dedup_simhash_pairs", "q_dedup_clusters",
-    "q_sim_lsh", "q_dedup_embed_lsh", "q_dedup_components"))
+    "q_sim_lsh", "q_dedup_embed_lsh", "q_dedup_components",
+    "q_dedup_incremental"))
     test(s"$q is bit-identical without the custom expressions") {
       val fn = SparkEntry.queries(q)
       val want = fn(spark, sf).collect().map(_.toString).toSeq
