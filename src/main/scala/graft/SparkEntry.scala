@@ -82,6 +82,7 @@ object SparkEntry {
     "q_dedup_clusters"     -> (Dedup.clusters _),
     "q_dedup_shingle"      -> (Dedup.shinglePairs _),
     "q_decontaminate"      -> (graft.llm.Curation.decontaminate _),
+    "q_decontaminate_audit" -> (graft.llm.Curation.decontaminateAudit _),
     "q_sample_stratified"  -> (graft.llm.Curation.stratifiedSample _),
     "q_sample_per_group"   -> (graft.llm.Curation.samplePerGroup _),
     "q_text_repetition"    -> (graft.llm.Curation.repetition _),
@@ -646,6 +647,29 @@ object SparkEntry {
           SELECT doc_id, count(*) AS n_shared_shingles
           FROM train JOIN bench USING (sh)
           GROUP BY 1 ORDER BY 1"""
+    },
+    "q_decontaminate_audit" -> {
+      val n = graft.llm.Curation.ContainN
+      val grams =
+        s"[array_to_string(t[i:i+${n - 1}], ' ') for i in generate_series(1, len(t) - ${n - 1})]"
+      s"""WITH g AS (SELECT DISTINCT doc_id, sh FROM (
+                SELECT doc_id, unnest($grams) AS sh
+                FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))),
+          bench AS (SELECT doc_id AS bench_id, sh FROM g WHERE doc_id % ${graft.llm.Curation.BenchMod} = 0),
+          nb AS (SELECT bench_id, count(*) AS nb FROM bench GROUP BY 1),
+          train AS (SELECT doc_id, sh FROM g WHERE doc_id % ${graft.llm.Curation.BenchMod} <> 0),
+          inter AS (SELECT b.bench_id, t.doc_id, count(*) AS n_shared
+                    FROM train t JOIN bench b USING (sh) GROUP BY 1, 2),
+          scored AS (SELECT i.bench_id, i.doc_id, i.n_shared,
+                       CAST(i.n_shared AS DOUBLE) / z.nb AS containment,
+                       row_number() OVER (PARTITION BY i.bench_id
+                         ORDER BY CAST(i.n_shared AS DOUBLE) / z.nb DESC, i.doc_id ASC) AS rn
+                     FROM inter i JOIN nb z USING (bench_id))
+          SELECT d.doc_id AS bench_id, s.doc_id AS top_doc_id,
+                 s.n_shared, s.containment
+          FROM (SELECT doc_id FROM documents WHERE doc_id % ${graft.llm.Curation.BenchMod} = 0) d
+          LEFT JOIN (SELECT * FROM scored WHERE rn = 1) s ON d.doc_id = s.bench_id
+          ORDER BY bench_id"""
     },
     "q_sample_stratified" ->
       s"""SELECT doc_id, source, CAST(rate AS BIGINT) AS sample_rate FROM (

@@ -53,6 +53,49 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Containment-audit n-gram width. Containment |bench∩train| / |bench| is
+    * the asymmetric complement of the jaccard dedup: a benchmark item PASTED
+    * INTO a long training doc keeps containment ≈ 1 while jaccard goes to
+    * ~|bench|/|train| ≈ 0 — so decontamination must score containment, not
+    * similarity. Real deployments run 8–13-token shingles; the fixture's
+    * 31-token vocabulary would make every 8-gram set disjoint (the
+    * thresholded q_decontaminate legitimately returns 0 rows), so the AUDIT
+    * uses 3-grams to exercise nonzero overlap end-to-end. */
+  val ContainN = 3
+
+  /** Decontamination audit: for EACH benchmark doc, its most-contaminated
+    * training doc — max containment, ties to the smallest doc_id — or nulls
+    * if no training doc shares a shingle. One row per benchmark doc: the
+    * report a curation run hands back to the eval owners. Same bucket
+    * equi-join shape as `decontaminate` (shuffle by shingle, both sides
+    * set-deduped first); the per-bench top-1 is a window over the
+    * candidate-pair aggregate, keyed by bench doc. */
+  def decontaminateAudit(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), explode(expr(ngrams("t", ContainN))).as("sh"))
+      .distinct()
+    val bench = d.filter(col("doc_id") % BenchMod === 0)
+      .withColumnRenamed("doc_id", "bench_id")
+    val nb = bench.groupBy("bench_id").agg(count(lit(1)).as("nb"))
+    val train = d.filter(col("doc_id") % BenchMod =!= 0)
+    val inter = train.join(bench, "sh")
+      .groupBy(col("bench_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(nb, "bench_id")
+      .withColumn("containment", col("n_shared").cast("double") / col("nb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bench_id").orderBy(col("containment").desc, col("doc_id").asc)
+    val top = inter.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("bench_id"), col("doc_id").as("top_doc_id"),
+        col("n_shared"), col("containment"))
+    t(s, dir, "documents").filter(col("doc_id") % BenchMod === 0)
+      .select(col("doc_id").as("bench_id"))
+      .join(top, Seq("bench_id"), "left")
+      .orderBy("bench_id")
+  }
+
   /** Deterministic per-source sampling rates (percent): the "data mixing"
     * weights of a training recipe. Keyed on the digits of the source name so
     * the rule is pure expression (no lookup table shuffle). */
