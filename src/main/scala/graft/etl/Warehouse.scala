@@ -61,10 +61,20 @@ object Warehouse {
 
   /** Write `df` as a fresh version dir, then atomically swap the pointer.
     * Returns the version name. */
-  def publish(spark: SparkSession, target: String, df: DataFrame): String = {
+  def publish(spark: SparkSession, target: String, df: DataFrame): String =
+    publishVersion(spark, target) { dir =>
+      df.write.mode(SaveMode.Overwrite).parquet(dir)
+    }
+
+  /** Materialize a COMPLETE version dir via `write`, then commit it with the
+    * one atomic pointer replace. Everything `write` puts in the dir —
+    * part-files, layout sidecars — is immutable together: readers never see
+    * a version without its metadata. */
+  private def publishVersion(spark: SparkSession, target: String)
+                            (write: String => Unit): String = {
     val nonce = java.util.UUID.randomUUID.toString.take(8)
     val v = f"v_${System.currentTimeMillis()}%013d_$nonce"
-    df.write.mode(SaveMode.Overwrite).parquet(s"$target/$v")
+    write(s"$target/$v")
     val f = fs(spark, target)
     val tmp = new Path(target, s"_CURRENT.$nonce.tmp")
     val out = f.create(tmp, true)
@@ -74,6 +84,51 @@ object Warehouse {
     fc.rename(tmp, pointer(target), Options.Rename.OVERWRITE)
     v
   }
+
+  private def clusteringSidecar(dir: String) = new Path(dir, "_CLUSTERING")
+
+  /** Publish `df` CLUSTERED on `clusterCol`: range-partitioned into `files`
+    * part-files, sorted within each — so every file owns a narrow key range
+    * and its parquet row-group min/max statistics become selective. A
+    * predicate on the cluster column then decodes only the row groups whose
+    * range matches (Spark's parquet reader does this from the pushed filter;
+    * so does every other stats-aware engine) instead of every row of every
+    * file — the plain-parquet form of the data layout a table format's
+    * OPTIMIZE ZORDER maintains. The cluster column is recorded in a
+    * `_CLUSTERING` sidecar inside the version dir (committed atomically with
+    * the data) so later writers know the layout contract; `compact` does NOT
+    * preserve clustering — re-cluster with this method instead.
+    *
+    * At warehouse scale the range exchange is one shuffle with a sampling
+    * pass — the same price `compact` pays, spent once at write time to make
+    * every subsequent selective scan cheap. */
+  def publishClustered(spark: SparkSession, target: String, df: DataFrame,
+                       clusterCol: String, files: Int): String =
+    publishVersion(spark, target) { dir =>
+      df.repartitionByRange(files, org.apache.spark.sql.functions.col(clusterCol))
+        .sortWithinPartitions(clusterCol)
+        .write.mode(SaveMode.Overwrite).parquet(dir)
+      val f = fs(spark, dir)
+      val out = f.create(clusteringSidecar(dir), true)
+      try out.write(clusterCol.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+    }
+
+  /** The cluster column the current version was published with, if any. */
+  def clusteringOf(spark: SparkSession, target: String): Option[String] =
+    currentVersion(spark, target).flatMap { v =>
+      val f = fs(spark, target)
+      val p = clusteringSidecar(s"$target/$v")
+      if (!f.exists(p)) None
+      else {
+        val in = f.open(p)
+        try {
+          val buf = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+          Some(buf.toString(StandardCharsets.UTF_8.name()).trim)
+        } finally in.close()
+      }
+    }
 
   /** SCD1-merge `src` into the target's current version and publish the
     * result as a new version — the one write path shared by the batch
