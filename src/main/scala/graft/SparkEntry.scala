@@ -81,8 +81,10 @@ object SparkEntry {
     "q_dedup_minhash"      -> (Dedup.minhashPairs _),
     "q_dedup_clusters"     -> (Dedup.clusters _),
     "q_dedup_shingle"      -> (Dedup.shinglePairs _),
+    "q_stats_profile"      -> (graft.ops.Profile.profile _),
     "q_decontaminate"      -> (graft.llm.Curation.decontaminate _),
     "q_decontaminate_audit" -> (graft.llm.Curation.decontaminateAudit _),
+    "q_text_commonness"    -> (graft.llm.Curation.commonness _),
     "q_sample_stratified"  -> (graft.llm.Curation.stratifiedSample _),
     "q_sample_per_group"   -> (graft.llm.Curation.samplePerGroup _),
     "q_text_repetition"    -> (graft.llm.Curation.repetition _),
@@ -112,6 +114,7 @@ object SparkEntry {
     "q_multimodal_decode"  -> (graft.multimodal.Multimodal.decodeStats _),
     "q_sessionize"         -> (Sessions.sessionize _),
     "q_event_funnel"       -> (Sessions.funnel _),
+    "q_event_paths"        -> (Sessions.eventPaths _),
     "q_retention"          -> (Sessions.retention _),
     "q_window_tumbling"    -> (Sessions.tumbling _),
     "q_scd2_history"       -> (GroupA.scd2History _),
@@ -648,6 +651,17 @@ object SparkEntry {
           FROM train JOIN bench USING (sh)
           GROUP BY 1 ORDER BY 1"""
     },
+    "q_stats_profile" -> {
+      val cols = Seq("l_orderkey", "l_partkey", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax")
+      cols.map { c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+               CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+               count(DISTINCT $c) AS n_distinct,
+               CAST(min($c) AS DOUBLE) AS min_d, CAST(max($c) AS DOUBLE) AS max_d
+           FROM lineitem"""
+      }.mkString("", " UNION ALL ", " ORDER BY col_name")
+    },
     "q_decontaminate_audit" -> {
       val n = graft.llm.Curation.ContainN
       val grams =
@@ -671,6 +685,17 @@ object SparkEntry {
           LEFT JOIN (SELECT * FROM scored WHERE rn = 1) s ON d.doc_id = s.bench_id
           ORDER BY bench_id"""
     },
+    "q_text_commonness" ->
+      """WITH g AS (SELECT DISTINCT doc_id, g FROM (
+                 SELECT doc_id, unnest([array_to_string(t[i:i+1], ' ')
+                          for i in generate_series(1, len(t) - 1)]) AS g
+                 FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))),
+          df AS (SELECT g, count(*) AS df FROM g GROUP BY 1)
+          SELECT doc_id, CAST(sum(df) AS BIGINT) AS df_sum,
+                 count(*) AS n_grams,
+                 CAST(CAST(sum(df) AS BIGINT) AS DOUBLE) / count(*) AS avg_df
+          FROM g JOIN df USING (g)
+          GROUP BY doc_id ORDER BY doc_id""",
     "q_sample_stratified" ->
       s"""SELECT doc_id, source, CAST(rate AS BIGINT) AS sample_rate FROM (
             SELECT doc_id, source,
@@ -961,6 +986,16 @@ object SparkEntry {
          FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
               LEFT JOIN s4 USING (user_id)
          ORDER BY user_id""",
+    "q_event_paths" ->
+      """WITH e AS (SELECT user_id, event_type,
+                 CAST(epoch_ns(ts) // 1000000 AS BIGINT) AS ms, event_id FROM events),
+         p AS (SELECT event_type AS e1,
+                 lead(event_type, 1) OVER w AS e2,
+                 lead(event_type, 2) OVER w AS e3
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id))
+         SELECT e1 || '>' || e2 || '>' || e3 AS path, count(*) AS n
+         FROM p WHERE e3 IS NOT NULL
+         GROUP BY 1 ORDER BY n DESC, path""",
     "q_retention" ->
       """WITH days AS (SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events),
          firsts AS (SELECT user_id, min(day) AS cohort_day FROM days GROUP BY 1)

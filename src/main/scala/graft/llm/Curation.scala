@@ -96,6 +96,28 @@ object Curation {
       .orderBy("bench_id")
   }
 
+  /** Corpus-commonness score: for each doc, the average DOCUMENT FREQUENCY
+    * of its distinct bigrams — the cheap corpus-level quality signal (a doc
+    * of boilerplate scores high, a doc of unique content scores low; the
+    * statistical-LM-score stand-in that needs no model). Two bucket
+    * shuffles: bigram→df counts, then doc→sum — both on high-cardinality
+    * keys with map-side partials. The score divides two exact integers
+    * (sum of BIGINT dfs / distinct-bigram count), so the ONE double
+    * division is bit-stable across engines and partition orders — never an
+    * average of doubles, whose summation order a cluster does not fix. */
+  def commonness(s: SparkSession, dir: String): DataFrame = {
+    val grams = t(s, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), explode(expr(ngrams("t", 2))).as("g"))
+      .distinct()
+    val df = grams.groupBy("g").agg(count(lit(1)).as("df"))
+    grams.join(df, "g")
+      .groupBy("doc_id")
+      .agg(sum("df").as("df_sum"), count(lit(1)).as("n_grams"))
+      .withColumn("avg_df", col("df_sum").cast("double") / col("n_grams"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic per-source sampling rates (percent): the "data mixing"
     * weights of a training recipe. Keyed on the digits of the source name so
     * the rule is pure expression (no lookup table shuffle). */

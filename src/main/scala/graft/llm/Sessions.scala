@@ -67,6 +67,28 @@ object Sessions {
       .orderBy("user_id")
   }
 
+  /** Top 3-step behavioral paths: per user, events in time order; every run
+    * of 3 consecutive events is a path "a>b>c", counted across all users —
+    * the sequence-mining generalization of `funnel` (no fixed stages). One
+    * window on (user_id, time, event_id) — the same user-keyed shuffle
+    * family as sessionize/funnel — then a path-keyed count whose key space
+    * is |event types|³, tiny at any corpus size; map-side partial
+    * aggregation means the shuffle carries counts, not events. The
+    * (ms, event_id) ordering key makes same-millisecond events
+    * deterministic in both engines. */
+  def eventPaths(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ms"), col("event_id"))
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), nsToMs("ts").as("ms"),
+        col("event_id"))
+      .withColumn("e2", lead("event_type", 1).over(w))
+      .withColumn("e3", lead("event_type", 2).over(w))
+      .filter(col("e3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+  }
+
   /** Cohort retention matrix — the other classic product-analytics operator:
     * users grouped by first-activity day (the cohort), counted on each later
     * active day as an offset from it. (cohort_day, day_offset, n_users) is

@@ -1,0 +1,43 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Column profiling — the data-quality sweep a warehouse runs after every
+  * load (null counts, exact cardinalities, value ranges per column). The
+  * reference eyeballs its staged CSVs by hand; at 100 TB profiling must be
+  * ONE distributed pass: every statistic below is a partial-aggregatable
+  * expression over one scan (the multi-distinct is planner-expanded, still
+  * map-side partial), finishing in a single final row that `stack` unpivots
+  * to one row per column. No per-column rescans, no driver work. */
+object Profile {
+
+  private val Cols =
+    Seq("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice",
+      "l_discount", "l_tax")
+
+  /** One row per profiled lineitem column: total rows, nulls, exact distinct
+    * count, min/max as double.
+    *
+    * Shape: unpivot FIRST (`stack` to (col_name, value) long form — a pure
+    * map stage), then one aggregate with a single `count(distinct value)`
+    * per group. N distinct aggregates in one wide agg would make Catalyst
+    * Expand every row N ways through MULTIPLE exchanges (measured 4 s at
+    * sf0.1); the long form's two-phase distinct shuffles only the DISTINCT
+    * (column, value) pairs — the sum of per-column cardinalities, tiny next
+    * to the row count at any scale. */
+  def profile(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val stacked = Cols.map(c => s"'$c', CAST($c AS DOUBLE)").mkString(", ")
+    li.select(expr(s"stack(${Cols.size}, $stacked) AS (col_name, v)"))
+      .groupBy("col_name")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_nulls"),
+        countDistinct(col("v")).as("n_distinct"),
+        min("v").as("min_d"),
+        max("v").as("max_d"))
+      .orderBy("col_name")
+  }
+}

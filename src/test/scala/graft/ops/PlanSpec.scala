@@ -135,11 +135,12 @@ class PlanSpec extends SparkSpec {
     // (pos, mean) elements per centroid — bounded by the embedding dimension,
     // not the corpus (Similarity.trainCentroids).
     val boundedArrays = Set("q_sim_ivf_trained")
-    // allowlisted: global SCALAR aggregates (3 labeled counts) — the final
-    // agg is one row per upstream partition into a 1-row result, after
-    // map-side partial aggregation; the single partition carries ~32 rows at
-    // any corpus size, not data volume (Joins.antiNull).
-    val scalarAggs = Set("q_join_anti_null")
+    // allowlisted: global SCALAR aggregates (3 labeled counts / one stats
+    // row) — the final agg is one row per upstream partition into a 1-row
+    // result, after map-side partial aggregation; the single partition
+    // carries ~32 rows at any corpus size, not data volume (Joins.antiNull,
+    // Profile.profile).
+    val scalarAggs = Set("q_join_anti_null", "q_stats_profile")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
       val p = plan(q)
       Seq(
