@@ -114,6 +114,61 @@ object Warehouse {
       finally out.close()
     }
 
+  /** Publish `df` Z-ORDER clustered on `cols`: each row's cluster key is the
+    * bit-interleaving of its columns' min/max-normalized values, so files
+    * (contiguous z-ranges) cover quad-tree cells of the multi-column space —
+    * every file's parquet min/max statistics are narrow in EVERY clustered
+    * column at once, where single-column range clustering is selective in
+    * one dimension and spans the full range of the rest. This is the layout
+    * a table format's OPTIMIZE ZORDER maintains, built from public pieces:
+    * normalize → interleave → range-partition → sort.
+    *
+    * The z-value is a pure Column expression (shifts/ors unrolled per bit —
+    * whole-stage codegen'd, no UDF). Normalization bounds come from one
+    * partial-aggregatable min/max pass whose driver result is 2·k doubles —
+    * metadata-sized, the same price `repartitionByRange`'s own range sampler
+    * pays. Min/max normalization (vs rank) keeps the map stage one-pass; a
+    * heavily skewed column degrades toward fewer effective bits, which costs
+    * selectivity, never correctness — documented trade-off, same as the
+    * static variant of every public z-order writer. */
+  def publishZOrdered(spark: SparkSession, target: String, df: DataFrame,
+                      cols: Seq[String], files: Int): String = {
+    import org.apache.spark.sql.functions._
+    require(cols.size >= 2, "z-order needs at least 2 columns")
+    val bits = math.min(16, 62 / cols.size)
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c).cast("double")), max(col(c).cast("double"))))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val mins = cols.indices.map(j => row.getDouble(2 * j))
+    val maxs = cols.indices.map(j => row.getDouble(2 * j + 1))
+    val scale = (1L << bits) - 1
+    val normed = cols.indices.map { j =>
+      val c = col(cols(j)).cast("double")
+      val span = maxs(j) - mins(j)
+      val n =
+        if (span > 0) ((c - mins(j)) / span * scale).cast("long")
+        else lit(0L)
+      when(c.isNull, 0L).otherwise(least(greatest(n, lit(0L)), lit(scale)))
+    }
+    val z = (0 until bits).flatMap { i =>
+      cols.indices.map { j =>
+        shiftleft(shiftright(normed(j), i).bitwiseAND(1L),
+          i * cols.size + j)
+      }
+    }.reduce(_.bitwiseOR(_))
+    publishVersion(spark, target) { dir =>
+      df.withColumn("__z", z)
+        .repartitionByRange(files, col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(SaveMode.Overwrite).parquet(dir)
+      val f = fs(spark, dir)
+      val out = f.create(clusteringSidecar(dir), true)
+      try out.write(s"zorder:${cols.mkString(",")}".getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+    }
+  }
+
   /** The cluster column the current version was published with, if any. */
   def clusteringOf(spark: SparkSession, target: String): Option[String] =
     currentVersion(spark, target).flatMap { v =>
