@@ -81,6 +81,7 @@ object SparkEntry {
     "q_dedup_minhash"      -> (Dedup.minhashPairs _),
     "q_dedup_clusters"     -> (Dedup.clusters _),
     "q_dedup_shingle"      -> (Dedup.shinglePairs _),
+    "q_dedup_winnow"       -> (Dedup.winnowPairs _),
     "q_stats_profile"      -> (graft.ops.Profile.profile _),
     "q_decontaminate"      -> (graft.llm.Curation.decontaminate _),
     "q_decontaminate_audit" -> (graft.llm.Curation.decontaminateAudit _),
@@ -586,6 +587,27 @@ object SparkEntry {
     "q_dedup_shingle" ->
       s"""WITH $shingleCtes
           SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""",
+    // winnowing (positional fingerprints): per-position shingle hashes, then
+    // window minima, distinct per doc; df-capped fp self-join; integer counts
+    "q_dedup_winnow" -> {
+      import graft.llm.Dedup.{WinnowWindow => W, WinnowMaxDf, WinnowMinShared}
+      val n = TextHash.ShingleLen
+      s"""WITH th AS (SELECT doc_id,
+                 [${dTokHash(s"substring(text, i, $n)")} % ${TextHash.P}
+                  for i in generate_series(1, greatest(length(coalesce(text, '')) - ${n - 1}, 1))] AS h
+               FROM documents),
+          fp AS (SELECT DISTINCT doc_id,
+                 unnest([list_min(h[j:j+${W - 1}])
+                         for j in generate_series(1, greatest(len(h) - ${W - 1}, 1))]) AS fp
+               FROM th),
+          kept AS (SELECT doc_id, fp FROM (
+                 SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df FROM fp)
+               WHERE df <= $WinnowMaxDf)
+          SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_shared
+          FROM kept x JOIN kept y ON x.fp = y.fp AND x.doc_id < y.doc_id
+          GROUP BY 1, 2 HAVING count(*) >= $WinnowMinShared
+          ORDER BY doc_a, doc_b"""
+    },
     // transitive closure via a recursive CTE: reach(s, d) = d reachable from
     // s through jaccard-verified edges; component = min reachable doc.
     "q_dedup_components" ->

@@ -51,11 +51,14 @@ object Dedup {
     * skip the `isnotnull` pre-filter — which would otherwise evaluate the
     * whole md5+sort+sha2 key expression a second time per row. */
   private def hashedTokens(s: SparkSession, dir: String): DataFrame =
+    hashedTokensOf(s, t(s, dir, "documents"))
+
+  private def hashedTokensOf(s: SparkSession, docs: DataFrame): DataFrame =
     if (s.catalog.functionExists("token_hashes"))
-      t(s, dir, "documents").select(
+      docs.select(
         col("doc_id"), expr("token_hashes(coalesce(text, ''))").as("th"))
     else
-      t(s, dir, "documents").select(
+      docs.select(
         col("doc_id"),
         expr(s"transform(split(coalesce(text, ''), ' '), t -> ${tokHashSql("t")} % ${P}L)").as("th"))
 
@@ -203,6 +206,60 @@ object Dedup {
     * Same collapse, banding and expansion machinery. */
   def shinglePairs(s: SparkSession, dir: String): DataFrame =
     minhashPairsOf(setCollapseOf(hashedShingles(s, dir)))
+
+  /** Winnowing window: fingerprints are per-window minima over `WinnowWindow`
+    * consecutive positional shingle hashes, so any shared substring of at
+    * least WinnowWindow + ShingleLen - 1 = 12 chars is GUARANTEED to produce
+    * a shared fingerprint (the winnowing guarantee — Schleimer, Wilkerson,
+    * Aho, "Winnowing: Local Algorithms for Document Fingerprinting",
+    * SIGMOD 2003). */
+  val WinnowWindow: Int = 8
+  /** Fingerprints in more than this many docs are dropped before the pair
+    * join. An ABSOLUTE cap is the scale-safe choice: it bounds the self-join
+    * fan-out per fingerprint at cap²/2 pairs regardless of corpus size —
+    * total pairs ≤ |fingerprints|·cap²/2, linear in the corpus — where a
+    * fractional cap (df ≤ x% of N) lets bucket sizes, and so pair counts,
+    * grow quadratically with N. What the cap drops is boilerplate: a
+    * 12-char run appearing in 20+ documents identifies no particular pair
+    * (MOSS applies the same suppression). */
+  val WinnowMaxDf: Int = 20
+  /** Pairs must share at least this many distinct fingerprints to report. */
+  val WinnowMinShared: Int = 3
+
+  /** PARTIAL-duplicate pairs via winnowing fingerprints — the local-match
+    * detector the set-semantic pipelines above cannot be: minhash/simhash
+    * compare whole documents, so a paragraph pasted into an otherwise
+    * different doc vanishes into the global signature, while winnowing
+    * fingerprints are POSITIONAL (per-window minima of the positional
+    * shingle-hash sequence) and survive any amount of surrounding text.
+    *
+    * Scale shape: fingerprint density is ~2/(window+1) per position, so the
+    * (doc, fp) posting table is a constant fraction of corpus size; the df
+    * cap bounds the fp self-join fan-out (see WinnowMaxDf); the df window
+    * partitions on fp — the same key the self-join shuffles on, so the
+    * exchange is computed once and reused. All counts are exact integers;
+    * no floats anywhere. */
+  def winnowPairs(s: SparkSession, dir: String): DataFrame = {
+    val w = WinnowWindow
+    val positional =
+      s"transform(sequence(1, greatest(length(coalesce(text, '')) - ${ShingleLen - 1}, 1)), " +
+        s"i -> ${tokHashSql(s"substring(text, i, $ShingleLen)")} % ${P}L)"
+    val fp = t(s, dir, "documents")
+      .select(col("doc_id"), expr(positional).as("th"))
+      .select(col("doc_id"), explode(expr(
+        s"array_distinct(transform(sequence(1, greatest(size(th) - ${w - 1}, 1)), " +
+          s"j -> array_min(slice(th, j, $w))))")).as("fp"))
+    val dfw = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+    val kept = fp.withColumn("df", count(lit(1)).over(dfw))
+      .filter(col("df") <= WinnowMaxDf)
+      .select("doc_id", "fp")
+    val x = kept.alias("x"); val y = kept.alias("y")
+    x.join(y, col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= WinnowMinShared)
+      .orderBy("doc_a", "doc_b")
+  }
 
   /** Near-dup cluster ASSIGNMENT (doc_id → representative): the linear-output
     * operator a real 100 TB dedup run materializes — keep the rep, drop the
@@ -613,10 +670,24 @@ object Dedup {
     * then min rep — rep = min corpus doc of its set, so this is exactly
     * "the smallest corpus doc_id among the best matches"). Identical sets
     * collide on every band, so exact duplicates are always caught. */
-  def dedupDeltaServe(s: SparkSession, dir: String, target: String): DataFrame = {
+  def dedupDeltaServe(s: SparkSession, dir: String, target: String): DataFrame =
+    dedupBatchAgainstIndex(s,
+      t(s, dir, "documents").filter(col("doc_id") % DeltaMod === (DeltaMod - 1)),
+      target)
+
+  /** Probe an ARBITRARY (doc_id, text) batch against the published band
+    * index — the serve core shared by the batch delta query above and the
+    * streaming service (`StreamTwins.streamingDedup`, whose every
+    * micro-batch lands here). Work is linear in the batch: the batch is
+    * signed and banded, candidates come from the band equi-join into the
+    * |distinct corpus sets|-sized index, verification is jaccard against
+    * the indexed sets, and the winner per doc is max-jac-then-min-rep (rep
+    * = min corpus doc of its set, so ties resolve to the smallest corpus
+    * doc_id). */
+  def dedupBatchAgainstIndex(s: SparkSession, docs: DataFrame,
+                             target: String): DataFrame = {
     val idx = graft.etl.Warehouse.read(s, target)
-    val delta = hashedTokens(s, dir)
-      .filter(col("doc_id") % DeltaMod === (DeltaMod - 1))
+    val delta = hashedTokensOf(s, docs)
       .select(col("doc_id"), array_sort(array_distinct(col("th"))).as("ths"))
       .withColumn("nt", size(col("ths")))
     val dBands = bandsOf(withSig(delta, "ths", Seq("doc_id", "ths", "nt")),
@@ -632,8 +703,7 @@ object Dedup {
       .partitionBy("doc_id").orderBy(col("jac").desc, col("dup_of").asc)
     val best = cand.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1).drop("rn")
-    t(s, dir, "documents")
-      .filter(col("doc_id") % DeltaMod === (DeltaMod - 1)).select("doc_id")
+    docs.select("doc_id")
       .join(best, Seq("doc_id"), "left")
       .withColumn("is_dup", col("dup_of").isNotNull)
       .orderBy("doc_id")
