@@ -61,6 +61,37 @@ object StreamTwins {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
 
+  /** Streaming dedup SERVICE: every micro-batch of incoming documents is
+    * probed against the PUBLISHED corpus band index (the stream-static form
+    * of `Dedup.incrementalDedup` — the index is re-resolved from the
+    * warehouse pointer per batch, so a re-published index is picked up
+    * without restarting the query), and the per-doc verdicts SCD1-merge
+    * into a warehouse target keyed on doc_id — which makes an at-least-once
+    * replayed micro-batch a state no-op, the same idempotence contract as
+    * `incrementalPipeline`. Per-batch work is linear in the batch (band
+    * probe into a |distinct corpus sets|-sized index); `maxFilesPerTrigger`
+    * models per-arrival batches under AvailableNow's drain-and-stop. */
+  def streamingDedup(spark: SparkSession, docsDir: String, indexTarget: String,
+                     verdictTarget: String, checkpoint: String): DataStreamWriter[Row] = {
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", org.apache.spark.sql.types.LongType)
+      .add("text", org.apache.spark.sql.types.StringType)
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(docsDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.etl.Warehouse.upsertPublish(spark, verdictTarget,
+            graft.llm.Dedup.dedupBatchAgainstIndex(spark, batch, indexTarget),
+            "doc_id", Seq("doc_id"))
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+  }
+
   /** Tumbling 1-hour twin of Sessions.tumbling: same window() grouping plus a
     * 2-hour watermark (late events beyond it are dropped, state is bounded —
     * the knob the batch job doesn't need). `events` must carry TimestampType

@@ -192,6 +192,61 @@ class StreamTwinsSpec extends SparkSpec {
     assert(Warehouse.currentVersion(spark, fact) == vBefore)
   }
 
+  test("streaming dedup probes the published index per micro-batch and matches batch") {
+    import graft.etl.Warehouse
+    import graft.llm.Dedup
+    val root = java.nio.file.Files.createTempDirectory("graft_sdedup").toString
+    val docsDir = s"$root/incoming"; val cp = s"$root/cp"
+    val index = s"$root/wh/index"; val verdicts = s"$root/wh/verdicts"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(docsDir))
+
+    // publish the corpus band index once (mod-split corpus, as the batch op)
+    Dedup.publishDedupIndex(spark, sf, index)
+
+    // the delta docs arrive as TWO files → two micro-batches (maxFilesPerTrigger=1)
+    val delta = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") % Dedup.DeltaMod === (Dedup.DeltaMod - 1))
+      .select("doc_id", "text").orderBy("doc_id").collect()
+    assert(delta.length > 10)
+    val (d1, d2) = delta.splitAt(delta.length / 2)
+    import spark.implicits._
+    def writeFile(rows: Array[org.apache.spark.sql.Row], name: String): Unit =
+      rows.map(r => (r.getLong(0), r.getString(1))).toSeq.toDF("doc_id", "text")
+        .coalesce(1).write.parquet(s"$root/stage_$name")
+    writeFile(d1, "a"); writeFile(d2, "b")
+    def arrive(name: String): Unit = {
+      val part = new java.io.File(s"$root/stage_$name").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(docsDir, s"$name.parquet"))
+    }
+    arrive("a"); arrive("b")
+
+    val q = StreamTwins.streamingDedup(spark, docsDir, index, verdicts, cp).start()
+    q.awaitTermination(120000)
+
+    // the streamed verdicts equal the one-shot batch serve over the same delta
+    val expected = Dedup.dedupDeltaServe(spark, sf, index)
+      .collect().toSeq.map(_.toSeq).sortBy(_.mkString("|"))
+    def got(): Seq[Seq[Any]] = Warehouse.read(spark, verdicts)
+      .select("doc_id", "dup_of", "jac", "is_dup")
+      .collect().toSeq.map(_.toSeq).sortBy(_.mkString("|"))
+    assert(got() == expected, "streamed verdicts must equal the batch serve")
+
+    // restart with nothing new: checkpoint skips everything, no new version
+    val v = Warehouse.currentVersion(spark, verdicts)
+    val q2 = StreamTwins.streamingDedup(spark, docsDir, index, verdicts, cp).start()
+    q2.awaitTermination(120000)
+    assert(Warehouse.currentVersion(spark, verdicts) == v)
+
+    // replayed micro-batch (crash between publish and checkpoint): a no-op
+    Warehouse.upsertPublish(spark, verdicts,
+      Dedup.dedupBatchAgainstIndex(spark,
+        spark.read.parquet(s"$docsDir/b.parquet"), index),
+      "doc_id", Seq("doc_id"))
+    assert(got() == expected, "replayed verdict batch must not change state")
+  }
+
   test("replayed micro-batch is a warehouse no-op (crash between publish and checkpoint)") {
     // foreachBatch is at-least-once: if the process dies AFTER upsertPublish
     // but BEFORE the checkpoint commit, the restarted query re-delivers the
