@@ -87,6 +87,8 @@ object SparkEntry {
     "q_decontaminate_audit" -> (graft.llm.Curation.decontaminateAudit _),
     "q_text_commonness"    -> (graft.llm.Curation.commonness _),
     "q_sample_stratified"  -> (graft.llm.Curation.stratifiedSample _),
+    "q_split_assign"       -> (graft.llm.Curation.splitAssign _),
+    "q_stats_skew"         -> (graft.ops.Profile.skew _),
     "q_sample_per_group"   -> (graft.llm.Curation.samplePerGroup _),
     "q_text_repetition"    -> (graft.llm.Curation.repetition _),
     "q_text_pii_scrub"     -> (graft.llm.Curation.piiScrub _),
@@ -708,7 +710,7 @@ object SparkEntry {
           ORDER BY bench_id"""
     },
     "q_text_commonness" ->
-      """WITH g AS (SELECT DISTINCT doc_id, g FROM (
+      s"""WITH g AS (SELECT DISTINCT doc_id, ${dTokHash("g")} AS g FROM (
                  SELECT doc_id, unnest([array_to_string(t[i:i+1], ' ')
                           for i in generate_series(1, len(t) - 1)]) AS g
                  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))),
@@ -718,6 +720,17 @@ object SparkEntry {
                  CAST(CAST(sum(df) AS BIGINT) AS DOUBLE) / count(*) AS avg_df
           FROM g JOIN df USING (g)
           GROUP BY doc_id ORDER BY doc_id""",
+    "q_split_assign" ->
+      s"""SELECT doc_id,
+                 ${dTokHash("'split-v1' || '|' || text")} % 100 AS bucket,
+                 CASE WHEN ${dTokHash("'split-v1' || '|' || text")} % 100 < 80 THEN 'train'
+                      WHEN ${dTokHash("'split-v1' || '|' || text")} % 100 < 90 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM documents ORDER BY doc_id""",
+    "q_stats_skew" ->
+      """SELECT l_suppkey AS key, count(*) AS n,
+                CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM lineitem) AS pct
+         FROM lineitem GROUP BY 1 ORDER BY n DESC, key LIMIT 20""",
     "q_sample_stratified" ->
       s"""SELECT doc_id, source, CAST(rate AS BIGINT) AS sample_rate FROM (
             SELECT doc_id, source,

@@ -106,15 +106,40 @@ object Curation {
     * division is bit-stable across engines and partition orders — never an
     * average of doubles, whose summation order a cluster does not fix. */
   def commonness(s: SparkSession, dir: String): DataFrame = {
+    // bigrams ride both shuffles as their 60-bit md5 (8 bytes, not an
+    // ~11-char string); the hash is identical in the DuckDB twin, so even a
+    // (2^-60-improbable) collision merges the same grams on both engines
     val grams = t(s, dir, "documents")
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .select(col("doc_id"), explode(expr(ngrams("t", 2))).as("g"))
+      .select(col("doc_id"), tokHash(col("g")).as("g"))
       .distinct()
     val df = grams.groupBy("g").agg(count(lit(1)).as("df"))
     grams.join(df, "g")
       .groupBy("doc_id")
       .agg(sum("df").as("df_sum"), count(lit(1)).as("n_grams"))
       .withColumn("avg_df", col("df_sum").cast("double") / col("n_grams"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic train/val/test split assignment, CONTENT-keyed: the
+    * bucket is a salted 60-bit md5 of the TEXT (not the doc_id, not the
+    * row's position), mod 100 → 0-79 train, 80-89 val, 90-99 test. Two
+    * properties fall out, both load-bearing for a training corpus:
+    * assignment survives re-sharding, re-ingestion and id reassignment (a
+    * document keeps its split forever — RNG or position splits don't), and
+    * byte-identical duplicates land in the SAME split by construction, so
+    * exact dups can never straddle the train/test boundary and leak eval
+    * data. Pure map stage until the output sort — scan speed at 100 TB. */
+  def splitAssign(s: SparkSession, dir: String): DataFrame = {
+    val h = pmod(tokHash(concat_ws("|", lit("split-v1"), col("text"))), lit(100L))
+    t(s, dir, "documents")
+      .withColumn("bucket", h)
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test"))
+      .select("doc_id", "bucket", "split")
       .orderBy("doc_id")
   }
 

@@ -40,4 +40,21 @@ object Profile {
         max("v").as("max_d"))
       .orderBy("col_name")
   }
+
+  /** Join-key skew report: the 20 heaviest l_suppkey values with exact
+    * counts and corpus share — the diagnostic that decides whether a join
+    * needs salting (q_join_skew_salted) or AQE skew splitting, run BEFORE
+    * the join it protects. One partial-aggregated groupBy (shuffles one
+    * count per distinct key), a 1-row total broadcast back over it, and a
+    * TakeOrderedAndProject top-k — no global sort of the key counts. The
+    * share is one double division of two exact BIGINTs. */
+  def skew(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "lineitem")
+      .groupBy(col("l_suppkey").as("key")).agg(count(lit(1)).as("n"))
+    val total = c.agg(sum("n").as("total"))
+    c.crossJoin(broadcast(total))
+      .withColumn("pct", col("n").cast("double") / col("total"))
+      .orderBy(col("n").desc, col("key")).limit(20)
+      .select("key", "n", "pct")
+  }
 }

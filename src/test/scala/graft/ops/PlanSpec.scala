@@ -140,7 +140,7 @@ class PlanSpec extends SparkSpec {
     // result, after map-side partial aggregation; the single partition
     // carries ~32 rows at any corpus size, not data volume (Joins.antiNull,
     // Profile.profile).
-    val scalarAggs = Set("q_join_anti_null", "q_stats_profile")
+    val scalarAggs = Set("q_join_anti_null", "q_stats_profile", "q_stats_skew")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
       val p = plan(q)
       Seq(
