@@ -710,7 +710,7 @@ object SparkEntry {
           ORDER BY bench_id"""
     },
     "q_text_commonness" ->
-      s"""WITH g AS (SELECT DISTINCT doc_id, ${dTokHash("g")} AS g FROM (
+      """WITH g AS (SELECT DISTINCT doc_id, g FROM (
                  SELECT doc_id, unnest([array_to_string(t[i:i+1], ' ')
                           for i in generate_series(1, len(t) - 1)]) AS g
                  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))),

@@ -335,6 +335,94 @@ object ShingleHashes {
   }
 }
 
+/** `winnow_fps(text)`: the DISTINCT winnowing fingerprints of a string in
+  * one pass — string in, `array<long>` out.
+  *
+  * Semantics are exactly the HOF fallback's (positional mod-P shingle
+  * hashes via `transform(sequence(...), i -> substring/md5)`, then
+  * `array_distinct(transform(sequence(1, greatest(count-7, 1)), j ->
+  * array_min(slice(th, j, 8))))`, graft.llm.Dedup.winnowPairs): same
+  * positional hash sequence — including substring's end-clamping on short
+  * strings — same window set, same first-occurrence distinct order. The
+  * HOF form md5s EVERY position (~|text| digests per doc) and rescans each
+  * 8-slot window (O(n·w) array_min calls through a lambda); this hashes
+  * each DISTINCT shingle once per row (a per-row cache — positional reuse
+  * is high by Zipf), and takes window minima with a monotonic deque in
+  * O(n). Heavy lifting lives in `compute`, invoked as one call from
+  * generated code, so the stage stays inside WholeStageCodegen. */
+case class WinnowFps(child: Expression) extends UnaryExpression {
+  private val P = 1000000007L
+  private val Len = 5
+  private val W = 8
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"winnow_fps expects a string, got ${t.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fps"
+
+  def compute(s: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val n = s.numChars()
+    val count = math.max(n - (Len - 1), 1)
+    val md = ShingleHashes.md5.get()
+    val cache = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, java.lang.Long]()
+    val h = new Array[Long](count)
+    var i = 0
+    while (i < count) {
+      val sub = s.substring(i, math.min(i + Len, n))
+      var v = cache.get(sub)
+      if (v == null) {
+        md.reset()
+        v = java.lang.Long.valueOf(ShingleHashes.trunc60(md.digest(sub.getBytes)) % P)
+        cache.put(sub, v)
+      }
+      h(i) = v.longValue()
+      i += 1
+    }
+    val wCount = math.max(count - (W - 1), 1)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    // monotonic deque of indices with increasing h-values; O(1) amortized
+    // per position vs the fallback's O(w) rescan
+    val deque = new Array[Int](count)
+    var head = 0; var tail = 0
+    var j = 0
+    val firstEnd = math.min(W, count)
+    while (j < firstEnd) {
+      while (tail > head && h(deque(tail - 1)) >= h(j)) tail -= 1
+      deque(tail) = j; tail += 1
+      j += 1
+    }
+    seen.add(h(deque(head)))
+    var start = 1
+    while (start < wCount) {
+      val end = start + W - 1
+      while (tail > head && h(deque(tail - 1)) >= h(end)) tail -= 1
+      deque(tail) = end; tail += 1
+      while (deque(head) < start) head += 1
+      seen.add(h(deque(head)))
+      start += 1
+    }
+    val out = new Array[Long](seen.size())
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next().longValue(); k += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("winnowFps", this, classOf[WinnowFps].getName)
+    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $self.compute($s);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFps =
+    copy(child = newChild)
+}
+
 /** `token_hashes(text)` / `token_hashes_distinct(text)`: single-space
   * tokenization + 60-bit md5 token hash in one pass — string in,
   * `array<long>` out.
@@ -568,6 +656,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("shingle_hashes"),
       new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
       (children: Seq[Expression]) => ShingleHashes(children.head)))
+    e.injectFunction((
+      FunctionIdentifier("winnow_fps"),
+      new ExpressionInfo(classOf[WinnowFps].getName, "winnow_fps"),
+      (children: Seq[Expression]) => WinnowFps(children.head)))
     e.injectFunction((
       FunctionIdentifier("token_hashes"),
       new ExpressionInfo(classOf[TokenHashes].getName, "token_hashes"),

@@ -106,13 +106,12 @@ object Curation {
     * division is bit-stable across engines and partition orders — never an
     * average of doubles, whose summation order a cluster does not fix. */
   def commonness(s: SparkSession, dir: String): DataFrame = {
-    // bigrams ride both shuffles as their 60-bit md5 (8 bytes, not an
-    // ~11-char string); the hash is identical in the DuckDB twin, so even a
-    // (2^-60-improbable) collision merges the same grams on both engines
+    // the bigram STRING is the shuffle key on purpose: an md5-to-long key
+    // was measured 60% SLOWER at sf0.1 (1.02 -> 1.62 s) — ~n_tokens md5
+    // calls per doc cost more than shuffling ~3 extra bytes per gram saves
     val grams = t(s, dir, "documents")
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .select(col("doc_id"), explode(expr(ngrams("t", 2))).as("g"))
-      .select(col("doc_id"), tokHash(col("g")).as("g"))
       .distinct()
     val df = grams.groupBy("g").agg(count(lit(1)).as("df"))
     grams.join(df, "g")

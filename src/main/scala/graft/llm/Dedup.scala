@@ -241,14 +241,23 @@ object Dedup {
     * no floats anywhere. */
   def winnowPairs(s: SparkSession, dir: String): DataFrame = {
     val w = WinnowWindow
-    val positional =
-      s"transform(sequence(1, greatest(length(coalesce(text, '')) - ${ShingleLen - 1}, 1)), " +
-        s"i -> ${tokHashSql(s"substring(text, i, $ShingleLen)")} % ${P}L)"
-    val fp = t(s, dir, "documents")
-      .select(col("doc_id"), expr(positional).as("th"))
-      .select(col("doc_id"), explode(expr(
-        s"array_distinct(transform(sequence(1, greatest(size(th) - ${w - 1}, 1)), " +
-          s"j -> array_min(slice(th, j, $w))))")).as("fp"))
+    val fpArrays =
+      if (s.catalog.functionExists("winnow_fps"))
+        t(s, dir, "documents")
+          .select(col("doc_id"), expr("winnow_fps(coalesce(text, ''))").as("fps"))
+      else {
+        // staged th column: referenced twice below, so CollapseProject keeps
+        // the positional hash array materialized once per row
+        val positional =
+          s"transform(sequence(1, greatest(length(coalesce(text, '')) - ${ShingleLen - 1}, 1)), " +
+            s"i -> ${tokHashSql(s"substring(text, i, $ShingleLen)")} % ${P}L)"
+        t(s, dir, "documents")
+          .select(col("doc_id"), expr(positional).as("th"))
+          .select(col("doc_id"), expr(
+            s"array_distinct(transform(sequence(1, greatest(size(th) - ${w - 1}, 1)), " +
+              s"j -> array_min(slice(th, j, $w))))").as("fps"))
+      }
+    val fp = fpArrays.select(col("doc_id"), explode(col("fps")).as("fp"))
     val dfw = org.apache.spark.sql.expressions.Window.partitionBy("fp")
     val kept = fp.withColumn("df", count(lit(1)).over(dfw))
       .filter(col("df") <= WinnowMaxDf)
