@@ -34,17 +34,35 @@ object Bench {
     // per-query values rounded to ms so the stdout line stays small enough
     // for log-tail capture (VERDICT r2 item 2)
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
-      .mkString("{", ",", "}")
+    def qsJson(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     spark.stop()
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // the artifact is also written to a file so a truncated stdout tail can
-    // never lose the record (VERDICT r2 item 2)
+    val fullLine =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${qsJson(results)},"sf":"$sfDir"}"""
+    // The complete artifact always goes to a file (VERDICT r2 item 2) ...
     val out = new java.io.PrintWriter("/root/repo/bench_out.json")
-    try out.println(line) finally out.close()
+    try out.println(fullLine) finally out.close()
+    // ... but the driver parses the stdout TAIL, whose capture window is
+    // ~2 KB: with 90+ queries the full line's HEAD gets cut and the round's
+    // headline number becomes unverifiable (BENCH_r03 `parsed: null`). So the
+    // stdout line self-limits: slowest queries inline until the line would
+    // exceed the budget, the remainder summed into `others_sec` (total is
+    // always over ALL queries; the full per-query map is in bench_out.json).
+    val budget = 1500
+    val byCost = results.sortBy(-_._2)
+    def lineFor(k: Int): String = {
+      val kept = byCost.take(k).sortBy(_._1)
+      val rest = byCost.drop(k)
+      val others =
+        if (rest.isEmpty) ""
+        else s""","others_n":${rest.length},"others_sec":${r3(rest.map(_._2).sum)}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${qsJson(kept)}$others,"full":"bench_out.json","sf":"$sfDir"}"""
+    }
+    var k = results.length
+    while (k > 0 && lineFor(k).length > budget) k -= 1
     // the JSON line is the LAST stdout line, printed after spark.stop() so no
     // late executor logging can trail it.
-    println(line)
+    println(lineFor(k))
   }
 }
