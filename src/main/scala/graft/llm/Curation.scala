@@ -276,6 +276,60 @@ object Curation {
   /** Gopher-style repetition signals: duplicate 2-gram / 3-gram fractions
     * per doc (1 − distinct/total) and a keep/drop flag. Pure per-row
     * expressions — no shuffle at all before the output sort. */
+  /** Context-window chunking: every doc split into fixed 64-token chunks
+    * with an 8-token overlap (stride 56) — the dataloader prep step between
+    * curation and packing. Pure map stage (posexplode of per-row start
+    * offsets): no shuffle at all until the output sort, so it scales as a
+    * single scan at any corpus size. Each chunk carries its token span and
+    * a 60-bit content hash so a downstream exact-dedup can run AT CHUNK
+    * GRANULARITY (boilerplate paragraphs dedup away even when their parent
+    * docs differ). */
+  val ChunkSize = 64
+  val ChunkStride = 56
+  def chunkTokens(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        posexplode(expr(s"sequence(0, greatest(size(toks) - 1, 0), $ChunkStride)"))
+          .as(Seq("chunk_idx", "tok_start")))
+      .select(
+        col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("tok_start").cast("long").as("tok_start"),
+        least(lit(ChunkSize), size(col("toks")) - col("tok_start")).cast("long").as("n_tokens"),
+        tokHash(concat_ws(" ",
+          slice(col("toks"), col("tok_start") + 1, lit(ChunkSize)))).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_idx")
+
+  /** Model-based quality gate: a fixed-weight linear classifier over
+    * integer text features (the cheap stand-in for a fastText-style quality
+    * model — public practice scores every doc with a tiny model and
+    * thresholds). Weights are integer milli-units and every feature is an
+    * exact count, so the logit is a BIGINT — bit-identical on any engine,
+    * no sigmoid needed (thresholding the logit ≡ thresholding the
+    * probability). Pure map stage, shuffle-free. */
+  def qualityLogit(s: SparkSession, dir: String): DataFrame = {
+    val stop = TextAnalysis.Lexicons.flatMap(_._2).distinct
+    val stopArr = array(stop.map(lit): _*)
+    t(s, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("toks"), col("text"), col("n_chars"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("f_tokens"),
+        col("n_chars").as("f_chars"),
+        size(filter(col("toks"), tk => array_contains(stopArr, tk)))
+          .cast("long").as("f_stop"),
+        (length(col("text")) - length(regexp_replace(col("text"), "[0-9]", "")))
+          .cast("long").as("f_digits"),
+        size(array_distinct(col("toks"))).cast("long").as("f_distinct"))
+      // milli-weights: reward stopword density and vocabulary, penalize
+      // digit-heavy and ultra-short docs (bias -2000)
+      .withColumn("logit_milli",
+        lit(-2000L) + col("f_tokens") * 3 + col("f_stop") * 40 +
+          col("f_distinct") * 10 - col("f_digits") * 25)
+      .withColumn("keep", (col("logit_milli") > 0L).cast("int"))
+      .orderBy("doc_id")
+  }
+
   def repetition(s: SparkSession, dir: String): DataFrame = {
     def dupFrac(g: String): String =
       s"""CASE WHEN size($g) > 0 THEN

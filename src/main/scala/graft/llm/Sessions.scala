@@ -119,4 +119,28 @@ object Sessions {
         unix_millis(col("window.start")).as("hour_ms"),
         col("event_type"), col("n"), col("total"))
       .orderBy("hour_ms", "event_type")
+
+  /** Last-touch attribution: each purchase is credited to the user's most
+    * recent PRECEDING non-purchase event (strictly before — frame ends at
+    * 1 PRECEDING, so simultaneous events never self-attribute). One ordered
+    * window per user — the same single user_id exchange as sessionize, with
+    * an ignoreNulls last() instead of a per-purchase range join that would
+    * be O(purchases × events) per user. Purchases before any touch surface
+    * with NULL attribution (they are the unattributable cohort, a real
+    * answer — not dropped). */
+  def attribution(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col("event_type") =!= "purchase", col("event_type"))
+    val touchTs = when(col("event_type") =!= "purchase", col("ts"))
+    t(s, dir, "events")
+      .withColumn("attr_type", last(touch, ignoreNulls = true).over(w))
+      .withColumn("attr_ts", last(touchTs, ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), nsToMs("ts").as("ts_ms"),
+        col("attr_type"), expr("attr_ts div 1000000").as("attr_ms"),
+        col("value"))
+      .orderBy("event_id")
+  }
 }

@@ -336,4 +336,31 @@ object Similarity {
       expr("aggregate(transform(embedding, x -> abs(CAST(x AS DOUBLE))), 0D, (acc, v) -> acc + v)").as("l1"),
       expr("aggregate(transform(slice(embedding, 1, 8), x -> CAST(x AS DOUBLE)), 0D, (acc, v) -> acc + v)").as("s8"),
     ).orderBy("vec_id")
+
+  /** int8 scalar quantization with a per-vector max-abs scale — the storage
+    * form a 100 TB embedding corpus actually keeps (4× smaller + SIMD-able;
+    * IVF/LSH serve lists store codes, not floats). Per row: code_i =
+    * floor(x_i·127/maxabs + 0.5) ∈ [-127, 127], plus the exact L2² dequant
+    * error as the fidelity audit. Every op is IEEE-exact (multiply, divide,
+    * floor — no round(), whose half-way rule differs across engines) with a
+    * fixed left-to-right error accumulation, so DuckDB reproduces the codes
+    * AND the error bit-for-bit. Pure map stage, shuffle-free. */
+  def quantize(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        expr("aggregate(transform(embedding, x -> abs(CAST(x AS DOUBLE))), 0D, (acc, v) -> greatest(acc, v))")
+          .as("maxabs"))
+      .select(
+        col("vec_id"), col("maxabs"),
+        expr("""CASE WHEN maxabs > 0D THEN
+                  transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0D / maxabs + 0.5D) AS INT))
+                ELSE transform(embedding, x -> 0) END""").as("codes"),
+        expr("""CASE WHEN maxabs > 0D THEN
+                  aggregate(zip_with(embedding,
+                      transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0D / maxabs + 0.5D) AS INT)),
+                      (x, q) -> (CAST(x AS DOUBLE) - CAST(q AS DOUBLE) * maxabs / 127.0D)
+                              * (CAST(x AS DOUBLE) - CAST(q AS DOUBLE) * maxabs / 127.0D)),
+                    0D, (acc, v) -> acc + v)
+                ELSE 0D END""").as("l2_err"))
+      .orderBy("vec_id")
 }

@@ -256,4 +256,54 @@ object Joins {
         col("last_q_value").as("quote_value"))
       .orderBy("event_id")
   }
+
+  /** Shipping-priority report (TPC-H Q3 shape): unshipped revenue of
+    * BUILDING-segment orders placed before the cutoff, top 10 by revenue.
+    * The optimizer-relevant structure: both fact scans carry pushed date
+    * filters, customer is pruned to its join key before the join (only the
+    * segment predicate survives), and the top-10 is TakeOrderedAndProject —
+    * no global sort materializes the full aggregate at any scale. Customer
+    * grows with SF so it carries no broadcast hint (same rationale as
+    * `multi`). */
+  def shipPriority(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = "1998-01-01"
+    val c = t(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val o = t(s, dir, "orders").filter(col("o_orderdate") < lit(cutoff))
+    val li = t(s, dir, "lineitem").filter(col("l_shipdate") > lit(cutoff))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(dsum10(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** Local-supplier revenue by nation (TPC-H Q5 shape): ASIA-region 1996
+    * revenue where the supplier and the ordering customer share a nation.
+    * The distinctive join topology: supplier joins lineitem on l_suppkey AND
+    * customer on nationkey simultaneously — a cycle in the join graph, not a
+    * star. nation/region are fixed-size → broadcast; customer and supplier
+    * grow with SF → no hint (planner/AQE decides). */
+  def regionRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1997-01-01"))
+    val c = t(s, dir, "customer")
+    val sup = t(s, dir, "supplier")
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(sup, li("l_suppkey") === sup("s_suppkey") &&
+        c("c_nationkey") === sup("s_nationkey"))
+      .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy("n_name")
+      .agg(dsum10(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
 }
