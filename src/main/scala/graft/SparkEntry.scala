@@ -121,6 +121,16 @@ object SparkEntry {
     "q_retention"          -> (Sessions.retention _),
     "q_window_tumbling"    -> (Sessions.tumbling _),
     "q_scd2_history"       -> (GroupA.scd2History _),
+    // round 5: the six round-4 operators wired into the verified surface,
+    // plus the two compositions they exist for (chunk-level dedup, int8 serve)
+    "q_chunk_tokens"       -> (graft.llm.Curation.chunkTokens _),
+    "q_dedup_chunk"        -> (graft.llm.Curation.chunkDedup _),
+    "q_quality_logit"      -> (graft.llm.Curation.qualityLogit _),
+    "q_event_attribution"  -> (Sessions.attribution _),
+    "q_embed_quantize"     -> (Similarity.quantize _),
+    "q_sim_ivf_quantized"  -> (Similarity.ivfQuantizedTopK _),
+    "q_join_ship_priority" -> (Joins.shipPriority _),
+    "q_join_region_revenue" -> (Joins.regionRevenue _),
   )
 
   /** DECIMAL-staged exact sum, surfaced as DOUBLE (matches Tables.dsum2).
@@ -249,6 +259,43 @@ object SparkEntry {
         bits AS (SELECT doc_id, $sums FROM hh GROUP BY doc_id),
         sh AS (SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM bits)"""
   }
+
+  /** Shared chunking CTEs ending in chks(doc_id, chunk_idx, tok_start,
+    * n_tokens, chunk_hash) — twin of Curation.chunkRows: stride-56 starts,
+    * capped so the last start still ADDS tokens past the previous chunk's
+    * end (no fully-contained straggler chunk), null text → empty string. */
+  private def chunkCtes: String = {
+    import graft.llm.Curation.{ChunkSize, ChunkStride, ChunkOverlap}
+    s"""ctoks AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks FROM documents),
+        cstart AS (SELECT doc_id, toks,
+                     unnest(generate_series(0, greatest(len(toks) - ${ChunkOverlap + 1}, 0), $ChunkStride)) AS tok_start
+                   FROM ctoks),
+        chks AS (SELECT doc_id, tok_start // $ChunkStride AS chunk_idx, tok_start,
+                        least($ChunkSize, len(toks) - tok_start) AS n_tokens,
+                        ${dTokHash(s"array_to_string(toks[tok_start+1:tok_start+$ChunkSize], ' ')")} AS chunk_hash
+                 FROM cstart)"""
+  }
+
+  /** All five language lexicons flattened, distinct — twin of the stopword
+    * array qualityLogit builds from TextAnalysis.Lexicons. */
+  private def allStopList: String =
+    TextAnalysis.Lexicons.flatMap(_._2).distinct.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** int8 dequantization CTEs ending in e(vec_id, embedding, nrm) where
+    * `embedding` is the DEQUANTIZED double list — twin of the
+    * quantCodes→dequant stage of Similarity.ivfQuantizedTopK (floor-based
+    * codes, code·maxabs/127 reconstruction, left-to-right norm). */
+  private def dequantCtes: String =
+    s"""qz AS (SELECT vec_id, embedding AS fl,
+               list_max([abs(CAST(embedding[i] AS DOUBLE)) for i in generate_series(1, len(embedding))]) AS maxabs
+             FROM embeddings),
+        deq AS (SELECT vec_id,
+               CASE WHEN maxabs > 0 THEN
+                 [CAST(floor(CAST(fl[i] AS DOUBLE) * 127.0 / maxabs + 0.5) AS INT) * maxabs / 127.0
+                  for i in generate_series(1, len(fl))]
+               ELSE [CAST(0 AS DOUBLE) for i in generate_series(1, len(fl))] END AS embedding
+             FROM qz),
+        e AS (SELECT vec_id, embedding, ${dNorm("embedding")} AS nrm FROM deq)"""
 
   def oracleSql: Map[String, String] = Map(
     "q_project_rename" ->
@@ -1053,5 +1100,104 @@ object SparkEntry {
          SELECT o_custkey, status, valid_from, valid_to,
                 (valid_to IS NULL) AS is_current
          FROM hist ORDER BY o_custkey, valid_from, status""",
+    "q_chunk_tokens" ->
+      s"""WITH $chunkCtes
+          SELECT doc_id, chunk_idx, tok_start, n_tokens, chunk_hash
+          FROM chks ORDER BY doc_id, chunk_idx""",
+    "q_dedup_chunk" ->
+      s"""WITH $chunkCtes
+          SELECT chunk_hash, min(doc_id) AS rep_doc_id, count(*) AS n_copies,
+                 count(DISTINCT doc_id) AS n_docs
+          FROM chks GROUP BY 1 ORDER BY chunk_hash""",
+    "q_quality_logit" ->
+      s"""WITH x AS (SELECT doc_id,
+                 string_split(text, ' ') AS toks, text, n_chars FROM documents),
+          f AS (SELECT doc_id,
+                 CAST(len(toks) AS BIGINT) AS f_tokens,
+                 n_chars AS f_chars,
+                 CAST(len(list_filter(toks, tk -> list_contains($allStopList, tk))) AS BIGINT) AS f_stop,
+                 CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS f_digits,
+                 CAST(len(list_distinct(toks)) AS BIGINT) AS f_distinct
+              FROM x)
+          SELECT doc_id, f_tokens, f_chars, f_stop, f_digits, f_distinct,
+                 -2000 + f_tokens * 3 + f_chars * 1 + f_stop * 40
+                       + f_distinct * 10 - f_digits * 25 AS logit_milli,
+                 CAST(logit_milli > 0 AS INT) AS keep
+          FROM f ORDER BY doc_id""",
+    "q_event_attribution" ->
+      """WITH x AS (
+           SELECT event_id, user_id, ts, value, event_type,
+                  last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+                    OVER w AS attr_type,
+                  last_value(CASE WHEN event_type <> 'purchase' THEN ts END IGNORE NULLS)
+                    OVER w AS attr_ts
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+         SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, attr_type,
+                epoch_ms(attr_ts) AS attr_ms, value
+         FROM x WHERE event_type = 'purchase' ORDER BY event_id""",
+    "q_embed_quantize" ->
+      """WITH qz AS (SELECT vec_id, embedding,
+               list_max([abs(CAST(embedding[i] AS DOUBLE)) for i in generate_series(1, len(embedding))]) AS maxabs
+             FROM embeddings),
+          c AS (SELECT vec_id, maxabs, embedding,
+                  CASE WHEN maxabs > 0 THEN
+                    [CAST(floor(CAST(embedding[i] AS DOUBLE) * 127.0 / maxabs + 0.5) AS INT)
+                     for i in generate_series(1, len(embedding))]
+                  ELSE [0 for i in generate_series(1, len(embedding))] END AS codes
+                FROM qz)
+          SELECT vec_id, maxabs, codes,
+                 CASE WHEN maxabs > 0 THEN
+                   list_sum([(CAST(embedding[i] AS DOUBLE) - CAST(codes[i] AS DOUBLE) * maxabs / 127.0)
+                             * (CAST(embedding[i] AS DOUBLE) - CAST(codes[i] AS DOUBLE) * maxabs / 127.0)
+                             for i in generate_series(1, len(embedding))])
+                 ELSE CAST(0 AS DOUBLE) END AS l2_err
+          FROM c ORDER BY vec_id""",
+    "q_sim_ivf_quantized" ->
+      s"""WITH $dequantCtes,
+          cent AS (SELECT vec_id AS cent_id, embedding AS c_emb, nrm AS c_nrm
+                   FROM e WHERE vec_id < ${Similarity.Cells}),
+          rc AS (SELECT e.vec_id, e.embedding, e.nrm, cent.cent_id,
+                        row_number() OVER (PARTITION BY e.vec_id
+                          ORDER BY ${dDot("e.embedding", "cent.c_emb")} / (e.nrm * cent.c_nrm) DESC,
+                                   cent.cent_id) AS crn
+                 FROM e, cent),
+          asg AS (SELECT vec_id, embedding, nrm, cent_id FROM rc WHERE crn = 1),
+          probes AS (SELECT vec_id AS q_id, cent_id FROM rc
+                     WHERE crn <= ${Similarity.NProbe} AND vec_id < 8),
+          q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm FROM e WHERE vec_id < 8),
+          c AS (SELECT p.q_id, a.vec_id AS n_id,
+                       ${dDot("q.q_emb", "a.embedding")} / (q.q_nrm * a.nrm) AS cos
+                FROM probes p
+                JOIN asg a ON p.cent_id = a.cent_id AND a.vec_id <> p.q_id
+                JOIN q ON q.q_id = p.q_id),
+          r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS "rank" FROM c)
+          SELECT q_id, n_id, cos, "rank" FROM r WHERE "rank" <= 10 ORDER BY q_id, "rank"""",
+    "q_join_ship_priority" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+                CAST(CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+           AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+         GROUP BY 1, 2, 3
+         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "q_join_region_revenue" ->
+      """SELECT n_name,
+                CAST(CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS revenue,
+                count(*) AS n
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         GROUP BY 1 ORDER BY revenue DESC, n_name""",
   )
 }

@@ -273,9 +273,6 @@ object Curation {
       .orderBy("doc_id")
   }
 
-  /** Gopher-style repetition signals: duplicate 2-gram / 3-gram fractions
-    * per doc (1 − distinct/total) and a keep/drop flag. Pure per-row
-    * expressions — no shuffle at all before the output sort. */
   /** Context-window chunking: every doc split into fixed 64-token chunks
     * with an 8-token overlap (stride 56) — the dataloader prep step between
     * curation and packing. Pure map stage (posexplode of per-row start
@@ -283,14 +280,26 @@ object Curation {
     * single scan at any corpus size. Each chunk carries its token span and
     * a 60-bit content hash so a downstream exact-dedup can run AT CHUNK
     * GRANULARITY (boilerplate paragraphs dedup away even when their parent
-    * docs differ). */
+    * docs differ).
+    *
+    * Start offsets run while a chunk still ADDS tokens: a start `s > 0`
+    * contributes only tokens past the previous chunk's end (`s + overlap`),
+    * so the last start is capped at `size − overlap − 1` — a straggler
+    * start inside the previous chunk's span would emit a chunk fully
+    * contained in it (pure duplicate noise for chunk-level dedup). Null
+    * text coalesces to the empty string (one 1-token chunk, total). */
   val ChunkSize = 64
   val ChunkStride = 56
-  def chunkTokens(s: SparkSession, dir: String): DataFrame =
+  val ChunkOverlap: Int = ChunkSize - ChunkStride
+
+  /** The chunk rows without the presentation sort — shared by the
+    * registered query and the chunk-granularity dedup. */
+  private[graft] def chunkRows(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), tokens(coalesce(col("text"), lit(""))).as("toks"))
       .select(col("doc_id"), col("toks"),
-        posexplode(expr(s"sequence(0, greatest(size(toks) - 1, 0), $ChunkStride)"))
+        posexplode(expr(
+          s"sequence(0, greatest(size(toks) - ${ChunkOverlap + 1}, 0), $ChunkStride)"))
           .as(Seq("chunk_idx", "tok_start")))
       .select(
         col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
@@ -298,7 +307,24 @@ object Curation {
         least(lit(ChunkSize), size(col("toks")) - col("tok_start")).cast("long").as("n_tokens"),
         tokHash(concat_ws(" ",
           slice(col("toks"), col("tok_start") + 1, lit(ChunkSize)))).as("chunk_hash"))
-      .orderBy("doc_id", "chunk_idx")
+
+  def chunkTokens(s: SparkSession, dir: String): DataFrame =
+    chunkRows(s, dir).orderBy("doc_id", "chunk_idx")
+
+  /** Chunk-granularity exact dedup — the reason chunks carry a content
+    * hash: boilerplate paragraphs repeated across DIFFERENT parent docs
+    * collapse here even though whole-doc dedup keeps both parents. One
+    * groupBy on the chunk hash (the shuffle key is the digest, same
+    * posture as doc-level exact dedup); membership surfaces as counts +
+    * min-id representative, never a collected list. */
+  def chunkDedup(s: SparkSession, dir: String): DataFrame =
+    chunkRows(s, dir)
+      .groupBy("chunk_hash")
+      .agg(
+        min(col("doc_id")).as("rep_doc_id"),
+        count(lit(1)).as("n_copies"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy("chunk_hash")
 
   /** Model-based quality gate: a fixed-weight linear classifier over
     * integer text features (the cheap stand-in for a fastText-style quality
@@ -321,15 +347,19 @@ object Curation {
         (length(col("text")) - length(regexp_replace(col("text"), "[0-9]", "")))
           .cast("long").as("f_digits"),
         size(array_distinct(col("toks"))).cast("long").as("f_distinct"))
-      // milli-weights: reward stopword density and vocabulary, penalize
-      // digit-heavy and ultra-short docs (bias -2000)
+      // milli-weights: reward stopword density, vocabulary, and raw length,
+      // penalize digit-heavy and ultra-short docs (bias -2000); every
+      // emitted feature carries a weight so none is dead in the classifier
       .withColumn("logit_milli",
-        lit(-2000L) + col("f_tokens") * 3 + col("f_stop") * 40 +
+        lit(-2000L) + col("f_tokens") * 3 + col("f_chars") * 1 + col("f_stop") * 40 +
           col("f_distinct") * 10 - col("f_digits") * 25)
       .withColumn("keep", (col("logit_milli") > 0L).cast("int"))
       .orderBy("doc_id")
   }
 
+  /** Gopher-style repetition signals: duplicate 2-gram / 3-gram fractions
+    * per doc (1 − distinct/total) and a keep/drop flag. Pure per-row
+    * expressions — no shuffle at all before the output sort. */
   def repetition(s: SparkSession, dir: String): DataFrame = {
     def dupFrac(g: String): String =
       s"""CASE WHEN size($g) > 0 THEN

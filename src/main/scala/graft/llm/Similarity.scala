@@ -174,8 +174,13 @@ object Similarity {
     * a query probes its NProbe nearest cells and ranks candidates by exact
     * cosine within them. The cell id is the join/shuffle key — the classic
     * inverted-file layout. */
-  def ivfTopK(s: SparkSession, dir: String): DataFrame = {
-    val e = withNorm(s, dir)
+  def ivfTopK(s: SparkSession, dir: String): DataFrame =
+    ivfFirstCellsTopK(s, withNorm(s, dir))
+
+  /** The untrained-IVF serving plan (first-`Cells`-ids centroids) over an
+    * arbitrary (vec_id, embedding, nrm) corpus frame — shared by the float
+    * path (`ivfTopK`) and the int8-dequant path (`ivfQuantizedTopK`). */
+  private def ivfFirstCellsTopK(s: SparkSession, e: DataFrame): DataFrame = {
     val cent = e.filter(col("vec_id") < Cells).select(
       col("vec_id").as("cent_id"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
     // rank every (vector, centroid) pair once; reused for assignment (rn=1)
@@ -345,22 +350,43 @@ object Similarity {
     * floor — no round(), whose half-way rule differs across engines) with a
     * fixed left-to-right error accumulation, so DuckDB reproduces the codes
     * AND the error bit-for-bit. Pure map stage, shuffle-free. */
-  def quantize(s: SparkSession, dir: String): DataFrame =
+  /** Shared quantization core: per-vector max-abs scale + int8 codes
+    * (vec_id, embedding, maxabs, codes). Pure map stage. */
+  private def quantCodes(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"),
         expr("aggregate(transform(embedding, x -> abs(CAST(x AS DOUBLE))), 0D, (acc, v) -> greatest(acc, v))")
           .as("maxabs"))
-      .select(
-        col("vec_id"), col("maxabs"),
+      .select(col("vec_id"), col("embedding"), col("maxabs"),
         expr("""CASE WHEN maxabs > 0D THEN
                   transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0D / maxabs + 0.5D) AS INT))
-                ELSE transform(embedding, x -> 0) END""").as("codes"),
+                ELSE transform(embedding, x -> 0) END""").as("codes"))
+
+  def quantize(s: SparkSession, dir: String): DataFrame =
+    quantCodes(s, dir)
+      .select(
+        col("vec_id"), col("maxabs"), col("codes"),
         expr("""CASE WHEN maxabs > 0D THEN
-                  aggregate(zip_with(embedding,
-                      transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0D / maxabs + 0.5D) AS INT)),
+                  aggregate(zip_with(embedding, codes,
                       (x, q) -> (CAST(x AS DOUBLE) - CAST(q AS DOUBLE) * maxabs / 127.0D)
                               * (CAST(x AS DOUBLE) - CAST(q AS DOUBLE) * maxabs / 127.0D)),
                     0D, (acc, v) -> acc + v)
                 ELSE 0D END""").as("l2_err"))
       .orderBy("vec_id")
+
+  /** IVF ANN served FROM THE int8 CODES — what a 100 TB deployment actually
+    * runs: the serve path reads 4×-smaller quantized lists and reconstructs
+    * values on the fly (`code · maxabs / 127`, IEEE-exact), never touching
+    * the float corpus. Same untrained-IVF topology as `ivfTopK` (cell id is
+    * the shuffle key); every arithmetic step is deterministic double ops on
+    * dequantized values, so the DuckDB oracle reproduces ranks AND cosines
+    * bit-for-bit. Recall vs the float serve is asserted in
+    * QuantizedServeSpec. */
+  def ivfQuantizedTopK(s: SparkSession, dir: String): DataFrame = {
+    val deq = quantCodes(s, dir)
+      .select(col("vec_id"),
+        expr("transform(codes, q -> CAST(q AS DOUBLE) * maxabs / 127.0D)").as("embedding"))
+      .withColumn("nrm", expr(normFor(s)("embedding")))
+    ivfFirstCellsTopK(s, deq)
+  }
 }

@@ -1,0 +1,44 @@
+package graft.llm
+
+import graft.SparkSpec
+
+/** The int8 serve path (Similarity.ivfQuantizedTopK) against the float
+  * serve as truth: quantization must not wreck retrieval (recall@10), and
+  * the recorded dequantization error must respect the analytic per-element
+  * bound — which is what makes `quantize` a usable storage format rather
+  * than a demo. */
+class QuantizedServeSpec extends SparkSpec {
+
+  test("quantized IVF serve keeps high recall vs the float serve") {
+    val fl = Similarity.ivfTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    val qz = Similarity.ivfQuantizedTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    assert(fl.keySet == qz.keySet, "same query set on both paths")
+    val recalls = fl.keys.toSeq.map { q =>
+      val a = fl(q).map(_._2).toSet
+      val b = qz(q).map(_._2).toSet
+      a.intersect(b).size.toDouble / a.size
+    }
+    val mean = recalls.sum / recalls.length
+    assert(mean >= 0.8, s"mean recall@10 $mean (per-query: $recalls)")
+  }
+
+  test("dequantization error respects the analytic bound") {
+    // per element |x - q·s/127| <= s/254 + ulp slack, so L2^2 <= d·(s/254)^2
+    val rows = Similarity.quantize(spark, sf)
+      .selectExpr("size(codes) AS d", "maxabs", "l2_err").collect()
+    rows.foreach { r =>
+      val d = r.getInt(0); val s = r.getDouble(1); val err = r.getDouble(2)
+      val bound = d * math.pow(s / 254.0, 2) * (1.0 + 1e-9)
+      assert(err <= bound, s"l2_err $err exceeds bound $bound (d=$d, maxabs=$s)")
+    }
+  }
+
+  test("codes stay within the int8 range") {
+    val bad = Similarity.quantize(spark, sf)
+      .selectExpr("vec_id", "filter(codes, c -> c < -127 OR c > 127) AS oob")
+      .where("size(oob) > 0").count()
+    assert(bad == 0L)
+  }
+}

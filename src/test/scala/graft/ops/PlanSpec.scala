@@ -127,6 +127,36 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("round-5 TPC-H shapes: pushdown, pruned customer, top-k, broadcast dims") {
+    val p3 = plan("q_join_ship_priority")
+    // both fact scans carry pushed date filters; top-10 never global-sorts
+    assert(p3.contains("PushedFilters") && p3.contains("LessThan(o_orderdate"), p3)
+    assert(p3.contains("GreaterThan(l_shipdate"), p3)
+    assert(p3.contains("TakeOrderedAndProject"), p3)
+    assert(!p3.contains("CartesianProduct"), p3)
+    val p5 = plan("q_join_region_revenue")
+    // nation + region broadcast (hinted, fixed-size); date filter pushed
+    assert("BroadcastExchange".r.findAllIn(p5).size >= 2, p5)
+    assert(p5.contains("GreaterThanOrEqual(o_orderdate"), p5)
+    assert(!p5.contains("CartesianProduct"), p5)
+  }
+
+  test("round-5 chunk/quality/attribution shuffle posture") {
+    // chunking + quality logit: pure map stages before the output sort
+    for (q <- Seq("q_chunk_tokens", "q_quality_logit")) {
+      val p = plan(q)
+      assert(!p.contains("hashpartitioning"), s"$q: $p")
+      assert(!p.contains("SinglePartition"), s"$q: $p")
+    }
+    // chunk dedup shuffles ONCE, on the digest
+    val pd = plan("q_dedup_chunk")
+    assert(pd.contains("hashpartitioning(chunk_hash"), pd)
+    // attribution: one user_id window exchange, never a global window
+    val pa = plan("q_event_attribution")
+    assert(pa.contains("hashpartitioning(user_id"), pa)
+    assert(!pa.contains("SinglePartition"), pa)
+  }
+
   test("EVERY registered query plans without scale-killers") {
     // catch-all regression net over the whole surface: no cartesian product,
     // no unbounded per-group array aggregation, no single-partition exchange

@@ -17,6 +17,12 @@ def norm(v):
         if math.isnan(v):
             return "NaN"
         return v
+    # array columns come back as numpy arrays (Spark) / lists (DuckDB):
+    # normalize both to tuples so == compares element-wise values
+    if hasattr(v, "tolist"):
+        return tuple(norm(x) for x in v.tolist())
+    if isinstance(v, (list, tuple)):
+        return tuple(norm(x) for x in v)
     return v
 
 def main(sf_dir, out_dir):
