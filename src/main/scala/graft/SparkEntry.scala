@@ -131,6 +131,8 @@ object SparkEntry {
     "q_sim_ivf_quantized"  -> (Similarity.ivfQuantizedTopK _),
     "q_join_ship_priority" -> (Joins.shipPriority _),
     "q_join_region_revenue" -> (Joins.regionRevenue _),
+    "q_text_tfidf"         -> (TextAnalysis.tfidf _),
+    "q_chunk_pack"         -> (graft.llm.Curation.chunkPack _),
   )
 
   /** DECIMAL-staged exact sum, surfaced as DOUBLE (matches Tables.dsum2).
@@ -266,11 +268,11 @@ object SparkEntry {
     * end (no fully-contained straggler chunk), null text → empty string. */
   private def chunkCtes: String = {
     import graft.llm.Curation.{ChunkSize, ChunkStride, ChunkOverlap}
-    s"""ctoks AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks FROM documents),
-        cstart AS (SELECT doc_id, toks,
+    s"""ctoks AS (SELECT doc_id, source, string_split(coalesce(text, ''), ' ') AS toks FROM documents),
+        cstart AS (SELECT doc_id, source, toks,
                      unnest(generate_series(0, greatest(len(toks) - ${ChunkOverlap + 1}, 0), $ChunkStride)) AS tok_start
                    FROM ctoks),
-        chks AS (SELECT doc_id, tok_start // $ChunkStride AS chunk_idx, tok_start,
+        chks AS (SELECT doc_id, source, tok_start // $ChunkStride AS chunk_idx, tok_start,
                         least($ChunkSize, len(toks) - tok_start) AS n_tokens,
                         ${dTokHash(s"array_to_string(toks[tok_start+1:tok_start+$ChunkSize], ' ')")} AS chunk_hash
                  FROM cstart)"""
@@ -1199,5 +1201,33 @@ object SparkEntry {
            AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
            AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
          GROUP BY 1 ORDER BY revenue DESC, n_name""",
+    // tf-idf in the log-free rational form: score = tf·N/df is ONE
+    // correctly-rounded IEEE division of exact BIGINT operands — log()
+    // would hand the value to each platform's libm
+    "q_text_tfidf" ->
+      """WITH dt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+         tf AS (SELECT doc_id, token, count(*) AS tf FROM dt GROUP BY 1, 2),
+         df AS (SELECT token, count(*) AS df
+                FROM (SELECT DISTINCT doc_id, token FROM dt) GROUP BY 1),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         sc AS (SELECT tf.doc_id, tf.token, tf.tf, df.df,
+                       CAST(tf.tf * n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE) AS score,
+                       CAST(row_number() OVER (PARTITION BY tf.doc_id
+                         ORDER BY CAST(tf.tf * n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE) DESC,
+                                  tf.token) AS BIGINT) AS rnk
+                FROM tf JOIN df USING (token), n)
+         SELECT doc_id, rnk, token, tf, df, score
+         FROM sc WHERE rnk <= 3 ORDER BY doc_id, rnk""",
+    "q_chunk_pack" ->
+      s"""WITH $chunkCtes,
+          p AS (SELECT doc_id, chunk_idx, source, n_tokens,
+                  COALESCE(CAST(SUM(n_tokens) OVER (PARTITION BY source
+                    ORDER BY doc_id, chunk_idx
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS tok_before
+                FROM chks)
+          SELECT doc_id, chunk_idx, source, n_tokens,
+                 tok_before // ${graft.llm.Curation.PackBudget} AS bin_id,
+                 tok_before % ${graft.llm.Curation.PackBudget} AS bin_offset
+          FROM p ORDER BY doc_id, chunk_idx""",
   )
 }

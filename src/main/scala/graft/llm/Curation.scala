@@ -293,20 +293,25 @@ object Curation {
   val ChunkOverlap: Int = ChunkSize - ChunkStride
 
   /** The chunk rows without the presentation sort — shared by the
-    * registered query and the chunk-granularity dedup. */
-  private[graft] def chunkRows(s: SparkSession, dir: String): DataFrame =
+    * registered query, the chunk-granularity dedup, and chunk packing
+    * (`extra` carries pass-through document columns so downstream shard
+    * keys need no join back to the parent table). */
+  private[graft] def chunkRows(s: SparkSession, dir: String,
+                               extra: Seq[String] = Nil): DataFrame = {
+    val ex = extra.map(col)
     t(s, dir, "documents")
-      .select(col("doc_id"), tokens(coalesce(col("text"), lit(""))).as("toks"))
-      .select(col("doc_id"), col("toks"),
+      .select(Seq(col("doc_id"), tokens(coalesce(col("text"), lit(""))).as("toks")) ++ ex: _*)
+      .select(Seq(col("doc_id"), col("toks")) ++ ex :+
         posexplode(expr(
           s"sequence(0, greatest(size(toks) - ${ChunkOverlap + 1}, 0), $ChunkStride)"))
-          .as(Seq("chunk_idx", "tok_start")))
-      .select(
+          .as(Seq("chunk_idx", "tok_start")): _*)
+      .select(Seq(
         col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
         col("tok_start").cast("long").as("tok_start"),
         least(lit(ChunkSize), size(col("toks")) - col("tok_start")).cast("long").as("n_tokens"),
         tokHash(concat_ws(" ",
-          slice(col("toks"), col("tok_start") + 1, lit(ChunkSize)))).as("chunk_hash"))
+          slice(col("toks"), col("tok_start") + 1, lit(ChunkSize)))).as("chunk_hash")) ++ ex: _*)
+  }
 
   def chunkTokens(s: SparkSession, dir: String): DataFrame =
     chunkRows(s, dir).orderBy("doc_id", "chunk_idx")
@@ -325,6 +330,25 @@ object Curation {
         count(lit(1)).as("n_copies"),
         countDistinct(col("doc_id")).as("n_docs"))
       .orderBy("chunk_hash")
+
+  /** Chunks packed into fixed token-budget bins — the chunk-granularity
+    * twin of `packSequences` and the last hop of the chunk → dedup → pack
+    * dataloader path: each source's chunk stream (ordered by doc, then
+    * chunk position) is laid head-to-tail into `PackBudget`-token bins.
+    * The running sum windows on the SHARD key (source), exactly like
+    * packSequences — per-shard linear state, never a global window. */
+  def chunkPack(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id", "chunk_idx")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    chunkRows(s, dir, Seq("source"))
+      .withColumn("tok_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(
+        col("doc_id"), col("chunk_idx"), col("source"), col("n_tokens"),
+        expr(s"tok_before div $PackBudget").as("bin_id"),
+        (col("tok_before") % PackBudget).as("bin_offset"))
+      .orderBy("doc_id", "chunk_idx")
+  }
 
   /** Model-based quality gate: a fixed-weight linear classifier over
     * integer text features (the cheap stand-in for a fastText-style quality

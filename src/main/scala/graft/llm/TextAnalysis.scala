@@ -37,6 +37,35 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("token"))
       .limit(100)
 
+  /** TF-IDF-style term salience, exactly: per doc, the top-3 tokens by
+    * `tf · N / df` (term frequency × inverse document frequency, the
+    * log-free rational form — one correctly-rounded IEEE division of exact
+    * BIGINT operands, so both engines produce identical bits; `log` would
+    * hand the score to each platform's libm). The topology is the
+    * downsized form of the real corpus job: tf is a (doc, token) count,
+    * df a token-keyed distinct-doc count, the two meet in a token-keyed
+    * equi-join (shuffle carries the vocabulary, never doc×vocab), and the
+    * per-doc top-3 is a WindowGroupLimit — no global sort of the scored
+    * pairs. N rides in as a 1-row broadcast (same pattern as
+    * q_stats_skew's total). */
+  def tfidf(s: SparkSession, dir: String): DataFrame = {
+    val docToks = t(s, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val tf = docToks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = docToks.distinct().groupBy("token").agg(count(lit(1)).as("df"))
+    val n = t(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("token"))
+    tf.join(df, "token")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        (col("tf") * col("n_docs")).cast("double") / col("df").cast("double"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk"), col("token"), col("tf"), col("df"), col("score"))
+      .orderBy("doc_id", "rnk")
+  }
+
   /** Corpus stats by (lang, source): doc count, char totals, token totals. */
   def stats(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")

@@ -155,6 +155,14 @@ class PlanSpec extends SparkSpec {
     val pa = plan("q_event_attribution")
     assert(pa.contains("hashpartitioning(user_id"), pa)
     assert(!pa.contains("SinglePartition"), pa)
+    // chunk packing windows by the shard key, like q_pack_sequences
+    val pp = plan("q_chunk_pack")
+    assert(pp.contains("hashpartitioning(source"), pp)
+    assert(!pp.contains("SinglePartition"), pp)
+    // tf-idf per-doc top-3 is a WindowGroupLimit, not a global sort
+    val pt = plan("q_text_tfidf")
+    assert(pt.contains("WindowGroupLimit"), pt)
+    assert(!pt.contains("CartesianProduct"), pt)
   }
 
   test("EVERY registered query plans without scale-killers") {
@@ -170,7 +178,9 @@ class PlanSpec extends SparkSpec {
     // result, after map-side partial aggregation; the single partition
     // carries ~32 rows at any corpus size, not data volume (Joins.antiNull,
     // Profile.profile).
-    val scalarAggs = Set("q_join_anti_null", "q_stats_profile", "q_stats_skew")
+    // q_text_tfidf's N is the same 1-row broadcast total as q_stats_skew's
+    val scalarAggs = Set("q_join_anti_null", "q_stats_profile", "q_stats_skew",
+      "q_text_tfidf")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
       val p = plan(q)
       Seq(
