@@ -46,7 +46,11 @@ object Bench {
     // bench_out.json stays the canonical pointer and is written ONLY by a
     // full-surface run — its "sf" field identifies the run that produced it.
     val sfName = new java.io.File(sfDir).getName
-    val artifact = s"/root/repo/bench_out_$sfName.json"
+    // subset (dev/stress) runs get their own artifact: a partial total must
+    // never overwrite a full-surface per-SF artifact
+    val artifact =
+      if (args.isEmpty) s"/root/repo/bench_out_$sfName.json"
+      else s"/root/repo/bench_out_${sfName}_subset.json"
     def write(path: String): Unit = {
       val out = new java.io.PrintWriter(path)
       try out.println(fullLine) finally out.close()

@@ -133,6 +133,8 @@ object SparkEntry {
     "q_join_region_revenue" -> (Joins.regionRevenue _),
     "q_text_tfidf"         -> (TextAnalysis.tfidf _),
     "q_chunk_pack"         -> (graft.llm.Curation.chunkPack _),
+    "q_dedup_embed_components" -> (Dedup.embedComponents _),
+    "q_sample_temperature" -> (graft.llm.Curation.temperatureSample _),
   )
 
   /** DECIMAL-staged exact sum, surfaced as DOUBLE (matches Tables.dsum2).
@@ -1229,5 +1231,42 @@ object SparkEntry {
                  tok_before // ${graft.llm.Curation.PackBudget} AS bin_id,
                  tok_before % ${graft.llm.Curation.PackBudget} AS bin_offset
           FROM p ORDER BY doc_id, chunk_idx""",
+    // semantic dedup clusters: transitive closure over the LSH-blocked
+    // cosine edges (same edge definition as q_dedup_embed_lsh) via a
+    // recursive CTE; component = min reachable vec_id
+    "q_dedup_embed_components" ->
+      s"""WITH RECURSIVE ee AS (SELECT vec_id, embedding, ${dNorm("embedding")} AS nrm,
+                  ${dBucket("embedding", Similarity.MultiProbePlanes)} AS bucket
+               FROM embeddings),
+          edges AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+                  ${dDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
+                FROM ee a JOIN ee b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+                WHERE cos >= 0.35),
+          und AS (SELECT va AS s, vb AS d FROM edges
+                  UNION ALL SELECT vb, va FROM edges),
+          reach(s, d) AS (
+            SELECT vec_id, vec_id FROM embeddings
+            UNION
+            SELECT u.s, r.d FROM und u JOIN reach r ON u.d = r.s),
+          comp AS (SELECT s AS vec_id, min(d) AS component_id FROM reach GROUP BY s)
+          SELECT c.vec_id, CAST(c.component_id AS BIGINT) AS component_id,
+                 CAST(z.n AS BIGINT) AS n_members
+          FROM comp c JOIN (SELECT component_id, count(*) AS n FROM comp GROUP BY 1) z
+            ON c.component_id = z.component_id
+          ORDER BY c.vec_id""",
+    // α=1/2 temperature mixing: √ and ÷ are correctly-rounded IEEE ops, so
+    // the per-source rate is bit-identical across engines (general-α pow is
+    // each platform's libm)
+    "q_sample_temperature" ->
+      s"""WITH c AS (SELECT source, count(*) AS n_source FROM documents GROUP BY 1),
+          m AS (SELECT min(n_source) AS n_min FROM c),
+          r AS (SELECT source, n_source,
+                  CAST(floor(1000000.0 * sqrt(CAST(n_min AS DOUBLE))
+                             / sqrt(CAST(n_source AS DOUBLE))) AS BIGINT) AS rate_ppm
+                FROM c, m)
+          SELECT d.doc_id, d.source, r.n_source, r.rate_ppm
+          FROM documents d JOIN r USING (source)
+          WHERE ${dTokHash("'mix-v1|' || CAST(doc_id AS VARCHAR)")} % 1000000 < rate_ppm
+          ORDER BY d.doc_id""",
   )
 }

@@ -381,6 +381,35 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Temperature-scaled source mixing (α = 1/2): per-source sampling rate
+    * ∝ n_s^(α−1) = 1/√n_s, normalized so the SMALLEST source keeps rate 1 —
+    * the standard downsampling form of multilingual/multi-source data
+    * mixing (big sources are tempered toward the small ones, none is
+    * upsampled). α = 1/2 keeps the whole computation oracle-exact: √ and ÷
+    * are correctly-rounded IEEE ops (a general α would route through each
+    * platform's libm pow). The keep decision is the same salted-hash
+    * threshold as q_split_assign — deterministic, re-shard-stable:
+    * keep iff md5('mix-v1'|doc_id) mod 10⁶ < floor(10⁶·√(n_min/n_s)·…).
+    * Plan: one source-keyed count agg, a 1-row min broadcast, a broadcast
+    * join back to docs (sources are metadata-sized), then a pure filter —
+    * a single real shuffle at any corpus size. */
+  def temperatureSample(s: SparkSession, dir: String): DataFrame = {
+    val counts = t(s, dir, "documents")
+      .groupBy("source").agg(count(lit(1)).as("n_source"))
+    val nMin = counts.agg(min(col("n_source")).as("n_min"))
+    val rates = counts.crossJoin(broadcast(nMin))
+      .withColumn("rate_ppm",
+        floor(lit(1000000.0) * sqrt(col("n_min").cast("double"))
+          / sqrt(col("n_source").cast("double"))).cast("long"))
+      .select("source", "n_source", "rate_ppm")
+    t(s, dir, "documents").select("doc_id", "source")
+      .join(broadcast(rates), "source")
+      .filter(tokHash(concat(lit("mix-v1|"), col("doc_id").cast("string")))
+        % 1000000 < col("rate_ppm"))
+      .select(col("doc_id"), col("source"), col("n_source"), col("rate_ppm"))
+      .orderBy("doc_id")
+  }
+
   /** Gopher-style repetition signals: duplicate 2-gram / 3-gram fractions
     * per doc (1 − distinct/total) and a keep/drop flag. Pure per-row
     * expressions — no shuffle at all before the output sort. */

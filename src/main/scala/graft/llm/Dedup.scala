@@ -580,6 +580,51 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Published-graph location for the EMBEDDING near-dup graph (mirrors
+    * componentsTarget, fingerprinting the embeddings files). */
+  private[graft] def embedGraphTarget(s: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+    val hfs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val parts = hfs.listStatus(p).map(st =>
+      s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .sorted.mkString("|")
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir|$parts".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+    s"${sys.props("java.io.tmpdir")}/graft_dedup/embedgraph_$key"
+  }
+
+  /** Semantic-dedup clusters (the embedding analog of `components`, the
+    * SemDeDup-shaped operator a training-data pipeline runs after embedding
+    * its corpus): connected components over the LSH-blocked cosine near-dup
+    * graph, so an A≈B≈C paraphrase chain collapses into ONE cluster even
+    * when A and C share no LSH bucket. Every vector is a vertex (untouched
+    * vectors surface as singleton clusters — the kept set). Same
+    * graph-once/serve-many shape as `components`: the edge list is
+    * `embedNearLsh`'s own output, published through the warehouse pointer
+    * (edges LAST, gating the serve path); the closure then runs the shared
+    * rep-level pointer-jumping loop. Members here are identity rows (no
+    * token-set collapse exists for vectors), so the rep graph IS the vector
+    * graph — still linear, because the LSH blocking already capped pair
+    * candidates at ~N·B/2. */
+  def embedComponents(s: SparkSession, dir: String): DataFrame = {
+    val target = embedGraphTarget(s, dir)
+    if (!graft.etl.Warehouse.exists(s, s"$target/edges")) {
+      val planes = Similarity.planesFor(
+        graft.etl.TableStats.rowCount(s, dir, "embeddings"))
+      graft.etl.Warehouse.publish(s, s"$target/members",
+        t(s, dir, "embeddings")
+          .select(col("vec_id").as("doc_id"), col("vec_id").as("rep")))
+      graft.etl.Warehouse.publish(s, s"$target/edges",
+        embedPairCandidates(s, dir, planes)
+          .filter(col("cos") >= 0.35)
+          .select(col("a.vec_id").as("doc_a"), col("b.vec_id").as("doc_b")))
+    }
+    componentsServe(s, target)
+      .select(col("doc_id").as("vec_id"), col("component_id"), col("n_members"))
+      .orderBy("vec_id")
+  }
+
   /** Pre-threshold pair-candidate stage of `embedNearLsh`, parameterized by
     * plane count — exposed so AnnStressSpec can assert sub-quadratic PAIR
     * growth at the derived plane count (the query-side `lshCandidates` case

@@ -52,7 +52,10 @@ object TextAnalysis {
     val docToks = t(s, dir, "documents")
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
     val tf = docToks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-    val df = docToks.distinct().groupBy("token").agg(count(lit(1)).as("df"))
+    // df derives FROM tf (one row per (doc, token) = the distinct pairs):
+    // the corpus is tokenized and exploded once, not once per branch, and
+    // the (doc_id, token) exchange under tf is reused for both join inputs
+    val df = tf.select("token").groupBy("token").agg(count(lit(1)).as("df"))
     val n = t(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("score").desc, col("token"))

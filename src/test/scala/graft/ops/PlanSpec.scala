@@ -178,9 +178,10 @@ class PlanSpec extends SparkSpec {
     // result, after map-side partial aggregation; the single partition
     // carries ~32 rows at any corpus size, not data volume (Joins.antiNull,
     // Profile.profile).
-    // q_text_tfidf's N is the same 1-row broadcast total as q_stats_skew's
+    // q_text_tfidf's N and q_sample_temperature's min(n_source) are the
+    // same 1-row broadcast totals as q_stats_skew's corpus count
     val scalarAggs = Set("q_join_anti_null", "q_stats_profile", "q_stats_skew",
-      "q_text_tfidf")
+      "q_text_tfidf", "q_sample_temperature")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
       val p = plan(q)
       Seq(
