@@ -135,6 +135,11 @@ object SparkEntry {
     "q_chunk_pack"         -> (graft.llm.Curation.chunkPack _),
     "q_dedup_embed_components" -> (Dedup.embedComponents _),
     "q_sample_temperature" -> (graft.llm.Curation.temperatureSample _),
+    "q_join_volume"        -> (Joins.nationVolume _),
+    "q_text_lm_score"      -> (TextAnalysis.lmScore _),
+    "q_chunk_overlap"      -> (graft.llm.Curation.chunkOverlap _),
+    "q_sim_knn_graph"      -> (Similarity.knnGraph _),
+    "q_dedup_soft"         -> (Dedup.softWeights _),
   )
 
   /** DECIMAL-staged exact sum, surfaced as DOUBLE (matches Tables.dsum2).
@@ -1268,5 +1273,83 @@ object SparkEntry {
           FROM documents d JOIN r USING (source)
           WHERE ${dTokHash("'mix-v1|' || CAST(doc_id AS VARCHAR)")} % 1000000 < rate_ppm
           ORDER BY d.doc_id""",
+    "q_join_volume" ->
+      """SELECT supp_nation, cust_nation, l_year,
+                CAST(CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS volume
+         FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                      CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                      l_extendedprice, l_discount
+               FROM lineitem
+               JOIN supplier ON l_suppkey = s_suppkey
+               JOIN orders ON l_orderkey = o_orderkey
+               JOIN customer ON o_custkey = c_custkey
+               JOIN nation n1 ON s_nationkey = n1.n_nationkey
+               JOIN nation n2 ON c_nationkey = n2.n_nationkey
+               WHERE n1.n_name <> n2.n_name
+                 AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                 AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00')
+         GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    // MLE bigram LM score in the rational form: both sums are exact
+    // BIGINTs, so the one double division is bit-stable — never a sum of
+    // per-bigram doubles, whose accumulation order a cluster does not fix
+    "q_text_lm_score" ->
+      """WITH d AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks FROM documents),
+         bg AS (SELECT doc_id,
+                  unnest([toks[i] for i in generate_series(1, len(toks) - 1)]) AS p,
+                  unnest([toks[i] || ' ' || toks[i+1] for i in generate_series(1, len(toks) - 1)]) AS g
+                FROM d),
+         cbg AS (SELECT g, count(*) AS c_bg FROM bg GROUP BY 1),
+         cpre AS (SELECT p, count(*) AS c_pre FROM bg GROUP BY 1),
+         agg AS (SELECT doc_id, count(*) AS n_bigrams,
+                        CAST(sum(c_bg) AS BIGINT) AS sup_bg,
+                        CAST(sum(c_pre) AS BIGINT) AS sup_pre
+                 FROM bg JOIN cbg USING (g) JOIN cpre USING (p) GROUP BY 1)
+         SELECT d.doc_id, COALESCE(a.n_bigrams, 0) AS n_bigrams, a.sup_bg, a.sup_pre,
+                CAST(a.sup_bg AS DOUBLE) / CAST(a.sup_pre AS DOUBLE) AS lm_score
+         FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+         ORDER BY d.doc_id""",
+    "q_chunk_overlap" ->
+      s"""WITH $chunkCtes,
+          ch AS (SELECT DISTINCT doc_id, chunk_hash FROM chks),
+          kept AS (SELECT doc_id, chunk_hash FROM (
+                     SELECT doc_id, chunk_hash,
+                            count(*) OVER (PARTITION BY chunk_hash) AS df FROM ch)
+                   WHERE df <= ${graft.llm.Curation.OverlapMaxDf}),
+          nch AS (SELECT doc_id, count(*) AS n_chunks FROM ch GROUP BY 1),
+          pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+                 FROM kept a JOIN kept b
+                   ON a.chunk_hash = b.chunk_hash AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2)
+          SELECT doc_a, doc_b, n_shared, na.n_chunks AS n_a, nb.n_chunks AS n_b,
+                 CAST(n_shared AS DOUBLE) / CAST(least(na.n_chunks, nb.n_chunks) AS DOUBLE) AS containment
+          FROM pr JOIN nch na ON pr.doc_a = na.doc_id
+                  JOIN nch nb ON pr.doc_b = nb.doc_id
+          WHERE CAST(n_shared AS DOUBLE) / CAST(least(na.n_chunks, nb.n_chunks) AS DOUBLE)
+                  >= ${graft.llm.Curation.OverlapMin}
+          ORDER BY doc_a, doc_b""",
+    // same LSH blocking as q_dedup_embed_components (MultiProbePlanes = the
+    // sf0.01 planesFor value), unthresholded, ranked per vector
+    "q_sim_knn_graph" ->
+      s"""WITH ee AS (SELECT vec_id, embedding, ${dNorm("embedding")} AS nrm,
+                  ${dBucket("embedding", Similarity.MultiProbePlanes)} AS bucket
+               FROM embeddings),
+          edges AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+                  ${dDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
+                FROM ee a JOIN ee b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+          sym AS (SELECT src, dst, cos FROM edges
+                  UNION ALL SELECT dst, src, cos FROM edges),
+          r AS (SELECT src AS vec_id, dst AS n_id, cos,
+                       CAST(row_number() OVER (PARTITION BY src
+                         ORDER BY cos DESC, dst) AS BIGINT) AS rnk
+                FROM sym)
+          SELECT vec_id, rnk, n_id, cos FROM r
+          WHERE rnk <= ${Similarity.GraphK} ORDER BY vec_id, rnk""",
+    // soft dedup: weight = 1/n_copies is one IEEE division of an exact
+    // BIGINT class size — bit-stable, order-free
+    "q_dedup_soft" ->
+      """SELECT doc_id,
+                count(*) OVER (PARTITION BY sha256(text)) AS n_copies,
+                CAST(1.0 AS DOUBLE) / CAST(count(*) OVER (PARTITION BY sha256(text)) AS DOUBLE) AS weight
+         FROM documents ORDER BY doc_id""",
   )
 }

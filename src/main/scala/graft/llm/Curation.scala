@@ -350,6 +350,46 @@ object Curation {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** Fingerprints (chunk hashes) shared by more docs than this are dropped
+    * before the pair join — the same ABSOLUTE-cap rationale as
+    * Dedup.WinnowMaxDf: it bounds self-join fan-out per hash at cap²/2
+    * pairs, keeping total pairs linear in the corpus, and what it drops is
+    * boilerplate that identifies no particular pair. */
+  val OverlapMaxDf: Int = 20
+  /** Minimum containment (shared / min side) to report a pair. */
+  val OverlapMin: Double = 0.5
+
+  /** Cross-doc CONTAINMENT at chunk granularity: pairs of docs whose chunk
+    * sets overlap by ≥ half of the smaller side — the cheap "is one of
+    * these a copy/superset of the other" pass that runs off hashes the
+    * chunker already computed (zero extra text scans; winnowing is the
+    * precise positional detector for unaligned pastes — chunk hashes only
+    * match when token positions align, i.e. identical docs, shared
+    * prefixes, and stride-aligned boilerplate). Containment divides two
+    * exact BIGINTs — one IEEE division, bit-stable threshold. The df window
+    * partitions on chunk_hash, the same key the self-join shuffles on, so
+    * one exchange serves both (winnow's exchange-reuse shape). */
+  def chunkOverlap(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("chunk_hash")
+    val ch = chunkRows(s, dir).select("doc_id", "chunk_hash").distinct()
+    val kept = ch.withColumn("df", count(lit(1)).over(w))
+      .filter(col("df") <= OverlapMaxDf)
+      .select("doc_id", "chunk_hash")
+    val nch = ch.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+    val a = kept.alias("a"); val b = kept.alias("b")
+    a.join(b, col("a.chunk_hash") === col("b.chunk_hash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(nch.select(col("doc_id").as("doc_a"), col("n_chunks").as("n_a")), "doc_a")
+      .join(nch.select(col("doc_id").as("doc_b"), col("n_chunks").as("n_b")), "doc_b")
+      .withColumn("containment",
+        col("n_shared").cast("double") / least(col("n_a"), col("n_b")).cast("double"))
+      .filter(col("containment") >= OverlapMin)
+      .select("doc_a", "doc_b", "n_shared", "n_a", "n_b", "containment")
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Model-based quality gate: a fixed-weight linear classifier over
     * integer text features (the cheap stand-in for a fastText-style quality
     * model — public practice scores every doc with a tiny model and

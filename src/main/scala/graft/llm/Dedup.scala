@@ -29,6 +29,25 @@ object Dedup {
       .select("rep_id", "n_copies", "content_hash")
       .orderBy("rep_id")
 
+  /** SOFT dedup: duplication-aware sampling weights instead of removal —
+    * every doc stays, carrying `weight = 1/n_copies` of its exact-dup class
+    * (so each distinct CONTENT contributes unit total mass to training and
+    * the epochs-per-copy follows from the weight; published practice for
+    * corpora where frequency is signal, not noise — dropping all but one
+    * copy erases it, keeping all copies over-trains). Same digest-keyed
+    * exchange as `exact` but window-shaped: output is |corpus| rows, the
+    * class size arrives per member, and the weight is ONE IEEE division of
+    * an exact BIGINT — bit-stable, order-free. */
+  def softWeights(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("content_hash")
+    t(s, dir, "documents")
+      .select(col("doc_id"), sha2(col("text"), 256).as("content_hash"))
+      .withColumn("n_copies", count(lit(1)).over(w))
+      .withColumn("weight", lit(1.0) / col("n_copies").cast("double"))
+      .select("doc_id", "n_copies", "weight")
+      .orderBy("doc_id")
+  }
+
   /** Near-dup clustering by normalized canonical token-set key: lowercase,
     * strip non-alphanumerics, sorted distinct tokens — token-order shuffles,
     * case and punctuation variants all collapse to one cluster. The grouping

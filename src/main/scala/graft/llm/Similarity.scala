@@ -389,4 +389,32 @@ object Similarity {
       .withColumn("nrm", expr(normFor(s)("embedding")))
     ivfFirstCellsTopK(s, deq)
   }
+
+  /** Neighbors kept per vector in the kNN graph. */
+  val GraphK: Int = 3
+
+  /** k-nearest-neighbor GRAPH over the LSH-blocked candidates: EVERY
+    * vector's top-3 cosine neighbors among its bucket-mates — the all-rows
+    * serve that clustering/SemDeDup-style pipelines consume, where
+    * `bruteTopK`/`ivfTopK` answer a handful of query vectors. Reuses
+    * `Dedup.embedPairCandidates` (corpus-derived plane count via the
+    * manifest row count — no extra scan), so the N² term stays bucketed:
+    * candidate pairs ≈ N·B/2 for target occupancy B, linear in N. The
+    * symmetric union doubles the edge list instead of re-running the join,
+    * and the per-vector top-3 is a WindowGroupLimit on vec_id — no global
+    * sort. Cosines are single IEEE divisions of fixed-order dot products —
+    * bit-stable ranks (ties break on neighbor id). */
+  def knnGraph(s: SparkSession, dir: String): DataFrame = {
+    val planes = planesFor(graft.etl.TableStats.rowCount(s, dir, "embeddings"))
+    val cand = Dedup.embedPairCandidates(s, dir, planes)
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"), col("cos"))
+    val sym = cand.union(
+      cand.select(col("dst").as("src"), col("src").as("dst"), col("cos")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("src").orderBy(col("cos").desc, col("dst"))
+    sym.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= GraphK)
+      .select(col("src").as("vec_id"), col("rnk"), col("dst").as("n_id"), col("cos"))
+      .orderBy("vec_id", "rnk")
+  }
 }

@@ -188,4 +188,47 @@ object TextAnalysis {
         expr("""aggregate(transform(sequence(1, length(text)), i -> ascii(substring(text, i, 1))),
                          0L, (acc, x) -> (acc * 31 + x) % 1000000007L)""").as("fp"))
       .orderBy("doc_id")
+
+  /** Statistical-LM document score — the perplexity-filter proxy (public
+    * practice scores every doc with a corpus n-gram model and drops the
+    * implausible tail; CCNet popularized the shape). MLE bigram model
+    * trained on the corpus itself: per doc,
+    * `lm_score = Σ cnt(bigram) / Σ cnt(prefix)` over its bigram
+    * occurrences — the prefix-weighted mean conditional probability
+    * P(w₂|w₁), in the rational form. Both sums are exact BIGINTs, so the
+    * ONE double division is bit-stable across engines and partition
+    * orders — never a sum of per-bigram doubles, whose accumulation order
+    * a cluster does not fix (same discipline as `commonness`, which
+    * measures corpus OVERLAP of a doc's bigrams; this measures their
+    * SEQUENTIAL predictability — boilerplate scores high on both, rare
+    * fluent text scores low on overlap but high here).
+    *
+    * Topology: the corpus is tokenized once; bigram occurrences come from a
+    * zip_with over two slices (pure map stage, no window, no shuffle);
+    * bigram counts and prefix counts are two high-cardinality groupBys off
+    * the SAME exploded relation; the per-doc sum is one doc_id shuffle.
+    * Docs with <2 tokens surface with n_bigrams=0 and NULL score via the
+    * final left join. */
+  def lmScore(s: SparkSession, dir: String): DataFrame = {
+    val bg = t(s, dir, "documents")
+      .select(col("doc_id"), tokens(coalesce(col("text"), lit(""))).as("toks"))
+      .select(col("doc_id"), explode(expr(
+        "zip_with(slice(toks, 1, greatest(size(toks) - 1, 0)), " +
+          "slice(toks, 2, greatest(size(toks) - 1, 0)), " +
+          "(a, b) -> named_struct('p', a, 'g', concat(a, ' ', b)))")).as("x"))
+      .select(col("doc_id"), col("x.p").as("p"), col("x.g").as("g"))
+    val cbg = bg.groupBy("g").agg(count(lit(1)).as("c_bg"))
+    val cpre = bg.groupBy("p").agg(count(lit(1)).as("c_pre"))
+    val perDoc = bg.join(cbg, "g").join(cpre, "p")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum("c_bg").as("sup_bg"), sum("c_pre").as("sup_pre"))
+      .withColumn("lm_score",
+        col("sup_bg").cast("double") / col("sup_pre").cast("double"))
+    t(s, dir, "documents").select("doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("sup_bg"), col("sup_pre"), col("lm_score"))
+      .orderBy("doc_id")
+  }
 }

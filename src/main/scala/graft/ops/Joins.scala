@@ -306,4 +306,38 @@ object Joins {
         count(lit(1)).as("n"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
+
+  /** Cross-nation trade volume (TPC-H Q7 shape): revenue shipped between
+    * DIFFERENT nations, by direction (supplier nation → customer nation)
+    * and ship year — the remaining canonical analyst join topology after
+    * Q3 (`shipPriority`) and Q5 (`regionRevenue`): two role-separated
+    * copies of the same dimension. (Classic Q7 restricts to one nation
+    * pair; the unrestricted form keeps every group and stays non-empty at
+    * any fixture SF — the pair restriction is a broadcast-side filter a
+    * user adds, not a topology change.) Both nation copies are fixed-size
+    * broadcasts; the only unavoidable shuffle at scale is
+    * lineitem ⋈ orders on orderkey. The group key adds `year(l_shipdate)`
+    * — an exact integer, no float in any key. */
+  def nationVolume(s: SparkSession, dir: String): DataFrame = {
+    val n1 = t(s, dir, "nation")
+      .select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
+    val n2 = t(s, dir, "nation")
+      .select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation"))
+    val li = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1998-01-01"))
+      .select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+    val c = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+    val sup = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+    li.join(sup, li("l_suppkey") === sup("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("sk"))
+      .join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n2), col("c_nationkey") === col("ck"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(dsum10(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("volume"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
 }
