@@ -140,6 +140,8 @@ object SparkEntry {
     "q_chunk_overlap"      -> (graft.llm.Curation.chunkOverlap _),
     "q_sim_knn_graph"      -> (Similarity.knnGraph _),
     "q_dedup_soft"         -> (Dedup.softWeights _),
+    "q_quality_threshold"  -> (graft.llm.Curation.qualityThreshold _),
+    "q_select_budget"      -> (graft.llm.Curation.selectBudget _),
   )
 
   /** DECIMAL-staged exact sum, surfaced as DOUBLE (matches Tables.dsum2).
@@ -1351,5 +1353,59 @@ object SparkEntry {
                 count(*) OVER (PARTITION BY sha256(text)) AS n_copies,
                 CAST(1.0 AS DOUBLE) / CAST(count(*) OVER (PARTITION BY sha256(text)) AS DOUBLE) AS weight
          FROM documents ORDER BY doc_id""",
+    // data-calibrated quality gate: the cut is the exact 20th-percentile
+    // logit via a value HISTOGRAM (cardinality = logit domain, not corpus);
+    // `5·cum ≥ N` is the integer form of cum ≥ ⌈N/5⌉ — no float anywhere
+    "q_quality_threshold" ->
+      s"""WITH x AS (SELECT doc_id,
+                 string_split(text, ' ') AS toks, text, n_chars FROM documents),
+          f AS (SELECT doc_id,
+                 CAST(len(toks) AS BIGINT) AS f_tokens,
+                 n_chars AS f_chars,
+                 CAST(len(list_filter(toks, tk -> list_contains($allStopList, tk))) AS BIGINT) AS f_stop,
+                 CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS f_digits,
+                 CAST(len(list_distinct(toks)) AS BIGINT) AS f_distinct
+              FROM x),
+          lg AS (SELECT doc_id,
+                 -2000 + f_tokens * 3 + f_chars * 1 + f_stop * 40
+                       + f_distinct * 10 - f_digits * 25 AS logit_milli
+              FROM f),
+          hist AS (SELECT logit_milli, count(*) AS cnt FROM lg GROUP BY 1),
+          n AS (SELECT count(*) AS n_docs FROM lg),
+          cum AS (SELECT logit_milli,
+                    sum(cnt) OVER (ORDER BY logit_milli
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                  FROM hist),
+          thr AS (SELECT min(logit_milli) AS threshold FROM cum, n
+                  WHERE cum * ${graft.llm.Curation.ThresholdDen} >= n_docs)
+          SELECT lg.doc_id, lg.logit_milli, thr.threshold
+          FROM lg, thr WHERE lg.logit_milli >= thr.threshold
+          ORDER BY lg.doc_id""",
+    // token-budget selection: per source, quality-ranked greedy fill until
+    // half the source's token mass is spent (tok_before discipline — the
+    // crossing doc is admitted); all integer arithmetic
+    "q_select_budget" ->
+      s"""WITH x AS (SELECT doc_id, source,
+                 string_split(text, ' ') AS toks, text, n_chars FROM documents),
+          f AS (SELECT doc_id, source,
+                 CAST(len(toks) AS BIGINT) AS f_tokens,
+                 n_chars AS f_chars,
+                 CAST(len(list_filter(toks, tk -> list_contains($allStopList, tk))) AS BIGINT) AS f_stop,
+                 CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS f_digits,
+                 CAST(len(list_distinct(toks)) AS BIGINT) AS f_distinct
+              FROM x),
+          lg AS (SELECT doc_id, source, f_tokens,
+                 -2000 + f_tokens * 3 + f_chars * 1 + f_stop * 40
+                       + f_distinct * 10 - f_digits * 25 AS logit_milli
+              FROM f),
+          wnd AS (SELECT doc_id, source, f_tokens, logit_milli,
+                 CAST(sum(f_tokens) OVER (PARTITION BY source) AS BIGINT) AS source_tokens,
+                 CAST(COALESCE(sum(f_tokens) OVER (PARTITION BY source
+                   ORDER BY logit_milli DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_before
+              FROM lg)
+          SELECT doc_id, source, f_tokens, logit_milli, tok_before, source_tokens
+          FROM wnd WHERE tok_before * 2 < source_tokens
+          ORDER BY doc_id""",
   )
 }

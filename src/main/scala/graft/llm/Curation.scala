@@ -397,12 +397,15 @@ object Curation {
     * exact count, so the logit is a BIGINT — bit-identical on any engine,
     * no sigmoid needed (thresholding the logit ≡ thresholding the
     * probability). Pure map stage, shuffle-free. */
-  def qualityLogit(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def logitRows(s: SparkSession, dir: String,
+                               extra: Seq[String] = Nil): DataFrame = {
     val stop = TextAnalysis.Lexicons.flatMap(_._2).distinct
     val stopArr = array(stop.map(lit): _*)
+    val ex = extra.map(col)
     t(s, dir, "documents")
-      .select(col("doc_id"), tokens(col("text")).as("toks"), col("text"), col("n_chars"))
-      .select(
+      .select(Seq(col("doc_id"), tokens(col("text")).as("toks"),
+        col("text"), col("n_chars")) ++ ex: _*)
+      .select(Seq(
         col("doc_id"),
         size(col("toks")).cast("long").as("f_tokens"),
         col("n_chars").as("f_chars"),
@@ -410,14 +413,77 @@ object Curation {
           .cast("long").as("f_stop"),
         (length(col("text")) - length(regexp_replace(col("text"), "[0-9]", "")))
           .cast("long").as("f_digits"),
-        size(array_distinct(col("toks"))).cast("long").as("f_distinct"))
+        size(array_distinct(col("toks"))).cast("long").as("f_distinct")) ++ ex: _*)
       // milli-weights: reward stopword density, vocabulary, and raw length,
       // penalize digit-heavy and ultra-short docs (bias -2000); every
       // emitted feature carries a weight so none is dead in the classifier
       .withColumn("logit_milli",
         lit(-2000L) + col("f_tokens") * 3 + col("f_chars") * 1 + col("f_stop") * 40 +
           col("f_distinct") * 10 - col("f_digits") * 25)
+  }
+
+  def qualityLogit(s: SparkSession, dir: String): DataFrame =
+    logitRows(s, dir)
       .withColumn("keep", (col("logit_milli") > 0L).cast("int"))
+      .orderBy("doc_id")
+
+  /** The calibrated gate drops the bottom 1/ThresholdDen of the corpus by
+    * logit (ties at the cut survive). */
+  val ThresholdDen: Int = 5
+
+  /** DATA-CALIBRATED quality gate: instead of a hand-picked constant, the
+    * cut is the corpus's exact 20th-percentile logit — "drop the worst
+    * fifth", the form quality filtering actually ships in (a fixed logit
+    * threshold drifts as the corpus mix changes; a percentile doesn't).
+    *
+    * The percentile is EXACT at any scale without a global sort of the
+    * corpus: logits are bounded integers, so a value HISTOGRAM
+    * (groupBy logit → count) + one cumulative window over the histogram
+    * finds the smallest v with #(logit ≤ v) ≥ ⌈N/5⌉ (the integer form
+    * `5·cum ≥ N` avoids any float). The global window is over histogram
+    * ROWS — cardinality bounded by the logit's value domain, independent
+    * of corpus size — and the cutoff joins back as a 1-row broadcast.
+    * All integers end to end: bit-identical on any engine. */
+  def qualityThreshold(s: SparkSession, dir: String): DataFrame = {
+    val lg = logitRows(s, dir).select("doc_id", "logit_milli")
+    val hist = lg.groupBy("logit_milli").agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("logit_milli")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val n = lg.agg(count(lit(1)).as("n_docs"))
+    val cutoff = hist.crossJoin(broadcast(n))
+      .withColumn("cum", sum("cnt").over(w))
+      .filter(col("cum") * ThresholdDen >= col("n_docs"))
+      .agg(min("logit_milli").as("threshold"))
+    lg.crossJoin(broadcast(cutoff))
+      .filter(col("logit_milli") >= col("threshold"))
+      .select("doc_id", "logit_milli", "threshold")
+      .orderBy("doc_id")
+  }
+
+  /** TOKEN-BUDGET-constrained selection: per source, keep the
+    * highest-quality docs until half the source's token mass is spent —
+    * the data-mixing form of curation (every pretraining run picks
+    * documents under a token budget, not a document count; quality-ranked
+    * greedy fill is the published baseline). Budget = ⌊total/2⌋ per
+    * source, so the op is scale-invariant (a constant budget degenerates
+    * at small SF and saturates at large).
+    *
+    * One source-keyed exchange serves BOTH windows: the source-total
+    * token sum (full-frame window) and the greedy running sum in quality
+    * order (logit desc, doc_id tiebreak — deterministic). A doc is kept
+    * while the tokens BEFORE it fit the budget (chunkPack's `tok_before`
+    * discipline: the crossing doc is admitted, so a budget smaller than
+    * the first doc still selects it). All integer arithmetic. */
+  def selectBudget(s: SparkSession, dir: String): DataFrame = {
+    val bySrc = org.apache.spark.sql.expressions.Window.partitionBy("source")
+    val greedy = bySrc.orderBy(col("logit_milli").desc, col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    logitRows(s, dir, Seq("source"))
+      .select("doc_id", "source", "f_tokens", "logit_milli")
+      .withColumn("source_tokens", sum("f_tokens").over(bySrc))
+      .withColumn("tok_before", coalesce(sum("f_tokens").over(greedy), lit(0L)))
+      .filter(col("tok_before") * 2 < col("source_tokens"))
+      .select("doc_id", "source", "f_tokens", "logit_milli", "tok_before", "source_tokens")
       .orderBy("doc_id")
   }
 

@@ -400,16 +400,19 @@ object Similarity {
     * `Dedup.embedPairCandidates` (corpus-derived plane count via the
     * manifest row count — no extra scan), so the N² term stays bucketed:
     * candidate pairs ≈ N·B/2 for target occupancy B, linear in N. The
-    * symmetric union doubles the edge list instead of re-running the join,
-    * and the per-vector top-3 is a WindowGroupLimit on vec_id — no global
+    * symmetrization EXPLODES each pair into both directions in the same
+    * pass (a union of the two orientations would plan the bucket self-join
+    * twice — Catalyst does not share subtrees across union branches), and
+    * the per-vector top-3 is a WindowGroupLimit on vec_id — no global
     * sort. Cosines are single IEEE divisions of fixed-order dot products —
     * bit-stable ranks (ties break on neighbor id). */
   def knnGraph(s: SparkSession, dir: String): DataFrame = {
     val planes = planesFor(graft.etl.TableStats.rowCount(s, dir, "embeddings"))
-    val cand = Dedup.embedPairCandidates(s, dir, planes)
-      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"), col("cos"))
-    val sym = cand.union(
-      cand.select(col("dst").as("src"), col("src").as("dst"), col("cos")))
+    val sym = Dedup.embedPairCandidates(s, dir, planes)
+      .select(explode(array(
+        struct(col("a.vec_id").as("src"), col("b.vec_id").as("dst"), col("cos")),
+        struct(col("b.vec_id").as("src"), col("a.vec_id").as("dst"), col("cos")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.cos").as("cos"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("src").orderBy(col("cos").desc, col("dst"))
     sym.withColumn("rnk", row_number().over(w).cast("long"))

@@ -179,9 +179,13 @@ class PlanSpec extends SparkSpec {
     // carries ~32 rows at any corpus size, not data volume (Joins.antiNull,
     // Profile.profile).
     // q_text_tfidf's N and q_sample_temperature's min(n_source) are the
-    // same 1-row broadcast totals as q_stats_skew's corpus count
+    // same 1-row broadcast totals as q_stats_skew's corpus count.
+    // q_quality_threshold: the global cumulative window runs over the logit
+    // VALUE HISTOGRAM — cardinality bounded by the integer logit's domain,
+    // independent of corpus rows — and its N / threshold are 1-row
+    // broadcasts (Curation.qualityThreshold).
     val scalarAggs = Set("q_join_anti_null", "q_stats_profile", "q_stats_skew",
-      "q_text_tfidf", "q_sample_temperature")
+      "q_text_tfidf", "q_sample_temperature", "q_quality_threshold")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
       val p = plan(q)
       Seq(
