@@ -28,7 +28,13 @@ object Probe {
     q.awaitTermination(60000)
     println(s"[probe] streamed rows=${spark.read.parquet(s"$sroot/sink").count()}")
 
-    // 3. multimodal decode → resize → frame sample over sf0.001 documents
+    // 3. composed curation pipeline: gate → dedup → decontaminate → chunk
+    //    → pack → split over the sf0.001 corpus
+    val cp = new llm.CurationPipeline(spark, "/root/testdata/sf0.001", s"$root/curation")
+    cp.run()
+    println(s"[probe] curation stages=${cp.stageRows}")
+
+    // 4. multimodal decode → resize → frame sample over sf0.001 documents
     val media = multimodal.Multimodal.mediaTable(spark, "/root/testdata/sf0.001")
     val dec = multimodal.Multimodal.decode(media)
     println(s"[probe] decoded=${dec.count()}")

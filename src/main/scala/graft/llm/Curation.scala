@@ -39,10 +39,16 @@ object Curation {
     * equi-join (shuffle by shingle hash), never docs × docs; both sides are
     * deduped to distinct (doc, shingle) / distinct shingle before the join
     * so the exchange carries set sizes, not occurrence counts. */
-  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+  def decontaminate(s: SparkSession, dir: String): DataFrame =
+    decontaminateAt(s, dir, DecontamN)
+
+  /** Same check at a caller-chosen shingle width (CurationPipeline drops at
+    * ContainN because the fixture's vocabulary defeats 8-grams — see
+    * ContainN's doc). The registered query keeps the deployment default. */
+  private[graft] def decontaminateAt(s: SparkSession, dir: String, n: Int): DataFrame = {
     val d = t(s, dir, "documents")
       .select(col("doc_id"), tokens(col("text")).as("t"))
-      .select(col("doc_id"), explode(expr(ngrams("t", DecontamN))).as("sh"))
+      .select(col("doc_id"), explode(expr(ngrams("t", n))).as("sh"))
       .distinct()
     val bench = d.filter(col("doc_id") % BenchMod === 0)
       .select("sh").distinct()
