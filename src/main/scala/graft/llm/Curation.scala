@@ -303,9 +303,15 @@ object Curation {
     * (`extra` carries pass-through document columns so downstream shard
     * keys need no join back to the parent table). */
   private[graft] def chunkRows(s: SparkSession, dir: String,
-                               extra: Seq[String] = Nil): DataFrame = {
+                               extra: Seq[String] = Nil): DataFrame =
+    chunkOf(t(s, dir, "documents"), extra)
+
+  /** The chunking stage over an arbitrary documents frame — posexplode map
+    * stage, streaming-safe like `logitOf`. */
+  private[graft] def chunkOf(docs: DataFrame,
+                             extra: Seq[String] = Nil): DataFrame = {
     val ex = extra.map(col)
-    t(s, dir, "documents")
+    docs
       .select(Seq(col("doc_id"), tokens(coalesce(col("text"), lit(""))).as("toks")) ++ ex: _*)
       .select(Seq(col("doc_id"), col("toks")) ++ ex :+
         posexplode(expr(
@@ -404,11 +410,18 @@ object Curation {
     * no sigmoid needed (thresholding the logit ≡ thresholding the
     * probability). Pure map stage, shuffle-free. */
   private[graft] def logitRows(s: SparkSession, dir: String,
-                               extra: Seq[String] = Nil): DataFrame = {
+                               extra: Seq[String] = Nil): DataFrame =
+    logitOf(t(s, dir, "documents"), extra)
+
+  /** The logit stage over an arbitrary documents frame — pure map, so it
+    * applies unchanged to a STREAMING frame (StreamTwins.curationGate runs
+    * it per micro-batch in the ingest path). */
+  private[graft] def logitOf(docs: DataFrame,
+                             extra: Seq[String] = Nil): DataFrame = {
     val stop = TextAnalysis.Lexicons.flatMap(_._2).distinct
     val stopArr = array(stop.map(lit): _*)
     val ex = extra.map(col)
-    t(s, dir, "documents")
+    docs
       .select(Seq(col("doc_id"), tokens(col("text")).as("toks"),
         col("text"), col("n_chars")) ++ ex: _*)
       .select(Seq(

@@ -179,4 +179,18 @@ object StreamTwins {
         unix_millis(min(col("tsc"))).as("start_ms"),
         unix_millis(max(col("tsc"))).as("end_ms"))
       .select(col("user_id"), col("n_events"), col("start_ms"), col("end_ms"))
+
+  /** Streaming twins of the curation ingest path: the quality gate and the
+    * chunker applied to a STREAMING documents frame. Both are pure map
+    * stages (graft.llm.Curation.logitOf / chunkOf), so they run per
+    * micro-batch with NO state at all — curation happens ON INGEST, not as
+    * a later batch pass, which at 100 TB/day is the difference between
+    * filtering once and re-scanning the lake. StreamTwinsSpec pins
+    * micro-batch output == batch output row-for-row. */
+  def curationGate(docs: DataFrame): DataFrame =
+    graft.llm.Curation.logitOf(docs)
+      .withColumn("keep", (col("logit_milli") > 0L).cast("int"))
+
+  def curationChunks(docs: DataFrame): DataFrame =
+    graft.llm.Curation.chunkOf(docs, Seq("source"))
 }

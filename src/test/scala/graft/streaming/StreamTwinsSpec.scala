@@ -40,6 +40,35 @@ class StreamTwinsSpec extends SparkSpec {
     assert(got.head == (1704067200000L, "click", 2L, 3.0))
   }
 
+  test("curation gate and chunker run per micro-batch and equal their batch forms") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[(Long, String, String, String, Long)]
+    val docs = Seq(
+      (1L, "the cat sat on the mat", "en", "web", 22L),
+      (2L, (0 until 130).map(i => s"w$i").mkString(" "), "en", "web", 500L),
+      (3L, "12345 67890 12345", "en", "spam", 17L))
+    mem.addData(docs: _*)
+    val stream = mem.toDF().toDF("doc_id", "text", "lang", "source", "n_chars")
+    val q1 = StreamTwins.curationGate(stream).writeStream
+      .format("memory").queryName("gate_out").outputMode("append").start()
+    val q2 = StreamTwins.curationChunks(stream).writeStream
+      .format("memory").queryName("chunk_out").outputMode("append").start()
+    q1.processAllAvailable(); q1.stop()
+    q2.processAllAvailable(); q2.stop()
+    val batchDocs = docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val gateBatch = StreamTwins.curationGate(batchDocs)
+      .orderBy("doc_id").collect().toSeq
+    val gateStream = s.table("gate_out").orderBy("doc_id").collect().toSeq
+    assert(gateStream == gateBatch)
+    val chunkBatch = StreamTwins.curationChunks(batchDocs)
+      .orderBy("doc_id", "chunk_idx").collect().toSeq
+    val chunkStream = s.table("chunk_out").orderBy("doc_id", "chunk_idx").collect().toSeq
+    assert(chunkStream == chunkBatch)
+    assert(chunkStream.count(_.getLong(0) == 2L) == 3) // 130 tokens → 3 chunks
+  }
+
   test("session stream twin groups by 30-min gaps per user") {
     val s = spark
     import s.implicits._
