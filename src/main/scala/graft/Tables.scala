@@ -39,4 +39,18 @@ object Tables {
 
   /** 2024-01-15T00:00:00Z in epoch nanoseconds (merge-upsert cutoff). */
   val CutoffNs: Long = 1705276800000000000L
+
+  /** Match a CPU-heavy map stage's parallelism to the session when its scan
+    * under-splits. A compact parquet table arrives as ONE row group → ONE
+    * task, so per-row fingerprint hashing (winnowing, shingle minhash)
+    * serializes on a single core no matter how many the session has — the
+    * exact situation any cluster hits on small-but-expensive inputs and on
+    * the tail files of a big scan. The repartition is CONDITIONAL: when the
+    * scan already yields at least session-parallelism splits (a 100 TB scan
+    * yields thousands), this is the identity and no text ever re-shuffles.
+    * Batch inputs only — streaming frames cannot answer getNumPartitions. */
+  def spread(df: DataFrame): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+  }
 }

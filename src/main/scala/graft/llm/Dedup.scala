@@ -69,6 +69,10 @@ object Dedup {
     * but makes the derived set-digest key NON-NULLABLE, so equi-joins on it
     * skip the `isnotnull` pre-filter — which would otherwise evaluate the
     * whole md5+sort+sha2 key expression a second time per row. */
+  // NOT spread(): token hashing is one md5 per token (~10× lighter than the
+  // per-character shingle stages) and every consumer shuffles on the set
+  // digest immediately — the extra exchange costs more than it parallelizes
+  // (A/B at sf0.1: jaccard 1.0 → 1.5 s WITH spread)
   private def hashedTokens(s: SparkSession, dir: String): DataFrame =
     hashedTokensOf(s, t(s, dir, "documents"))
 
@@ -207,17 +211,21 @@ object Dedup {
     * multiset equals the minimum over its set), so hashing each distinct
     * shingle once is output-identical and cuts the md5 work ~2× on this
     * vocabulary — the oracle twin needs no change. */
-  private def hashedShingles(s: SparkSession, dir: String): DataFrame =
+  private def hashedShingles(s: SparkSession, dir: String): DataFrame = {
+    // per-position shingle extraction + hashing is CPU-bound: unserialize
+    // it when the scan under-splits (see Tables.spread)
+    val docs = graft.Tables.spread(t(s, dir, "documents"))
     if (s.catalog.functionExists("shingle_hashes"))
-      t(s, dir, "documents").select(
+      docs.select(
         col("doc_id"), expr("shingle_hashes(text)").as("th"))
     else
-      t(s, dir, "documents").select(
+      docs.select(
         col("doc_id"),
         expr(s"transform(array_distinct(transform(" +
           s"sequence(1, greatest(length(coalesce(text, '')) - ${ShingleLen - 1}, 1)), " +
           s"i -> substring(text, i, $ShingleLen))), " +
           s"sh -> ${tokHashSql("sh")} % ${P}L)").as("th"))
+  }
 
   /** MinHash+LSH near-dup candidates over CHAR-SHINGLE sets — the
     * shingle→minhash→band→bucket-join pipeline in its textbook form (the
@@ -260,17 +268,19 @@ object Dedup {
     * no floats anywhere. */
   def winnowPairs(s: SparkSession, dir: String): DataFrame = {
     val w = WinnowWindow
+    // positional hashing is the CPU-heavy stage; spread() unserializes it
+    // when the scan under-splits (one row group = one task otherwise)
+    val docs = graft.Tables.spread(t(s, dir, "documents"))
     val fpArrays =
       if (s.catalog.functionExists("winnow_fps"))
-        t(s, dir, "documents")
-          .select(col("doc_id"), expr("winnow_fps(coalesce(text, ''))").as("fps"))
+        docs.select(col("doc_id"), expr("winnow_fps(coalesce(text, ''))").as("fps"))
       else {
         // staged th column: referenced twice below, so CollapseProject keeps
         // the positional hash array materialized once per row
         val positional =
           s"transform(sequence(1, greatest(length(coalesce(text, '')) - ${ShingleLen - 1}, 1)), " +
             s"i -> ${tokHashSql(s"substring(text, i, $ShingleLen)")} % ${P}L)"
-        t(s, dir, "documents")
+        docs
           .select(col("doc_id"), expr(positional).as("th"))
           .select(col("doc_id"), expr(
             s"array_distinct(transform(sequence(1, greatest(size(th) - ${w - 1}, 1)), " +
@@ -281,7 +291,11 @@ object Dedup {
     val kept = fp.withColumn("df", count(lit(1)).over(dfw))
       .filter(col("df") <= WinnowMaxDf)
       .select("doc_id", "fp")
-    val x = kept.alias("x"); val y = kept.alias("y")
+    // SMJ hint: a broadcast of the y-side would plan the fps+window pipeline
+    // a second time (a BroadcastExchange cannot reuse the x-side's shuffle);
+    // with both sides shuffling on fp, ReuseExchange computes the expensive
+    // fingerprint stage ONCE and the df window rides the same exchange
+    val x = kept.hint("merge").alias("x"); val y = kept.hint("merge").alias("y")
     x.join(y, col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
