@@ -46,7 +46,7 @@ object Curation {
     * ContainN because the fixture's vocabulary defeats 8-grams — see
     * ContainN's doc). The registered query keeps the deployment default. */
   private[graft] def decontaminateAt(s: SparkSession, dir: String, n: Int): DataFrame = {
-    val d = t(s, dir, "documents")
+    val d = graft.Tables.spread(t(s, dir, "documents"))
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .select(col("doc_id"), explode(expr(ngrams("t", n))).as("sh"))
       .distinct()
@@ -77,6 +77,8 @@ object Curation {
     * set-deduped first); the per-bench top-1 is a window over the
     * candidate-pair aggregate, keyed by bench doc. */
   def decontaminateAudit(s: SparkSession, dir: String): DataFrame = {
+    // 3-gram building measured FLAT with spread() (1.5–2.0 s both ways at
+    // sf0.1) — only the 8-gram path above clears the bar
     val d = t(s, dir, "documents")
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .select(col("doc_id"), explode(expr(ngrams("t", ContainN))).as("sh"))
@@ -115,6 +117,10 @@ object Curation {
     // the bigram STRING is the shuffle key on purpose: an md5-to-long key
     // was measured 60% SLOWER at sf0.1 (1.02 -> 1.62 s) — ~n_tokens md5
     // calls per doc cost more than shuffling ~3 extra bytes per gram saves
+    // NOT spread(): bigram building is light (2-token concats) and the
+    // distinct shuffles immediately — A/B at sf0.1: 1.05 → 1.3 s WITH spread
+    // (same verdict as Dedup.hashedTokens); the 8-gram decontaminate path
+    // IS spread — its per-position work is 4× heavier and measured −25%
     val grams = t(s, dir, "documents")
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .select(col("doc_id"), explode(expr(ngrams("t", 2))).as("g"))
