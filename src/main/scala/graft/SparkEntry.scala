@@ -142,6 +142,9 @@ object SparkEntry {
     "q_dedup_soft"         -> (Dedup.softWeights _),
     "q_quality_threshold"  -> (graft.llm.Curation.qualityThreshold _),
     "q_select_budget"      -> (graft.llm.Curation.selectBudget _),
+    // no oracle (engine-specific DataSketches binary) — rows-only check,
+    // like q_agg_approx_distinct; merge-equals-direct is spec-proven
+    "q_agg_sketch_merge"   -> (Aggregates.sketchMerge _),
   )
 
   /** DECIMAL-staged exact sum, surfaced as DOUBLE (matches Tables.dsum2).

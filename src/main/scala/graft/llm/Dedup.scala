@@ -293,8 +293,10 @@ object Dedup {
       .select("doc_id", "fp")
     // SMJ hint: a broadcast of the y-side would plan the fps+window pipeline
     // a second time (a BroadcastExchange cannot reuse the x-side's shuffle);
-    // with both sides shuffling on fp, ReuseExchange computes the expensive
-    // fingerprint stage ONCE and the df window rides the same exchange
+    // with both sides shuffling on fp, AQE's runtime stage reuse computes
+    // the expensive fingerprint stage ONCE and the df window rides the same
+    // exchange (an eager localCheckpoint of the posting list was A/B'd and
+    // LOST — 2.5 → 3.1 s — confirming the stage reuse already fires)
     val x = kept.hint("merge").alias("x"); val y = kept.hint("merge").alias("y")
     x.join(y, col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))

@@ -41,6 +41,24 @@ object Aggregates {
       .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
       .orderBy("l_returnflag")
 
+  /** MERGEABLE distinct-count sketches — the pre-aggregation pattern a
+    * 100 TB warehouse actually serves from: per-(priority, year) HLL
+    * sketches built ONCE at ingest granularity, then any rollup is a
+    * sketch UNION (tiny, associative, re-aggregable along any dimension) —
+    * the raw keys never re-scan. Engine-specific binary (DataSketches
+    * HLL_8), so the driver's check is rows-only, like q_agg_approx_distinct;
+    * SketchMergeSpec proves the load-bearing property: union-of-partials
+    * equals the directly-built sketch EXACTLY (same lgK), and tracks the
+    * exact distinct count within HLL error. */
+  def sketchMerge(s: SparkSession, dir: String): DataFrame = {
+    val partials = t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"), year(col("o_orderdate")).as("yr"))
+      .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
+    partials.groupBy("o_orderpriority")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).cast("long").as("approx_customers"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Deterministic second-moment statistics. Built-in stddev/variance use
     * Welford merges whose result depends on partition merge order — not
     * reproducible bit-for-bit across engines or even runs. Instead: exact
