@@ -145,6 +145,7 @@ object SparkEntry {
     // no oracle (engine-specific DataSketches binary) — rows-only check,
     // like q_agg_approx_distinct; merge-equals-direct is spec-proven
     "q_agg_sketch_merge"   -> (Aggregates.sketchMerge _),
+    "q_embed_gram"         -> (Similarity.gram _),
   )
 
   /** DECIMAL-staged exact sum, surfaced as DOUBLE (matches Tables.dsum2).
@@ -1356,6 +1357,18 @@ object SparkEntry {
                 count(*) OVER (PARTITION BY sha256(text)) AS n_copies,
                 CAST(1.0 AS DOUBLE) / CAST(count(*) OVER (PARTITION BY sha256(text)) AS DOUBLE) AS weight
          FROM documents ORDER BY doc_id""",
+    // Gram matrix: each product is one IEEE multiply of exactly-widened
+    // floats, decimal-staged before the order-free sum (dsum discipline)
+    "q_embed_gram" ->
+      """WITH x AS (SELECT vec_id,
+                      unnest(generate_series(1, len(embedding))) - 1 AS i,
+                      unnest([CAST(e AS DOUBLE) for e in embedding]) AS xi
+                    FROM embeddings)
+         SELECT a.i, b.i AS j,
+                CAST(CAST(SUM(CAST(a.xi * b.xi AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS g,
+                count(*) AS n
+         FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     // data-calibrated quality gate: the cut is the exact 20th-percentile
     // logit via a value HISTOGRAM (cardinality = logit domain, not corpus);
     // `5·cum ≥ N` is the integer form of cum ≥ ⌈N/5⌉ — no float anywhere

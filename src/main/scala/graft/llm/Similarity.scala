@@ -390,6 +390,29 @@ object Similarity {
     ivfFirstCellsTopK(s, deq)
   }
 
+  /** Distributed GRAM MATRIX of the embedding corpus (upper triangle):
+    * G[i,j] = Σ_v x_v[i]·x_v[j] — the statistic PCA/whitening runs on
+    * before IVF/quantization (SemDeDup-style pipelines whiten embeddings;
+    * the d×d Gram is the only corpus-wide input that needs). Scale shape:
+    * the (vec, dim, value) self-join streams n·d²/2 product rows through
+    * whole-stage codegen, but partial aggregation collapses them to d²/2
+    * PER PARTITION before the only exchange — the shuffle carries
+    * O(d²·partitions), never O(n·d²). Each product is one IEEE multiply,
+    * decimal-staged before the sum (dsum10's order-free exactness), so the
+    * matrix is bit-identical on any engine or cluster size. */
+  def gram(s: SparkSession, dir: String): DataFrame = {
+    val x = t(s, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "xi")))
+      .select(col("vec_id"), col("i").cast("long").as("i"),
+        col("xi").cast("double").as("xi"))
+    val y = x.select(col("vec_id"), col("i").as("j"), col("xi").as("xj"))
+    x.join(y, Seq("vec_id")).filter(col("i") <= col("j"))
+      .groupBy("i", "j")
+      .agg(graft.Tables.dsum10(col("xi") * col("xj")).as("g"),
+        count(lit(1)).as("n"))
+      .orderBy("i", "j")
+  }
+
   /** Neighbors kept per vector in the kNN graph. */
   val GraphK: Int = 3
 

@@ -193,4 +193,15 @@ object StreamTwins {
 
   def curationChunks(docs: DataFrame): DataFrame =
     graft.llm.Curation.chunkOf(docs, Seq("source"))
+
+  /** Streaming twin of the mergeable-sketch rollup
+    * (ops.Aggregates.sketchMerge): HLL sketch state accumulates across
+    * micro-batches — the associative merge that makes sketches the
+    * streaming-native distinct counter (exact distinct over an unbounded
+    * stream needs unbounded state; the sketch is constant-size per group).
+    * Complete-mode output equals the batch rollup on the same prefix. */
+  def sketchRollup(orders: DataFrame): DataFrame =
+    orders.groupBy("o_orderpriority")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("o_custkey")))
+        .cast("long").as("approx_customers"))
 }

@@ -69,6 +69,29 @@ class StreamTwinsSpec extends SparkSpec {
     assert(chunkStream.count(_.getLong(0) == 2L) == 3) // 130 tokens → 3 chunks
   }
 
+  test("HLL sketch state merges across micro-batches and equals the batch rollup") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[(String, Long)]
+    val q = StreamTwins.sketchRollup(mem.toDF().toDF("o_orderpriority", "o_custkey"))
+      .writeStream.format("memory").queryName("sketch_out")
+      .outputMode("complete").start()
+    val batch1 = (1L to 40L).map(k => ("1-URGENT", k)) ++ Seq(("2-HIGH", 1L))
+    val batch2 = (21L to 60L).map(k => ("1-URGENT", k)) ++ Seq(("2-HIGH", 1L), ("2-HIGH", 2L))
+    mem.addData(batch1: _*); q.processAllAvailable()
+    mem.addData(batch2: _*); q.processAllAvailable()
+    q.stop()
+    val got = s.table("sketch_out").orderBy("o_orderpriority")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val batch = StreamTwins.sketchRollup((batch1 ++ batch2).toDF("o_orderpriority", "o_custkey"))
+      .orderBy("o_orderpriority")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.sameElements(batch), s"${got.toSeq} vs ${batch.toSeq}")
+    // tiny cardinalities estimate exactly: 60 and 2 distinct keys
+    assert(got.toSeq == Seq(("1-URGENT", 60L), ("2-HIGH", 2L)))
+  }
+
   test("session stream twin groups by 30-min gaps per user") {
     val s = spark
     import s.implicits._
