@@ -1126,7 +1126,8 @@ object SparkEntry {
           FROM chks GROUP BY 1 ORDER BY chunk_hash""",
     "q_quality_logit" ->
       s"""WITH x AS (SELECT doc_id,
-                 string_split(text, ' ') AS toks, text, n_chars FROM documents),
+                 string_split(coalesce(text, ''), ' ') AS toks,
+                 coalesce(text, '') AS text, coalesce(n_chars, 0) AS n_chars FROM documents),
           f AS (SELECT doc_id,
                  CAST(len(toks) AS BIGINT) AS f_tokens,
                  n_chars AS f_chars,
@@ -1374,7 +1375,8 @@ object SparkEntry {
     // `5·cum ≥ N` is the integer form of cum ≥ ⌈N/5⌉ — no float anywhere
     "q_quality_threshold" ->
       s"""WITH x AS (SELECT doc_id,
-                 string_split(text, ' ') AS toks, text, n_chars FROM documents),
+                 string_split(coalesce(text, ''), ' ') AS toks,
+                 coalesce(text, '') AS text, coalesce(n_chars, 0) AS n_chars FROM documents),
           f AS (SELECT doc_id,
                  CAST(len(toks) AS BIGINT) AS f_tokens,
                  n_chars AS f_chars,
@@ -1402,7 +1404,8 @@ object SparkEntry {
     // crossing doc is admitted); all integer arithmetic
     "q_select_budget" ->
       s"""WITH x AS (SELECT doc_id, source,
-                 string_split(text, ' ') AS toks, text, n_chars FROM documents),
+                 string_split(coalesce(text, ''), ' ') AS toks,
+                 coalesce(text, '') AS text, coalesce(n_chars, 0) AS n_chars FROM documents),
           f AS (SELECT doc_id, source,
                  CAST(len(toks) AS BIGINT) AS f_tokens,
                  n_chars AS f_chars,

@@ -47,16 +47,28 @@ object Curation {
     * ContainN's doc). The registered query keeps the deployment default. */
   private[graft] def decontaminateAt(s: SparkSession, dir: String, n: Int): DataFrame = {
     val d = graft.Tables.spread(t(s, dir, "documents"))
-      .select(col("doc_id"), tokens(col("text")).as("t"))
-      .select(col("doc_id"), explode(expr(ngrams("t", n))).as("sh"))
-      .distinct()
-    val bench = d.filter(col("doc_id") % BenchMod === 0)
-      .select("sh").distinct()
-    val train = d.filter(col("doc_id") % BenchMod =!= 0)
-    train.join(bench, "sh")
+    contaminated(
+      d.filter(col("doc_id") % BenchMod =!= 0),
+      d.filter(col("doc_id") % BenchMod === 0), n)
+      .orderBy("doc_id")
+  }
+
+  /** The contamination join over caller-chosen train/bench frames. The
+    * SPLIT into sides is the caller's duty on purpose: CurationPipeline
+    * must shingle the bench side from the ORIGINAL corpus — a bench doc
+    * dropped by an earlier stage (quality gate, or exact dedup keeping its
+    * lower-id duplicate) otherwise stops contributing shingles, and its
+    * surviving verbatim copies would train: the exact eval leak
+    * decontamination exists to prevent. */
+  private[graft] def contaminated(train: DataFrame, bench: DataFrame,
+                                  n: Int): DataFrame = {
+    def shingles(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), tokens(col("text")).as("t"))
+        .select(col("doc_id"), explode(expr(ngrams("t", n))).as("sh"))
+        .distinct()
+    shingles(train).join(shingles(bench).select("sh").distinct(), "sh")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shared_shingles"))
-      .orderBy("doc_id")
   }
 
   /** Containment-audit n-gram width. Containment |bench∩train| / |bench| is
@@ -355,17 +367,23 @@ object Curation {
     * chunk position) is laid head-to-tail into `PackBudget`-token bins.
     * The running sum windows on the SHARD key (source), exactly like
     * packSequences — per-shard linear state, never a global window. */
-  def chunkPack(s: SparkSession, dir: String): DataFrame = {
+  def chunkPack(s: SparkSession, dir: String): DataFrame =
+    packBins(chunkRows(s, dir, Seq("source")))
+      .select("doc_id", "chunk_idx", "source", "n_tokens", "bin_id", "bin_offset")
+      .orderBy("doc_id", "chunk_idx")
+
+  /** The ONE definition of the chunk bin math (tok_before / bin_id /
+    * bin_offset over the per-source chunk stream) — shared by the
+    * registered q_chunk_pack and CurationPipeline's packing stage so the
+    * oracle-checked semantics and the pipeline artifact cannot drift. */
+  private[graft] def packBins(chunks: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("source").orderBy("doc_id", "chunk_idx")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    chunkRows(s, dir, Seq("source"))
+    chunks
       .withColumn("tok_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
-      .select(
-        col("doc_id"), col("chunk_idx"), col("source"), col("n_tokens"),
-        expr(s"tok_before div $PackBudget").as("bin_id"),
-        (col("tok_before") % PackBudget).as("bin_offset"))
-      .orderBy("doc_id", "chunk_idx")
+      .withColumn("bin_id", expr(s"tok_before div $PackBudget"))
+      .withColumn("bin_offset", col("tok_before") % PackBudget)
   }
 
   /** Fingerprints (chunk hashes) shared by more docs than this are dropped
@@ -427,13 +445,16 @@ object Curation {
     val stop = TextAnalysis.Lexicons.flatMap(_._2).distinct
     val stopArr = array(stop.map(lit): _*)
     val ex = extra.map(col)
+    // NULL text coalesces to '' (the chunker/lmScore discipline): a NULL
+    // logit would sort NULLS FIRST in Spark but NULLS LAST in DuckDB,
+    // silently shifting qualityThreshold's cumulative histogram
     docs
-      .select(Seq(col("doc_id"), tokens(col("text")).as("toks"),
-        col("text"), col("n_chars")) ++ ex: _*)
+      .select(Seq(col("doc_id"), tokens(coalesce(col("text"), lit(""))).as("toks"),
+        coalesce(col("text"), lit("")).as("text"), col("n_chars")) ++ ex: _*)
       .select(Seq(
         col("doc_id"),
         size(col("toks")).cast("long").as("f_tokens"),
-        col("n_chars").as("f_chars"),
+        coalesce(col("n_chars"), lit(0L)).as("f_chars"),
         size(filter(col("toks"), tk => array_contains(stopArr, tk)))
           .cast("long").as("f_stop"),
         (length(col("text")) - length(regexp_replace(col("text"), "[0-9]", "")))
@@ -447,9 +468,15 @@ object Curation {
           col("f_distinct") * 10 - col("f_digits") * 25)
   }
 
+  /** The ONE definition of the fixed-threshold keep gate over the logit —
+    * shared by qualityLogit and the streaming twin so ingest-path and
+    * batch decisions cannot drift. */
+  private[graft] def keepGate: org.apache.spark.sql.Column =
+    (col("logit_milli") > 0L).cast("int")
+
   def qualityLogit(s: SparkSession, dir: String): DataFrame =
     logitRows(s, dir)
-      .withColumn("keep", (col("logit_milli") > 0L).cast("int"))
+      .withColumn("keep", keepGate)
       .orderBy("doc_id")
 
   /** The calibrated gate drops the bottom 1/ThresholdDen of the corpus by

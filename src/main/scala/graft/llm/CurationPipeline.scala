@@ -55,13 +55,19 @@ class CurationPipeline(s: SparkSession, srcDir: String, root: String) {
         .join(Dedup.exact(s, d1).select(col("rep_id").as("doc_id")), "doc_id"),
       "s2_dedup")
     // 3. decontamination: benchmark docs never train, and neither does any
-    // doc sharing a ContainN-gram shingle with one
-    val contaminated = Curation.decontaminateAt(s, d2, Curation.ContainN)
+    // doc sharing a ContainN-gram shingle with one. The bench shingle set
+    // comes from the ORIGINAL corpus, not d2: a bench doc dropped by the
+    // gate or deduped into its lower-id twin must still poison its copies —
+    // otherwise a verbatim benchmark duplicate would train (the leak
+    // decontamination exists to prevent; CurationPipelineSpec pins it)
+    val train = t(s, d2, "documents")
+      .filter(col("doc_id") % Curation.BenchMod =!= 0)
+    val bench = t(s, srcDir, "documents")
+      .filter(col("doc_id") % Curation.BenchMod === 0)
+    val contaminatedIds = Curation.contaminated(train, bench, Curation.ContainN)
       .select("doc_id")
     val d3 = writeDocs(
-      t(s, d2, "documents")
-        .filter(col("doc_id") % Curation.BenchMod =!= 0)
-        .join(contaminated, Seq("doc_id"), "left_anti"),
+      train.join(contaminatedIds, Seq("doc_id"), "left_anti"),
       "s3_decontam")
     // 4. chunk, then dedup AT CHUNK GRANULARITY: the first occurrence
     // (smallest doc_id, then position) of each chunk_hash survives
@@ -69,13 +75,9 @@ class CurationPipeline(s: SparkSession, srcDir: String, root: String) {
     val uniq = Curation.chunkRows(s, d3, Seq("source"))
       .withColumn("rn", row_number().over(firstWins))
       .filter(col("rn") === 1).drop("rn")
-    // 5. pack per source; 6. split rides the parent doc's content key
-    val packW = Window.partitionBy("source").orderBy("doc_id", "chunk_idx")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val out = uniq
-      .withColumn("tok_before", coalesce(sum("n_tokens").over(packW), lit(0L)))
-      .withColumn("bin_id", expr(s"tok_before div ${Curation.PackBudget}"))
-      .withColumn("bin_offset", col("tok_before") % Curation.PackBudget)
+    // 5. pack per source (the one shared bin-math definition);
+    // 6. split rides the parent doc's content key
+    val out = Curation.packBins(uniq)
       .join(Curation.splitAssign(s, d3).select("doc_id", "split"), "doc_id")
       .select("doc_id", "chunk_idx", "source", "n_tokens", "chunk_hash",
         "bin_id", "bin_offset", "split")

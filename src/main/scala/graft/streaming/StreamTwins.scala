@@ -189,7 +189,7 @@ object StreamTwins {
     * micro-batch output == batch output row-for-row. */
   def curationGate(docs: DataFrame): DataFrame =
     graft.llm.Curation.logitOf(docs)
-      .withColumn("keep", (col("logit_milli") > 0L).cast("int"))
+      .withColumn("keep", graft.llm.Curation.keepGate)
 
   def curationChunks(docs: DataFrame): DataFrame =
     graft.llm.Curation.chunkOf(docs, Seq("source"))

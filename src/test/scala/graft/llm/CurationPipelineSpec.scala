@@ -50,6 +50,33 @@ class CurationPipelineSpec extends SparkSpec {
     }
   }
 
+  test("a deduped-away benchmark twin still poisons its surviving copy (eval-leak net)") {
+    // bench doc 97 (97 % BenchMod == 0) is byte-identical to train doc 5:
+    // exact dedup keeps the MIN id (5) and drops 97 — decontamination must
+    // still drop 5, because its text IS the benchmark text
+    val benchText = (0 until 40).map(i => s"bench$i").mkString(" ")
+    val root2 = java.nio.file.Files.createTempDirectory("curpipe_leak").toString
+    val src = java.nio.file.Files.createTempDirectory("curpipe_leak_src").toString
+    val rows = java.util.Arrays.asList(
+      org.apache.spark.sql.Row(5L, benchText, "en", "web", benchText.length.toLong),
+      org.apache.spark.sql.Row(97L, benchText, "en", "web", benchText.length.toLong),
+      org.apache.spark.sql.Row(6L, (0 until 40).map(i => s"clean$i").mkString(" "),
+        "en", "web", 400L))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_chars", org.apache.spark.sql.types.LongType)))
+    spark.createDataFrame(rows, schema)
+      .write.mode("overwrite").parquet(s"$src/documents.parquet")
+    val p = new CurationPipeline(spark, src, root2)
+    p.run()
+    val parents = p.packed().select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(parents == Set(6L),
+      s"only the clean doc may train, got $parents (5 = leaked benchmark twin)")
+  }
+
   test("the pipeline is deterministic: a re-run yields the identical artifact") {
     val first = pipe.packed().orderBy("doc_id", "chunk_idx").collect().toSeq
     val root2 = java.nio.file.Files.createTempDirectory("curpipe2").toString
