@@ -42,9 +42,9 @@ object Curation {
   def decontaminate(s: SparkSession, dir: String): DataFrame =
     decontaminateAt(s, dir, DecontamN)
 
-  /** Same check at a caller-chosen shingle width (CurationPipeline drops at
-    * ContainN because the fixture's vocabulary defeats 8-grams — see
-    * ContainN's doc). The registered query keeps the deployment default. */
+  /** Same check at a caller-chosen shingle width; the registered query
+    * keeps the deployment default. (CurationPipeline uses `contaminated`
+    * directly — its bench side must come from the ORIGINAL corpus.) */
   private[graft] def decontaminateAt(s: SparkSession, dir: String, n: Int): DataFrame = {
     val d = graft.Tables.spread(t(s, dir, "documents"))
     contaminated(
