@@ -146,6 +146,7 @@ object SparkEntry {
     // like q_agg_approx_distinct; merge-equals-direct is spec-proven
     "q_agg_sketch_merge"   -> (Aggregates.sketchMerge _),
     "q_embed_gram"         -> (Similarity.gram _),
+    "q_embed_mean"         -> (Similarity.meanVector _),
   )
 
   /** DECIMAL-staged exact sum, surfaced as DOUBLE (matches Tables.dsum2).
@@ -1370,6 +1371,20 @@ object SparkEntry {
                 count(*) AS n
          FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    // 2^48-scaled exact-BIGINT sums (trainCentroids discipline) — raw
+    // embedding values tie at DECIMAL(·,10) half-way points, where the two
+    // engines' rounding modes differ (HALF_UP vs HALF_EVEN)
+    "q_embed_mean" ->
+      s"""WITH x AS (SELECT unnest(generate_series(1, len(embedding))) - 1 AS i,
+                      unnest([CAST(CAST(e AS DOUBLE) * ${Similarity.MeanScale}.0 AS BIGINT)
+                              for e in embedding]) AS sx
+                    FROM embeddings),
+          g AS (SELECT i, CAST(SUM(sx) AS BIGINT) AS ssx, count(*) AS n FROM x GROUP BY 1)
+          SELECT i,
+                 CAST(ssx AS DOUBLE) / ${Similarity.MeanScale}.0 AS sum_x,
+                 n,
+                 CAST(ssx AS DOUBLE) / (CAST(n AS DOUBLE) * ${Similarity.MeanScale}.0) AS mean_x
+          FROM g ORDER BY 1""",
     // data-calibrated quality gate: the cut is the exact 20th-percentile
     // logit via a value HISTOGRAM (cardinality = logit domain, not corpus);
     // `5·cum ≥ N` is the integer form of cum ≥ ⌈N/5⌉ — no float anywhere

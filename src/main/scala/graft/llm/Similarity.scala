@@ -413,6 +413,30 @@ object Similarity {
       .orderBy("i", "j")
   }
 
+  /** Per-dimension MEAN of the embedding corpus — the Gram matrix's
+    * companion statistic (mean + Gram = covariance, the whitening inputs).
+    * One explode + partial+final aggregate: the exchange carries d rows per
+    * partition. Sums use the 2^48-scaled exact-BIGINT discipline of
+    * `trainCentroids`, NOT a decimal stage: raw embedding values (exact
+    * multiples of 2^-43) land exactly on DECIMAL(·,10) half-way points,
+    * where Spark rounds HALF_UP and DuckDB HALF_EVEN — the scaled integer
+    * sum is tie-free by construction. The surfaced sum and mean are then
+    * single correctly-rounded int64→double conversions and divisions. */
+  def meanVector(s: SparkSession, dir: String): DataFrame = {
+    val S = MeanScale.toDouble
+    t(s, dir, "embeddings")
+      .select(posexplode(col("embedding")).as(Seq("i", "xi")))
+      .select(col("i").cast("long").as("i"),
+        (col("xi").cast("double") * S).cast("long").as("sx"))
+      .groupBy("i")
+      .agg(sum("sx").as("ssx"), count(lit(1)).as("n"))
+      .select(col("i"),
+        (col("ssx").cast("double") / S).as("sum_x"),
+        col("n"),
+        (col("ssx").cast("double") / (col("n").cast("double") * S)).as("mean_x"))
+      .orderBy("i")
+  }
+
   /** Neighbors kept per vector in the kNN graph. */
   val GraphK: Int = 3
 
