@@ -147,6 +147,10 @@ object SparkEntry {
     "q_agg_sketch_merge"   -> (Aggregates.sketchMerge _),
     "q_embed_gram"         -> (Similarity.gram _),
     "q_embed_mean"         -> (Similarity.meanVector _),
+    "q_embed_covariance"   -> (Similarity.covariance _),
+    "q_join_cust_returns"  -> (Joins.custReturns _),
+    "q_join_large_orders"  -> (Joins.largeOrders _),
+    "q_window_sliding"     -> (Sessions.sliding _),
   )
 
   /** DECIMAL-staged exact sum, surfaced as DOUBLE (matches Tables.dsum2).
@@ -1065,6 +1069,14 @@ object SparkEntry {
       s"""SELECT CAST((epoch_ms(ts) // 3600000) * 3600000 AS BIGINT) AS hour_ms,
                  event_type, count(*) AS n, ${dsum("value")} AS total
           FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    // sliding 1h/30min: size/slide = 2 windows per event, with starts
+    // m·slide and (m−1)·slide for m = t // slide — the closed form of
+    // Spark's window() assignment when size is a multiple of slide
+    "q_window_sliding" ->
+      s"""SELECT CAST(((epoch_ms(ts) // 1800000) - k.k) * 1800000 AS BIGINT) AS start_ms,
+                 event_type, count(*) AS n, ${dsum("value")} AS total
+          FROM events, (SELECT unnest([0, 1]) AS k) k
+          GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_event_funnel" ->
       """WITH e AS (SELECT user_id, event_type,
                  CAST(epoch_ns(ts) // 1000000 AS BIGINT) AS ms FROM events),
@@ -1385,6 +1397,53 @@ object SparkEntry {
                  n,
                  CAST(ssx AS DOUBLE) / (CAST(n AS DOUBLE) * ${Similarity.MeanScale}.0) AS mean_x
           FROM g ORDER BY 1""",
+    // covariance from the two exact statistics: G and the scaled-BIGINT
+    // mean sums are bit-exact, and cov = g/n − mean_i·mean_j is the same
+    // three-op IEEE expression tree on both engines
+    "q_embed_covariance" ->
+      s"""WITH x AS (SELECT vec_id,
+                      unnest(generate_series(1, len(embedding))) - 1 AS i,
+                      unnest([CAST(e AS DOUBLE) for e in embedding]) AS xi
+                    FROM embeddings),
+          g AS (SELECT a.i, b.i AS j,
+                       CAST(CAST(SUM(CAST(a.xi * b.xi AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS g,
+                       count(*) AS n
+                FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+                GROUP BY 1, 2),
+          m AS (SELECT i,
+                       CAST(SUM(CAST(xi * ${Similarity.MeanScale}.0 AS BIGINT)) AS BIGINT) AS ssx,
+                       count(*) AS n
+                FROM x GROUP BY 1),
+          mm AS (SELECT i,
+                        CAST(ssx AS DOUBLE) / (CAST(n AS DOUBLE) * ${Similarity.MeanScale}.0) AS mean_x
+                 FROM m)
+          SELECT g.i, g.j,
+                 g.g / CAST(g.n AS DOUBLE) - mi.mean_x * mj.mean_x AS cov,
+                 g.n
+          FROM g JOIN mm mi ON g.i = mi.i JOIN mm mj ON g.j = mj.i
+          ORDER BY 1, 2""",
+    "q_join_cust_returns" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+                CAST(CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE l_returnflag = 'R'
+           AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         GROUP BY 1, 2, 3, 4
+         ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    "q_join_large_orders" ->
+      """WITH big AS (SELECT l_orderkey,
+                             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty
+                      FROM lineitem GROUP BY 1
+                      HAVING CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) > 300.0)
+         SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
+         FROM big
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
     // data-calibrated quality gate: the cut is the exact 20th-percentile
     // logit via a value HISTOGRAM (cardinality = logit domain, not corpus);
     // `5·cum ≥ N` is the integer form of cum ≥ ⌈N/5⌉ — no float anywhere

@@ -120,6 +120,23 @@ object Sessions {
         col("event_type"), col("n"), col("total"))
       .orderBy("hour_ms", "event_type")
 
+  /** Sliding 1-hour window with 30-minute slide, by event_type — the
+    * overlapping-window twin of `tumbling` (each event lands in exactly
+    * size/slide = 2 windows). Uses the native window() bucketing, so the
+    * identical expression runs under Structured Streaming with a
+    * watermark; the duplication factor is a constant fan-out in the map
+    * stage, and the only exchange is the (window, event_type) aggregate
+    * — same shuffle count as tumbling, 2× its rows. */
+  def sliding(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("tsc", nsToTs("ts"))
+      .groupBy(window(col("tsc"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum2(col("value")).as("total"))
+      .select(
+        unix_millis(col("window.start")).as("start_ms"),
+        col("event_type"), col("n"), col("total"))
+      .orderBy("start_ms", "event_type")
+
   /** Last-touch attribution: each purchase is credited to the user's most
     * recent PRECEDING non-purchase event (strictly before — frame ends at
     * 1 PRECEDING, so simultaneous events never self-attribute). One ordered

@@ -437,6 +437,28 @@ object Similarity {
       .orderBy("i")
   }
 
+  /** COVARIANCE matrix of the embedding corpus (upper triangle), composed
+    * from the two exact statistics: cov[i,j] = G[i,j]/n − mean_i·mean_j.
+    * This is the whitening/PCA input itself (Gram and mean are its
+    * sufficient statistics — computed in their own single-exchange passes
+    * and joined here on the d-sized dimension axis, always a broadcast).
+    * The surfaced value is two correctly-rounded IEEE ops (one divide, one
+    * multiply, one subtract) on bit-exact inputs, so any engine computing
+    * the same expression tree reproduces it bit-for-bit. Scale shape: both
+    * statistic passes shuffle O(d²·partitions); this join moves d(d+1)/2 +
+    * 2d rows — nothing corpus-sized. */
+  def covariance(s: SparkSession, dir: String): DataFrame = {
+    val g = gram(s, dir)
+    val m = meanVector(s, dir).select(col("i"), col("mean_x"))
+    val mi = m.select(col("i"), col("mean_x").as("mean_i"))
+    val mj = m.select(col("i").as("j"), col("mean_x").as("mean_j"))
+    g.join(broadcast(mi), "i").join(broadcast(mj), "j")
+      .select(col("i"), col("j"),
+        (col("g") / col("n").cast("double") - col("mean_i") * col("mean_j")).as("cov"),
+        col("n"))
+      .orderBy("i", "j")
+  }
+
   /** Neighbors kept per vector in the kNN graph. */
   val GraphK: Int = 3
 

@@ -340,4 +340,52 @@ object Joins {
       .agg(dsum10(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("volume"))
       .orderBy("supp_nation", "cust_nation", "l_year")
   }
+
+  /** Returned-item report (TPC-H Q10 shape): top 20 customers by revenue
+    * lost to returns in one quarter. The structure that matters at scale:
+    * both fact scans carry pushed predicates (quarter on orders, the 'R'
+    * flag on lineitem) BEFORE the orderkey shuffle, customer joins after
+    * the facts have already collapsed, nation is a fixed-size broadcast,
+    * and the top-20 is TakeOrderedAndProject — no global sort. c_acctbal
+    * rides in the group key untouched (no arithmetic → no float hazard). */
+  def custReturns(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-10-01") &&
+        col("o_orderdate") < lit("1997-01-01"))
+      .select("o_orderkey", "o_custkey")
+    val li = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+      .agg(dsum10(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** Large-volume orders (TPC-H Q18 shape): orders whose total quantity
+    * exceeds the threshold, with their customer. The canonical
+    * HAVING-then-join-back topology in its scalable form: the quantity
+    * rollup partial-aggregates map-side and the > filter collapses the
+    * aggregate to the rare heavy orders BEFORE any join — at 100 TB the
+    * surviving side is small enough that AQE broadcasts it into orders.
+    * Quantities are integral, so the decimal-staged sum and the threshold
+    * compare are exact. */
+  def largeOrders(s: SparkSession, dir: String): DataFrame = {
+    val big = t(s, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(dsum2(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > lit(300.0))
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer").select("c_custkey", "c_name")
+    big.join(o, big("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
 }

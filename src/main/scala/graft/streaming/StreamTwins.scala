@@ -105,6 +105,19 @@ object StreamTwins {
       .select(unix_millis(col("window.start")).as("hour_ms"),
         col("event_type"), col("n"), col("total"))
 
+  /** Sliding 1-hour / 30-minute twin of Sessions.sliding: the identical
+    * window() expression under a watermark — each event updates exactly
+    * size/slide = 2 window states, and state for a window is dropped once
+    * the watermark passes its end. Same schema as the batch form. */
+  def sliding(events: DataFrame): DataFrame =
+    events
+      .withWatermark("tsc", "2 hours")
+      .groupBy(window(col("tsc"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+      .select(unix_millis(col("window.start")).as("start_ms"),
+        col("event_type"), col("n"), col("total"))
+
   /** Streaming exact dedup: first occurrence of each event_id wins; the
     * watermark bounds the dedup state (ids older than 2 h are evicted —
     * the streaming face of Dedup.exact, where batch needs no eviction). */

