@@ -151,6 +151,8 @@ object SparkEntry {
     "q_join_cust_returns"  -> (Joins.custReturns _),
     "q_join_large_orders"  -> (Joins.largeOrders _),
     "q_window_sliding"     -> (Sessions.sliding _),
+    "q_embed_pca_project"  -> (Similarity.pcaProject _),
+    "q_timeseries_gapfill" -> (Sessions.gapfill _),
   )
 
   /** DECIMAL-staged exact sum, surfaced as DOUBLE (matches Tables.dsum2).
@@ -159,6 +161,55 @@ object SparkEntry {
     * BigDecimal.doubleValue — a direct DECIMAL→DOUBLE cast in DuckDB goes
     * int128→double then ×10⁻ˢ, which can be off by one ulp. */
   private def dsum(c: String) = s"CAST(CAST(SUM(CAST($c AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)"
+
+  /** Shared covariance-statistic CTEs (x → g Gram / m,mm mean): the twin of
+    * Similarity.gram + meanVector, used by both q_embed_covariance and the
+    * PCA oracle. */
+  private def covCtes: String =
+    s"""x AS (SELECT vec_id,
+                     unnest(generate_series(1, len(embedding))) - 1 AS i,
+                     unnest([CAST(e AS DOUBLE) for e in embedding]) AS xi
+              FROM embeddings),
+        g AS (SELECT a.i, b.i AS j,
+                     CAST(CAST(SUM(CAST(a.xi * b.xi AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS g,
+                     count(*) AS n
+              FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+              GROUP BY 1, 2),
+        m AS (SELECT i,
+                     CAST(SUM(CAST(xi * ${Similarity.MeanScale}.0 AS BIGINT)) AS BIGINT) AS ssx,
+                     count(*) AS n
+              FROM x GROUP BY 1),
+        mm AS (SELECT i,
+                      CAST(ssx AS DOUBLE) / (CAST(n AS DOUBLE) * ${Similarity.MeanScale}.0) AS mean_x
+               FROM m)"""
+
+  /** Ten unrolled power iterations over the covariance (twin of
+    * Similarity.pcaProject): wk = C·v(k−1) per row as an ordered
+    * list_sum, vk = wk normalized — every fold left-to-right, matching
+    * the driver-side ascending loops. */
+  private def pcaOracle: String = {
+    val iters = (1 to Similarity.PcaIters).map { k =>
+      s"""w$k AS (SELECT c.i,
+                        list_sum([c.row[t] * v.v[t] for t in generate_series(1, len(c.row))]) AS w
+                 FROM crow c, v${k - 1} v),
+          wl$k AS (SELECT list(w ORDER BY i) AS wl FROM w$k),
+          v$k AS (SELECT [y / sqrt(list_sum([z * z for z in wl])) for y in wl] AS v FROM wl$k)"""
+    }.mkString(",\n")
+    s"""WITH $covCtes,
+        cov AS (SELECT g.i, g.j,
+                       g.g / CAST(g.n AS DOUBLE) - mi.mean_x * mj.mean_x AS c
+                FROM g JOIN mm mi ON g.i = mi.i JOIN mm mj ON g.j = mj.i),
+        cfull AS (SELECT i, j, c FROM cov
+                  UNION ALL SELECT j AS i, i AS j, c FROM cov WHERE i < j),
+        crow AS (SELECT i, list(c ORDER BY j) AS row FROM cfull GROUP BY i),
+        v0 AS (SELECT [CAST(1.0 AS DOUBLE) for e in embedding] AS v
+               FROM embeddings ORDER BY vec_id LIMIT 1),
+        $iters
+        SELECT e.vec_id,
+               list_sum([CAST(e.embedding[t] AS DOUBLE) * v.v[t]
+                         for t in generate_series(1, len(e.embedding))]) AS score
+        FROM embeddings e, v${Similarity.PcaIters} v ORDER BY e.vec_id"""
+  }
 
   // ---- DuckDB twins of the graft.llm hash/vector primitives ----
 
@@ -1077,6 +1128,18 @@ object SparkEntry {
                  event_type, count(*) AS n, ${dsum("value")} AS total
           FROM events, (SELECT unnest([0, 1]) AS k) k
           GROUP BY 1, 2 ORDER BY 1, 2""",
+    // gap-fill: the grid is generate_series over per-type bounds — the
+    // aggregate domain, so the oracle's shape mirrors the operator's
+    "q_timeseries_gapfill" ->
+      """WITH h AS (SELECT event_type,
+                           CAST((epoch_ms(ts) // 3600000) * 3600000 AS BIGINT) AS hour_ms,
+                           count(*) AS n
+                    FROM events GROUP BY 1, 2),
+          b AS (SELECT event_type, min(hour_ms) AS mn, max(hour_ms) AS mx FROM h GROUP BY 1),
+          grid AS (SELECT event_type, unnest(generate_series(mn, mx, 3600000)) AS hour_ms FROM b)
+          SELECT grid.event_type, grid.hour_ms, CAST(COALESCE(h.n, 0) AS BIGINT) AS n
+          FROM grid LEFT JOIN h ON grid.event_type = h.event_type AND grid.hour_ms = h.hour_ms
+          ORDER BY 1, 2""",
     "q_event_funnel" ->
       """WITH e AS (SELECT user_id, event_type,
                  CAST(epoch_ns(ts) // 1000000 AS BIGINT) AS ms FROM events),
@@ -1401,27 +1464,17 @@ object SparkEntry {
     // mean sums are bit-exact, and cov = g/n − mean_i·mean_j is the same
     // three-op IEEE expression tree on both engines
     "q_embed_covariance" ->
-      s"""WITH x AS (SELECT vec_id,
-                      unnest(generate_series(1, len(embedding))) - 1 AS i,
-                      unnest([CAST(e AS DOUBLE) for e in embedding]) AS xi
-                    FROM embeddings),
-          g AS (SELECT a.i, b.i AS j,
-                       CAST(CAST(SUM(CAST(a.xi * b.xi AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS g,
-                       count(*) AS n
-                FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
-                GROUP BY 1, 2),
-          m AS (SELECT i,
-                       CAST(SUM(CAST(xi * ${Similarity.MeanScale}.0 AS BIGINT)) AS BIGINT) AS ssx,
-                       count(*) AS n
-                FROM x GROUP BY 1),
-          mm AS (SELECT i,
-                        CAST(ssx AS DOUBLE) / (CAST(n AS DOUBLE) * ${Similarity.MeanScale}.0) AS mean_x
-                 FROM m)
+      s"""WITH $covCtes
           SELECT g.i, g.j,
                  g.g / CAST(g.n AS DOUBLE) - mi.mean_x * mj.mean_x AS cov,
                  g.n
           FROM g JOIN mm mi ON g.i = mi.i JOIN mm mj ON g.j = mj.i
           ORDER BY 1, 2""",
+    // top-PC projection: the covariance CTEs feed ten unrolled power
+    // iterations (list_sum is the left-to-right fold — the dDot-proven
+    // order match for Spark's ascending-index loops), then the projection
+    // is the same ordered dot against v10
+    "q_embed_pca_project" -> pcaOracle,
     "q_join_cust_returns" ->
       """SELECT c_custkey, c_name, c_acctbal, n_name,
                 CAST(CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS revenue

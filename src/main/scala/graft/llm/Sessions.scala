@@ -120,6 +120,28 @@ object Sessions {
         col("event_type"), col("n"), col("total"))
       .orderBy("hour_ms", "event_type")
 
+  /** Dense hourly series per event_type with explicit ZERO rows for silent
+    * hours — the gap-fill every monitoring/reporting consumer needs before
+    * charting or anomaly scoring (a groupBy alone silently drops empty
+    * buckets). Scale shape: the grid is sequence()-exploded from per-type
+    * min/max bounds, so its size is types × hours — the AGGREGATE domain,
+    * corpus-independent; the left join back is keyed on that same domain.
+    * All-integer arithmetic end to end. */
+  def gapfill(s: SparkSession, dir: String): DataFrame = {
+    val h = t(s, dir, "events")
+      .select(col("event_type"),
+        (expr("ts div 1000000 div 3600000") * 3600000L).as("hour_ms"))
+      .groupBy("event_type", "hour_ms").agg(count(lit(1)).as("n"))
+    val grid = h.groupBy("event_type")
+      .agg(min("hour_ms").as("mn"), max("hour_ms").as("mx"))
+      .select(col("event_type"),
+        explode(sequence(col("mn"), col("mx"), lit(3600000L))).as("hour_ms"))
+    grid.join(h, Seq("event_type", "hour_ms"), "left")
+      .select(col("event_type"), col("hour_ms"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy("event_type", "hour_ms")
+  }
+
   /** Sliding 1-hour window with 30-minute slide, by event_type — the
     * overlapping-window twin of `tumbling` (each event lands in exactly
     * size/slide = 2 windows). Uses the native window() bucketing, so the

@@ -459,6 +459,76 @@ object Similarity {
       .orderBy("i", "j")
   }
 
+  /** Power-iteration count for the top principal component. Fixed (not
+    * convergence-tested) so the oracle can unroll the identical ten steps. */
+  val PcaIters: Int = 10
+
+  /** TRAIN the top principal component: covariance statistic (distributed,
+    * the expensive exact-decimal Gram pass) → ten power iterations on the
+    * d×d matrix driver-side. The statistic is CORPUS-INDEPENDENT O(d²)
+    * metadata — the same tier as broadcast centroids, so collecting it is
+    * not a scale hazard (unlike collecting rows). Every step is
+    * order-fixed double arithmetic (ascending-j row sums, ascending-i
+    * norms), so any engine replaying the same ten iterations reproduces
+    * the component bit-for-bit. Returns d rows (i, pc). */
+  def trainPc(s: SparkSession, dir: String): DataFrame = {
+    val cv = covariance(s, dir).collect()
+    val d = (cv.map(_.getLong(1)).max + 1).toInt
+    val C = Array.ofDim[Double](d, d)
+    cv.foreach { r =>
+      val (i, j, c) = (r.getLong(0).toInt, r.getLong(1).toInt, r.getDouble(2))
+      C(i)(j) = c; C(j)(i) = c
+    }
+    var v = Array.fill(d)(1.0)
+    for (_ <- 1 to PcaIters) {
+      val w = Array.tabulate(d) { i =>
+        var acc = 0.0; var j = 0
+        while (j < d) { acc += C(i)(j) * v(j); j += 1 }
+        acc
+      }
+      var nn = 0.0; var i = 0
+      while (i < d) { nn += w(i) * w(i); i += 1 }
+      val nrm = math.sqrt(nn)
+      v = w.map(_ / nrm)
+    }
+    import s.implicits._
+    v.zipWithIndex.map { case (x, i) => (i.toLong, x) }.toSeq.toDF("i", "pc")
+  }
+
+  /** Published-PC location for a corpus dir (the centroidTarget discipline:
+    * keyed by corpus path and every training constant, so a parameter
+    * change never serves a stale component). */
+  private[graft] def pcTarget(dir: String): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir|pca1|$PcaIters|$MeanScale".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+    s"${sys.props("java.io.tmpdir")}/graft_ivf/pc_$key"
+  }
+
+  /** Top-PC PROJECTION: every vector's coordinate along the corpus's first
+    * principal component — the 1-D embedding PCA/whitening pipelines rank,
+    * bucket, and debias by. Train-once/serve-many (the ivfTrainedTopK
+    * discipline): the first call for a corpus runs the expensive covariance
+    * pass, iterates, and PUBLISHES the d-row component through the
+    * warehouse pointer commit (deterministic training → every writer
+    * publishes identical bytes, last-writer-wins benign); every later call
+    * reads the pointer and only pays the distributed projection — one
+    * codegen'd ordered dot per vector, no statistic recomputation. The
+    * DuckDB twin unrolls the same ten iterations and matches every score
+    * bit-for-bit. */
+  def pcaProject(s: SparkSession, dir: String): DataFrame = {
+    val target = pcTarget(dir)
+    if (!graft.etl.Warehouse.exists(s, target))
+      graft.etl.Warehouse.publish(s, target, trainPc(s, dir))
+    val v = graft.etl.Warehouse.read(s, target)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy(_._1).map(_._2)
+    t(s, dir, "embeddings")
+      .withColumn("pc", array(v.map(lit(_)): _*))
+      .select(col("vec_id"), expr(genericDot("embedding", "pc")).as("score"))
+      .orderBy("vec_id")
+  }
+
   /** Neighbors kept per vector in the kNN graph. */
   val GraphK: Int = 3
 

@@ -42,6 +42,20 @@ class ReportShapesSpec extends SparkSpec {
     assert(agg == 2 * events)
   }
 
+  test("gapfill: contiguous hourly grid per type, counts conserved, gaps explicit") {
+    val rows = graft.llm.Sessions.gapfill(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val events = spark.read.parquet(s"$sf/events.parquet").count()
+    assert(rows.map(_._3).sum == events) // zero rows add nothing
+    rows.groupBy(_._1).foreach { case (tpe, trs) =>
+      val hours = trs.map(_._2).sorted
+      assert(hours.forall(_ % 3600000L == 0))
+      // contiguous: every hour between min and max present exactly once
+      assert(hours.length == ((hours.last - hours.head) / 3600000L + 1), tpe)
+      assert(hours.distinct.length == hours.length, tpe)
+    }
+  }
+
   test("sliding: window starts are 30-min aligned and cover each tumbling hour") {
     val starts = graft.llm.Sessions.sliding(spark, sf)
       .select("start_ms").distinct().collect().map(_.getLong(0))
