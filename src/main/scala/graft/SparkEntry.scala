@@ -153,6 +153,7 @@ object SparkEntry {
     "q_window_sliding"     -> (Sessions.sliding _),
     "q_embed_pca_project"  -> (Similarity.pcaProject _),
     "q_timeseries_gapfill" -> (Sessions.gapfill _),
+    "q_anomaly_zscore"     -> (Sessions.anomalyZscore _),
   )
 
   /** DECIMAL-staged exact sum, surfaced as DOUBLE (matches Tables.dsum2).
@@ -1128,6 +1129,27 @@ object SparkEntry {
                  event_type, count(*) AS n, ${dsum("value")} AS total
           FROM events, (SELECT unnest([0, 1]) AS k) k
           GROUP BY 1, 2 ORDER BY 1, 2""",
+    // z-score over the gap-filled series: exact-BIGINT numerator and
+    // radicand, then one cast each + one sqrt + one division — the
+    // minimal float tail, same expression tree both engines
+    "q_anomaly_zscore" ->
+      """WITH h AS (SELECT event_type,
+                           CAST((epoch_ms(ts) // 3600000) * 3600000 AS BIGINT) AS hour_ms,
+                           count(*) AS n
+                    FROM events GROUP BY 1, 2),
+          b AS (SELECT event_type, min(hour_ms) AS mn, max(hour_ms) AS mx FROM h GROUP BY 1),
+          grid AS (SELECT event_type, unnest(generate_series(mn, mx, 3600000)) AS hour_ms FROM b),
+          f AS (SELECT grid.event_type, grid.hour_ms, CAST(COALESCE(h.n, 0) AS BIGINT) AS n
+                FROM grid LEFT JOIN h ON grid.event_type = h.event_type AND grid.hour_ms = h.hour_ms),
+          st AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS sx,
+                        CAST(SUM(n * n) AS BIGINT) AS sxx, count(*) AS cnt
+                 FROM f GROUP BY 1),
+          zz AS (SELECT f.event_type, f.hour_ms, f.n,
+                        CAST(f.n * st.cnt - st.sx AS DOUBLE) /
+                          sqrt(CAST(st.cnt * st.sxx - st.sx * st.sx AS DOUBLE)) AS z
+                 FROM f JOIN st ON f.event_type = st.event_type)
+          SELECT event_type, hour_ms, n, z, abs(z) > 3.0 AS is_anomaly
+          FROM zz ORDER BY 1, 2""",
     // gap-fill: the grid is generate_series over per-type bounds — the
     // aggregate domain, so the oracle's shape mirrors the operator's
     "q_timeseries_gapfill" ->

@@ -142,6 +142,30 @@ object Sessions {
       .orderBy("event_type", "hour_ms")
   }
 
+  /** Hourly VOLUME ANOMALIES per event_type: z-score of each hour's count
+    * against the type's own distribution, over the GAP-FILLED series
+    * (silent hours are real zero observations — scoring only non-empty
+    * hours would bias μ and σ upward and miss outages entirely). Numeric
+    * discipline: z = (x·cnt − Σx)/√(cnt·Σx² − (Σx)²) keeps everything in
+    * exact BIGINTs until one cast each, one sqrt, one division — the
+    * minimal float tail, bit-identical on any engine. Scale shape: stats
+    * are a per-type rollup of the aggregate-domain grid (types × hours),
+    * joined back broadcast-small; nothing corpus-sized moves. */
+  def anomalyZscore(s: SparkSession, dir: String): DataFrame = {
+    val g = gapfill(s, dir)
+    val st = g.groupBy("event_type").agg(
+      sum("n").as("sx"),
+      sum(col("n") * col("n")).as("sxx"),
+      count(lit(1)).as("cnt"))
+    g.join(broadcast(st), "event_type")
+      .withColumn("z",
+        (col("n") * col("cnt") - col("sx")).cast("double") /
+          sqrt((col("cnt") * col("sxx") - col("sx") * col("sx")).cast("double")))
+      .select(col("event_type"), col("hour_ms"), col("n"), col("z"),
+        (abs(col("z")) > lit(3.0)).as("is_anomaly"))
+      .orderBy("event_type", "hour_ms")
+  }
+
   /** Sliding 1-hour window with 30-minute slide, by event_type — the
     * overlapping-window twin of `tumbling` (each event lands in exactly
     * size/slide = 2 windows). Uses the native window() bucketing, so the

@@ -56,6 +56,18 @@ class ReportShapesSpec extends SparkSpec {
     }
   }
 
+  test("anomaly z-scores: zero mean-sum property and flag consistency") {
+    val rows = graft.llm.Sessions.anomalyZscore(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    // Σ(x·cnt − sx) = 0 per type exactly → z sums to ~0 (shared denominator)
+    rows.groupBy(_._1).foreach { case (tpe, trs) =>
+      val zsum = trs.map(_._3).sum
+      assert(math.abs(zsum) < 1e-9, s"$tpe z-sum $zsum")
+    }
+    assert(rows.forall { case (_, _, z, flag) => flag == (math.abs(z) > 3.0) })
+  }
+
   test("sliding: window starts are 30-min aligned and cover each tumbling hour") {
     val starts = graft.llm.Sessions.sliding(spark, sf)
       .select("start_ms").distinct().collect().map(_.getLong(0))
