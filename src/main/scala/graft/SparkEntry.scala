@@ -154,6 +154,7 @@ object SparkEntry {
     "q_embed_pca_project"  -> (Similarity.pcaProject _),
     "q_timeseries_gapfill" -> (Sessions.gapfill _),
     "q_anomaly_zscore"     -> (Sessions.anomalyZscore _),
+    "q_active_users"       -> (Sessions.activeUsers _),
   )
 
   /** DECIMAL-staged exact sum, surfaced as DOUBLE (matches Tables.dsum2).
@@ -1129,6 +1130,18 @@ object SparkEntry {
                  event_type, count(*) AS n, ${dsum("value")} AS total
           FROM events, (SELECT unnest([0, 1]) AS k) k
           GROUP BY 1, 2 ORDER BY 1, 2""",
+    // trailing 7-day distinct users: the constant 7-way fan-out over the
+    // distinct (user, day) domain — the same linear shape as the operator
+    "q_active_users" ->
+      """WITH du AS (SELECT DISTINCT user_id,
+                            CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day
+                     FROM events),
+          mx AS (SELECT max(day) AS mxd FROM du),
+          t AS (SELECT du.user_id, du.day + k.k AS day
+                FROM du, (SELECT unnest([0, 1, 2, 3, 4, 5, 6]) AS k) k)
+          SELECT CAST(t.day * 86400000 AS BIGINT) AS day_ms,
+                 count(DISTINCT t.user_id) AS wau
+          FROM t, mx WHERE t.day <= mx.mxd GROUP BY 1 ORDER BY 1""",
     // z-score over the gap-filled series: exact-BIGINT numerator and
     // radicand, then one cast each + one sqrt + one division — the
     // minimal float tail, same expression tree both engines

@@ -142,6 +142,27 @@ object Sessions {
       .orderBy("event_type", "hour_ms")
   }
 
+  /** Trailing 7-day ACTIVE USERS (WAU) per observed day — the windowed
+    * DISTINCT shape (DAU/WAU/MAU) that a naive range-join self-join makes
+    * quadratic. Scalable form: collapse to the distinct (user, day) domain
+    * first, then a CONSTANT 7-way fan-out maps each active day onto the
+    * days whose trailing window it enters, and one distinct aggregation
+    * counts. Work is 7·|user-days| — linear in the activity domain, not
+    * events² — and the only exchanges are the two distinct shuffles. */
+  def activeUsers(s: SparkSession, dir: String): DataFrame = {
+    val du = t(s, dir, "events")
+      .select(col("user_id"), expr("ts div 1000000 div 86400000").as("day"))
+      .distinct()
+    val mx = du.agg(max("day").as("mxd"))
+    du.withColumn("k", explode(sequence(lit(0L), lit(6L))))
+      .select(col("user_id"), (col("day") + col("k")).as("day"))
+      .join(broadcast(mx), col("day") <= col("mxd"))
+      .groupBy("day")
+      .agg(countDistinct("user_id").as("wau"))
+      .select((col("day") * 86400000L).as("day_ms"), col("wau"))
+      .orderBy("day_ms")
+  }
+
   /** Hourly VOLUME ANOMALIES per event_type: z-score of each hour's count
     * against the type's own distribution, over the GAP-FILLED series
     * (silent hours are real zero observations — scoring only non-empty

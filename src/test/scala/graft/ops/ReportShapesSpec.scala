@@ -56,6 +56,22 @@ class ReportShapesSpec extends SparkSpec {
     }
   }
 
+  test("activeUsers: WAU >= DAU, bounded by total users, recounted for one day") {
+    val wau = graft.llm.Sessions.activeUsers(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(wau.nonEmpty)
+    val events = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("user_id"), expr("ts div 1000000 div 86400000").as("day"))
+    val totalUsers = events.select("user_id").distinct().count()
+    assert(wau.values.forall(w => w > 0 && w <= totalUsers))
+    // recount one day's trailing window from the raw fixture
+    val dayMs = wau.keys.max
+    val d = dayMs / 86400000L
+    val truth = events.filter(col("day") >= d - 6 && col("day") <= d)
+      .select("user_id").distinct().count()
+    assert(wau(dayMs) == truth)
+  }
+
   test("anomaly z-scores: zero mean-sum property and flag consistency") {
     val rows = graft.llm.Sessions.anomalyZscore(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
