@@ -155,6 +155,7 @@ object SparkEntry {
     "q_timeseries_gapfill" -> (Sessions.gapfill _),
     "q_anomaly_zscore"     -> (Sessions.anomalyZscore _),
     "q_active_users"       -> (Sessions.activeUsers _),
+    "q_stats_drift"        -> (graft.ops.Profile.drift _),
   )
 
   /** DECIMAL-staged exact sum, surfaced as DOUBLE (matches Tables.dsum2).
@@ -1130,6 +1131,25 @@ object SparkEntry {
                  event_type, count(*) AS n, ${dsum("value")} AS total
           FROM events, (SELECT unnest([0, 1]) AS k) k
           GROUP BY 1, 2 ORDER BY 1, 2""",
+    // chi-square drift: exact-integer counts, (o-e)^2/e terms on the
+    // sources x bins domain, summed by an ORDERED fold (list ORDER BY bin
+    // twins Spark's array_sort + aggregate) - no log, no engine libm
+    "q_stats_drift" ->
+      """WITH d AS (SELECT source, n_chars // 64 AS bin FROM documents),
+          nb AS (SELECT bin, count(*) AS nb FROM d GROUP BY 1),
+          nt AS (SELECT count(*) AS n FROM d),
+          ns AS (SELECT source, count(*) AS ns FROM d GROUP BY 1),
+          o AS (SELECT source, bin, count(*) AS o FROM d GROUP BY 1, 2),
+          terms AS (SELECT g.source, g.ns, g.bin,
+                           ((CAST(COALESCE(o.o, 0) AS DOUBLE) - CAST(g.ns * g.nb AS DOUBLE) / CAST(nt.n AS DOUBLE))
+                            * (CAST(COALESCE(o.o, 0) AS DOUBLE) - CAST(g.ns * g.nb AS DOUBLE) / CAST(nt.n AS DOUBLE)))
+                           / (CAST(g.ns * g.nb AS DOUBLE) / CAST(nt.n AS DOUBLE)) AS term
+                    FROM (SELECT ns.source, ns.ns, nb.bin, nb.nb FROM ns CROSS JOIN nb) g
+                    CROSS JOIN nt
+                    LEFT JOIN o ON g.source = o.source AND g.bin = o.bin)
+          SELECT source, CAST(max(ns) AS BIGINT) AS n_docs, count(*) AS n_bins,
+                 list_sum(list(term ORDER BY bin)) AS chi2
+          FROM terms GROUP BY 1 ORDER BY 1""",
     // trailing 7-day distinct users: the constant 7-way fan-out over the
     // distinct (user, day) domain — the same linear shape as the operator
     "q_active_users" ->

@@ -41,6 +41,39 @@ object Profile {
       .orderBy("col_name")
   }
 
+  /** Per-source DISTRIBUTION DRIFT: χ² of each source's document-length
+    * histogram against the corpus-wide one — the mix monitor a training-
+    * data pipeline runs per ingest batch (a source whose length profile
+    * shifts is re-crawled, truncated, or spam-flooded). χ² instead of
+    * PSI/KL because it needs NO log: every term is (o−e)²/e on exact
+    * integer counts, and the only order-sensitive step — the sum over
+    * bins — is an array_sort + left-to-right fold, so the statistic is
+    * bit-identical on any engine. Scale shape: three partial-aggregated
+    * rollups of one scan (corpus bins, source totals, observed cells),
+    * then all arithmetic on the sources × bins AGGREGATE domain with the
+    * bin histogram broadcast; nothing corpus-sized moves after the
+    * groupBys. */
+  def drift(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("source"), expr("n_chars div 64").as("bin"))
+    val nb = d.groupBy("bin").agg(count(lit(1)).as("nb"))
+    val nt = d.agg(count(lit(1)).as("n"))
+    val ns = d.groupBy("source").agg(count(lit(1)).as("ns"))
+    val o = d.groupBy("source", "bin").agg(count(lit(1)).as("o"))
+    ns.crossJoin(broadcast(nb)).crossJoin(broadcast(nt))
+      .join(o, Seq("source", "bin"), "left")
+      .withColumn("od", coalesce(col("o"), lit(0L)).cast("double"))
+      .withColumn("e",
+        (col("ns") * col("nb")).cast("double") / col("n").cast("double"))
+      .withColumn("term",
+        (col("od") - col("e")) * (col("od") - col("e")) / col("e"))
+      .groupBy("source")
+      .agg(max("ns").as("n_docs"), count(lit(1)).as("n_bins"),
+        expr("aggregate(array_sort(collect_list(struct(bin, term))), " +
+          "CAST(0 AS DOUBLE), (acc, x) -> acc + x.term)").as("chi2"))
+      .orderBy("source")
+  }
+
   /** Join-key skew report: the 20 heaviest l_suppkey values with exact
     * counts and corpus share — the diagnostic that decides whether a join
     * needs salting (q_join_skew_salted) or AQE skew splitting, run BEFORE

@@ -172,7 +172,10 @@ class PlanSpec extends SparkSpec {
     // allowlisted: the k-means centroid re-assembly collects exactly d=64
     // (pos, mean) elements per centroid — bounded by the embedding dimension,
     // not the corpus (Similarity.trainCentroids).
-    val boundedArrays = Set("q_sim_ivf_trained")
+    // q_stats_drift's collect_list gathers one (bin, term) struct per
+    // length-histogram bin — bounded by the bin domain (n_chars/64), not
+    // the corpus (Profile.drift's ordered χ² fold).
+    val boundedArrays = Set("q_sim_ivf_trained", "q_stats_drift")
     // allowlisted: global SCALAR aggregates (3 labeled counts / one stats
     // row) — the final agg is one row per upstream partition into a 1-row
     // result, after map-side partial aggregation; the single partition
@@ -184,8 +187,11 @@ class PlanSpec extends SparkSpec {
     // VALUE HISTOGRAM — cardinality bounded by the integer logit's domain,
     // independent of corpus rows — and its N / threshold are 1-row
     // broadcasts (Curation.qualityThreshold).
+    // q_active_users' max(day) and q_stats_drift's corpus count are the
+    // same 1-row broadcast totals as q_stats_skew's.
     val scalarAggs = Set("q_join_anti_null", "q_stats_profile", "q_stats_skew",
-      "q_text_tfidf", "q_sample_temperature", "q_quality_threshold")
+      "q_text_tfidf", "q_sample_temperature", "q_quality_threshold",
+      "q_active_users", "q_stats_drift")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
       val p = plan(q)
       Seq(

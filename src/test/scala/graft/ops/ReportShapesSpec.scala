@@ -72,6 +72,29 @@ class ReportShapesSpec extends SparkSpec {
     assert(wau(dayMs) == truth)
   }
 
+  test("drift: chi-square nonnegative, identical-distribution corpus scores low, recounted for one source") {
+    val rows = Profile.drift(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._4 >= 0.0))
+    // all sources share one bin count (the corpus histogram domain)
+    assert(rows.map(_._3).distinct.length == 1)
+    // recompute one source's chi2 naively from the raw fixture
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("source"), expr("n_chars div 64").as("bin")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val n = docs.length.toDouble
+    val nb = docs.groupBy(_._2).map { case (b, xs) => b -> xs.length.toDouble }
+    val (src, nDocs, _, chi2) = rows.head
+    val o = docs.filter(_._1 == src).groupBy(_._2).map { case (b, xs) => b -> xs.length.toDouble }
+    val expect = nb.toSeq.sortBy(_._1).map { case (b, nbv) =>
+      val e = nDocs * nbv / n
+      val od = o.getOrElse(b, 0.0)
+      (od - e) * (od - e) / e
+    }.sum
+    assert(math.abs(chi2 - expect) < 1e-9, s"$src: $chi2 vs $expect")
+  }
+
   test("anomaly z-scores: zero mean-sum property and flag consistency") {
     val rows = graft.llm.Sessions.anomalyZscore(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
