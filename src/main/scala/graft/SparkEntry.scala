@@ -156,6 +156,7 @@ object SparkEntry {
     "q_anomaly_zscore"     -> (Sessions.anomalyZscore _),
     "q_active_users"       -> (Sessions.activeUsers _),
     "q_stats_drift"        -> (graft.ops.Profile.drift _),
+    "q_embed_whiten"       -> (Similarity.whiten _),
   )
 
   /** DECIMAL-staged exact sum, surfaced as DOUBLE (matches Tables.dsum2).
@@ -1525,6 +1526,29 @@ object SparkEntry {
                  g.n
           FROM g JOIN mm mi ON g.i = mi.i JOIN mm mj ON g.j = mj.i
           ORDER BY 1, 2""",
+    // whitening: scaled-BIGINT mean + decimal-staged diagonal second
+    // moment per dim, then (x-mu)/sd per coordinate - the subtraction and
+    // division are the same two IEEE ops both engines
+    "q_embed_whiten" ->
+      s"""WITH x AS (SELECT unnest(generate_series(1, len(embedding))) - 1 AS i,
+                      unnest([CAST(e AS DOUBLE) for e in embedding]) AS xi
+                    FROM embeddings),
+          st AS (SELECT i,
+                        CAST(SUM(CAST(xi * ${Similarity.MeanScale}.0 AS BIGINT)) AS BIGINT) AS ssx,
+                        CAST(CAST(SUM(CAST(xi * xi AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS gii,
+                        count(*) AS n
+                 FROM x GROUP BY 1),
+          ms AS (SELECT i,
+                        CAST(ssx AS DOUBLE) / (CAST(n AS DOUBLE) * ${Similarity.MeanScale}.0) AS mu,
+                        sqrt(gii / CAST(n AS DOUBLE)
+                             - (CAST(ssx AS DOUBLE) / (CAST(n AS DOUBLE) * ${Similarity.MeanScale}.0))
+                               * (CAST(ssx AS DOUBLE) / (CAST(n AS DOUBLE) * ${Similarity.MeanScale}.0))) AS sd
+                 FROM st),
+          ml AS (SELECT list(mu ORDER BY i) AS ml, list(sd ORDER BY i) AS sl FROM ms)
+          SELECT e.vec_id,
+                 [(CAST(e.embedding[t] AS DOUBLE) - ml.ml[t]) / ml.sl[t]
+                  for t in generate_series(1, len(e.embedding))] AS w
+          FROM embeddings e, ml ORDER BY e.vec_id""",
     // top-PC projection: the covariance CTEs feed ten unrolled power
     // iterations (list_sum is the left-to-right fold — the dDot-proven
     // order match for Spark's ascending-index loops), then the projection

@@ -459,6 +459,42 @@ object Similarity {
       .orderBy("i", "j")
   }
 
+  /** WHITENED embeddings: per-dimension z-normalization (x−μ)/σ — the
+    * input transform SemDeDup-style pipelines apply before clustering so
+    * no dimension dominates the cosine. Needs only the DIAGONAL second
+    * moment, so no d² Gram pass: one explode + partial-aggregated rollup
+    * computes (scaled-BIGINT Σx, decimal-staged Σx², n) per dimension —
+    * O(n·d) rows map-side-collapsed to d per partition. The d-row
+    * statistic is driver-collected (corpus-independent metadata) and
+    * applied as one codegen'd map stage; μ and σ reuse the meanVector /
+    * Gram-diagonal numeric disciplines, so the DuckDB twin matches every
+    * whitened coordinate bit-for-bit. */
+  def whiten(s: SparkSession, dir: String): DataFrame = {
+    val S = MeanScale.toDouble
+    val st = t(s, dir, "embeddings")
+      .select(posexplode(col("embedding")).as(Seq("i", "xi")))
+      .select(col("i").cast("long").as("i"), col("xi").cast("double").as("xi"))
+      .groupBy("i")
+      .agg(sum((col("xi") * S).cast("long")).as("ssx"),
+        graft.Tables.dsum10(col("xi") * col("xi")).as("gii"),
+        count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2), r.getLong(3))))
+      .sortBy(_._1).map(_._2)
+    val mu = st.map { case (ssx, _, n) => ssx.toDouble / (n.toDouble * S) }
+    val sd = st.map { case (ssx, gii, n) =>
+      val m = ssx.toDouble / (n.toDouble * S)
+      math.sqrt(gii / n.toDouble - m * m)
+    }
+    t(s, dir, "embeddings")
+      .withColumn("mu", array(mu.map(lit(_)): _*))
+      .withColumn("sd", array(sd.map(lit(_)): _*))
+      .select(col("vec_id"),
+        expr("zip_with(zip_with(embedding, mu, (x, m) -> CAST(x AS DOUBLE) - m), sd, (c, s) -> c / s)")
+          .as("w"))
+      .orderBy("vec_id")
+  }
+
   /** Power-iteration count for the top principal component. Fixed (not
     * convergence-tested) so the oracle can unroll the identical ten steps. */
   val PcaIters: Int = 10
