@@ -118,6 +118,30 @@ object StreamTwins {
       .select(unix_millis(col("window.start")).as("start_ms"),
         col("event_type"), col("n"), col("total"))
 
+  /** Streaming ANOMALY ALERTS: the serve face of Sessions.anomalyZscore —
+    * each closed 1-hour window's count is z-scored against PUBLISHED
+    * per-type statistics (sx, sxx, cnt from the batch gap-filled series:
+    * the train-once/serve-many split again — the stream never recomputes
+    * history, it reads the statistic). The static stats join runs BEFORE
+    * the windowed aggregation (a stateless broadcast enrich, so the plan
+    * stays streaming-legal and the stats ride the group key as constants);
+    * z is the same exact-BIGINT-until-one-division expression as batch.
+    * `events` must carry TimestampType `tsc` and `event_type`; `stats`
+    * is (event_type, sx, sxx, cnt). */
+  def anomalies(events: DataFrame, stats: DataFrame): DataFrame =
+    events
+      .withWatermark("tsc", "2 hours")
+      .join(broadcast(stats), Seq("event_type"))
+      .groupBy(window(col("tsc"), "1 hour"), col("event_type"),
+        col("sx"), col("sxx"), col("cnt"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("z",
+        (col("n") * col("cnt") - col("sx")).cast("double") /
+          sqrt((col("cnt") * col("sxx") - col("sx") * col("sx")).cast("double")))
+      .select(unix_millis(col("window.start")).as("hour_ms"),
+        col("event_type"), col("n"), col("z"),
+        (abs(col("z")) > lit(3.0)).as("is_anomaly"))
+
   /** Streaming exact dedup: first occurrence of each event_id wins; the
     * watermark bounds the dedup state (ids older than 2 h are evicted —
     * the streaming face of Dedup.exact, where batch needs no eviction). */

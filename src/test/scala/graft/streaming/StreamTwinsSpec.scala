@@ -70,6 +70,37 @@ class StreamTwinsSpec extends SparkSpec {
     assert(got.map(_._3).sum == 2L * rows.length)
   }
 
+  test("streaming anomaly alerts z-score closed windows against published stats") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    // three quiet hours and one 6-event burst for "click"
+    val rows = Seq(
+      (ts("2024-01-01 00:10:00"), "click"),
+      (ts("2024-01-01 01:10:00"), "click"),
+      (ts("2024-01-01 02:10:00"), "click")) ++
+      (0 until 6).map(m => (ts(f"2024-01-01 03:${10 + m}%02d:00"), "click"))
+    mem.addData(rows: _*)
+    // published stats for the series [1, 1, 1, 6]: sx=9, sxx=39, cnt=4
+    val stats = Seq(("click", 9L, 39L, 4L)).toDF("event_type", "sx", "sxx", "cnt")
+    val events = mem.toDF().toDF("tsc", "event_type")
+    val q = StreamTwins.anomalies(events, stats).writeStream
+      .format("memory").queryName("anom_out").outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val got = s.table("anom_out").orderBy("hour_ms")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+    assert(got.length == 4)
+    // z for the burst hour: (6*4 - 9) / sqrt(4*39 - 81) = 15 / sqrt(75)
+    val zBurst = 15.0 / math.sqrt(75.0)
+    assert(got.last._2 == 6L && got.last._3 == zBurst)
+    // flags match the batch expression on every window
+    got.foreach { case (_, n, z, flag) =>
+      assert(z == (n * 4L - 9L).toDouble / math.sqrt(75.0))
+      assert(flag == (math.abs(z) > 3.0))
+    }
+  }
+
   test("curation gate and chunker run per micro-batch and equal their batch forms") {
     val s = spark
     import s.implicits._
