@@ -34,6 +34,12 @@ object Probe {
     cp.run()
     println(s"[probe] curation stages=${cp.stageRows}")
 
+    // 3b. composed embedding pipeline: whiten → semdedup → scores → codes
+    //     → ANN serve over the sf0.001 vectors
+    val ep = new llm.EmbeddingPipeline(spark, "/root/testdata/sf0.001", s"$root/embed")
+    ep.run()
+    println(s"[probe] embedding stages=${ep.stageRows}")
+
     // 4. multimodal decode → resize → frame sample over sf0.001 documents
     val media = multimodal.Multimodal.mediaTable(spark, "/root/testdata/sf0.001")
     val dec = multimodal.Multimodal.decode(media)
