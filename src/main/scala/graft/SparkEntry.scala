@@ -157,6 +157,9 @@ object SparkEntry {
     "q_active_users"       -> (Sessions.activeUsers _),
     "q_stats_drift"        -> (graft.ops.Profile.drift _),
     "q_embed_whiten"       -> (Similarity.whiten _),
+    // no oracle (engine-specific DataSketches binary) - rows-only check;
+    // SketchWauSpec pins the estimate to the exact q_active_users
+    "q_active_users_sketch" -> (Sessions.activeUsersSketch _),
   )
 
   /** DECIMAL-staged exact sum, surfaced as DOUBLE (matches Tables.dsum2).

@@ -163,6 +163,30 @@ object Sessions {
       .orderBy("day_ms")
   }
 
+  /** APPROXIMATE trailing 7-day active users — the serving path of
+    * `activeUsers` at warehouse scale: one HLL sketch per day (a few
+    * hundred bytes), seven sketch UNIONS per trailing window. The exact
+    * form fans out 7·|user-days| rows; this fans out 7 SKETCHES per day —
+    * the windowed-distinct instance of the mergeable-sketch
+    * pre-aggregation (`q_agg_sketch_merge`): raw user ids are scanned
+    * once, every window is answered from partials. Estimate only
+    * (engine-specific DataSketches binary → rows-only driver check);
+    * SketchWauSpec pins it to the exact WAU within HLL error. */
+  def activeUsersSketch(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .select(col("user_id"), expr("ts div 1000000 div 86400000").as("day"))
+      .groupBy("day")
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val mx = daily.agg(max("day").as("mxd"))
+    daily.withColumn("k", explode(sequence(lit(0L), lit(6L))))
+      .select((col("day") + col("k")).as("day"), col("sk"))
+      .join(broadcast(mx), col("day") <= col("mxd"))
+      .groupBy("day")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).cast("long").as("wau_est"))
+      .select((col("day") * 86400000L).as("day_ms"), col("wau_est"))
+      .orderBy("day_ms")
+  }
+
   /** Hourly VOLUME ANOMALIES per event_type: z-score of each hour's count
     * against the type's own distribution, over the GAP-FILLED series
     * (silent hours are real zero observations — scoring only non-empty

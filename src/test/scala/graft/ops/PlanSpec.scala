@@ -191,7 +191,7 @@ class PlanSpec extends SparkSpec {
     // same 1-row broadcast totals as q_stats_skew's.
     val scalarAggs = Set("q_join_anti_null", "q_stats_profile", "q_stats_skew",
       "q_text_tfidf", "q_sample_temperature", "q_quality_threshold",
-      "q_active_users", "q_stats_drift")
+      "q_active_users", "q_active_users_sketch", "q_stats_drift")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
       val p = plan(q)
       Seq(
