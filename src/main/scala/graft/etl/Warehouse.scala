@@ -283,6 +283,30 @@ object Warehouse {
       .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
   }
 
+  /** All published version names, oldest first — the TIME-TRAVEL inventory.
+    * Version names embed a zero-padded millisecond timestamp, so the
+    * lexicographic sort IS chronological order. One prefix listing, no data
+    * reads. */
+  def versions(spark: SparkSession, target: String): Seq[String] = {
+    val f = fs(spark, target)
+    val p = new Path(target)
+    if (!f.exists(p)) Nil
+    else f.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v_"))
+      .map(_.getPath.getName).sorted
+  }
+
+  /** Read a SPECIFIC published version — time travel. Every version dir is
+    * immutable once its pointer commit lands, so a historical read is
+    * exactly as consistent as a current one; it simply bypasses the
+    * pointer. Fails loudly on a version that was never published or was
+    * vacuumed, rather than returning an empty frame. */
+  def readVersion(spark: SparkSession, target: String, version: String): DataFrame = {
+    require(versions(spark, target).contains(version),
+      s"version $version not present under $target (vacuumed or never published)")
+    spark.read.parquet(s"$target/$version")
+  }
+
   /** Drop every version dir except the current one (call once readers of the
     * previous version have drained; on an object store this is the offline
     * GC job). */

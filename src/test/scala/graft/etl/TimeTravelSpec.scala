@@ -1,0 +1,42 @@
+package graft.etl
+
+import graft.SparkSpec
+
+/** Warehouse time travel: versions() inventory in publish order,
+  * readVersion() historical snapshots, interplay with the pointer and
+  * vacuum. */
+class TimeTravelSpec extends SparkSpec {
+
+  test("historical versions stay readable until vacuum; current follows the pointer") {
+    val s = spark
+    import s.implicits._
+    val target = java.nio.file.Files.createTempDirectory("tt").toString + "/t"
+
+    val v1 = Warehouse.publish(s, target, Seq((1L, "a")).toDF("id", "v"))
+    val v2 = Warehouse.publish(s, target, Seq((1L, "b"), (2L, "c")).toDF("id", "v"))
+
+    assert(Warehouse.versions(s, target) == Seq(v1, v2))
+    assert(Warehouse.currentVersion(s, target).contains(v2))
+    // time travel to v1 sees the old bytes; read() follows the pointer
+    assert(Warehouse.readVersion(s, target, v1).count() == 1)
+    assert(Warehouse.read(s, target).count() == 2)
+    val old = Warehouse.readVersion(s, target, v1).collect()
+    assert(old.length == 1 && old(0).getString(1) == "a")
+
+    // vacuum drops history: v1 gone (loudly), v2 still served
+    Warehouse.vacuum(s, target)
+    assert(Warehouse.versions(s, target) == Seq(v2))
+    intercept[IllegalArgumentException] {
+      Warehouse.readVersion(s, target, v1)
+    }
+    assert(Warehouse.read(s, target).count() == 2)
+  }
+
+  test("versions on an unpublished target is empty, readVersion fails loudly") {
+    val target = java.nio.file.Files.createTempDirectory("tt2").toString + "/none"
+    assert(Warehouse.versions(spark, target).isEmpty)
+    intercept[IllegalArgumentException] {
+      Warehouse.readVersion(spark, target, "v_0000000000000_x")
+    }
+  }
+}
