@@ -160,6 +160,7 @@ object SparkEntry {
     // no oracle (engine-specific DataSketches binary) - rows-only check;
     // SketchWauSpec pins the estimate to the exact q_active_users
     "q_active_users_sketch" -> (Sessions.activeUsersSketch _),
+    "q_agg_mode"           -> (Aggregates.mode _),
   )
 
   /** DECIMAL-staged exact sum, surfaced as DOUBLE (matches Tables.dsum2).
@@ -1135,6 +1136,13 @@ object SparkEntry {
                  event_type, count(*) AS n, ${dsum("value")} AS total
           FROM events, (SELECT unnest([0, 1]) AS k) k
           GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_agg_mode" ->
+      """WITH c AS (SELECT o_orderpriority, o_orderstatus, count(*) AS n
+                    FROM orders GROUP BY 1, 2),
+          r AS (SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+                          ORDER BY n DESC, o_orderstatus) AS rn FROM c)
+          SELECT o_orderpriority, o_orderstatus AS mode_status, n
+          FROM r WHERE rn = 1 ORDER BY o_orderpriority""",
     // chi-square drift: exact-integer counts, (o-e)^2/e terms on the
     // sources x bins domain, summed by an ORDERED fold (list ORDER BY bin
     // twins Spark's array_sort + aggregate) - no log, no engine libm

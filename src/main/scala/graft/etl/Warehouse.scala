@@ -283,6 +283,19 @@ object Warehouse {
       .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
   }
 
+  /** DELETE WHERE — the lakehouse delete (GDPR erasure, bad-batch rollback):
+    * republish the current version minus the matching rows, through the
+    * same atomic pointer commit as every write. Readers of the old version
+    * keep a consistent snapshot until `vacuum` physically drops it — which
+    * is the erasure deadline's job, not the delete's (exactly the
+    * two-phase contract table formats document). Returns the new version
+    * name. Copy-on-write is the right default at warehouse scale: deletes
+    * are rare and batched, reads dominate, and the rewrite is one
+    * filter-scan-write with no tombstone merge on every later read. */
+  def deleteWhere(spark: SparkSession, target: String,
+                  predicate: org.apache.spark.sql.Column): String =
+    publish(spark, target, read(spark, target).filter(!predicate))
+
   /** All published version names, oldest first — the TIME-TRAVEL inventory.
     * Version names embed a zero-padded millisecond timestamp, so the
     * lexicographic sort IS chronological order. One prefix listing, no data

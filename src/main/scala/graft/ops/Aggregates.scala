@@ -23,6 +23,26 @@ object Aggregates {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag", "l_linestatus")
 
+  /** Per-group MODE (most frequent value) with a deterministic tie-break
+    * (smallest value wins) — the statistical aggregate Spark has no
+    * built-in exact form for. Two-level aggregation, both partial-
+    * aggregatable: count per (group, value) — the shuffle carries one row
+    * per distinct pair, never raw rows — then a WindowGroupLimit picks the
+    * top count per group. No collect, no sort of raw data. */
+  def mode(s: SparkSession, dir: String): DataFrame = {
+    val counts = t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_orderpriority")
+      .orderBy(col("n").desc, col("o_orderstatus"))
+    counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_orderpriority"),
+        col("o_orderstatus").as("mode_status"), col("n"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Exact distinct counts (expand+two-phase agg under the hood). */
   def distinctAgg(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")

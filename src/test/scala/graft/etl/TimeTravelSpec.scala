@@ -32,6 +32,24 @@ class TimeTravelSpec extends SparkSpec {
     assert(Warehouse.read(s, target).count() == 2)
   }
 
+  test("deleteWhere republishes without the rows; history keeps them until vacuum") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val target = java.nio.file.Files.createTempDirectory("tt3").toString + "/t"
+    val v1 = Warehouse.publish(s, target,
+      Seq((1L, "keep"), (2L, "erase"), (3L, "keep")).toDF("id", "v"))
+    val v2 = Warehouse.deleteWhere(s, target, col("id") === 2L)
+
+    val now = Warehouse.read(s, target).collect().map(_.getLong(0)).sorted
+    assert(now.sameElements(Array(1L, 3L)))
+    // two-phase erasure: the old snapshot still has the row until vacuum
+    assert(Warehouse.readVersion(s, target, v1).count() == 3)
+    Warehouse.vacuum(s, target)
+    assert(Warehouse.versions(s, target) == Seq(v2))
+    intercept[IllegalArgumentException] { Warehouse.readVersion(s, target, v1) }
+  }
+
   test("versions on an unpublished target is empty, readVersion fails loudly") {
     val target = java.nio.file.Files.createTempDirectory("tt2").toString + "/none"
     assert(Warehouse.versions(spark, target).isEmpty)
