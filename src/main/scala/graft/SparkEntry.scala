@@ -161,6 +161,15 @@ object SparkEntry {
     // SketchWauSpec pins the estimate to the exact q_active_users
     "q_active_users_sketch" -> (Sessions.activeUsersSketch _),
     "q_agg_mode"           -> (Aggregates.mode _),
+    "q_agg_corr"           -> (Aggregates.corrAgg _),
+    "q_agg_incremental"    -> (Aggregates.incrementalMerge _),
+    "q_histogram"          -> (graft.ops.Profile.histogram _),
+    "q_join_full_outer"    -> (Joins.fullOuter _),
+    "q_dq_audit"           -> (graft.ops.DataQuality.audit _),
+    "q_event_cooccurrence" -> (Sessions.cooccurrence _),
+    "q_graph_pagerank"     -> (graft.ops.Graph.pagerank _),
+    "q_graph_triangles"    -> (graft.ops.Graph.triangles _),
+    "q_graph_degree_dist"  -> (graft.ops.Graph.degreeDist _),
   )
 
   /** DECIMAL-staged exact sum, surfaced as DOUBLE (matches Tables.dsum2).
@@ -1643,5 +1652,147 @@ object SparkEntry {
           SELECT doc_id, source, f_tokens, logit_milli, tok_before, source_tokens
           FROM wnd WHERE tok_before * 2 < source_tokens
           ORDER BY doc_id""",
+    // Pearson corr / sample cov from exact decimal cross-moments; only the
+    // final arithmetic is IEEE, as one shared expression tree (q_agg_stats
+    // discipline, two variables)
+    "q_agg_corr" ->
+      """WITH a AS (SELECT l_returnflag, count(*) AS n,
+                 CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sx,
+                 CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sy,
+                 CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sxx,
+                 CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS syy,
+                 CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sxy
+          FROM lineitem GROUP BY 1)
+          SELECT l_returnflag, n,
+                 (sxy - sx * sy / n) / (n - 1) AS cov_samp,
+                 (sxy - sx * sy / n) /
+                   sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)) AS corr_xy
+          FROM a ORDER BY l_returnflag""",
+    // incremental maintenance: the oracle RECOMPUTES from scratch — equality
+    // proves merge-of-partials == recompute (count and decimal sum are
+    // associative)
+    "q_agg_incremental" ->
+      s"""SELECT o_orderpriority, count(*) AS n, ${dsum("o_totalprice")} AS total
+          FROM orders GROUP BY 1 ORDER BY 1""",
+    "q_histogram" ->
+      """SELECT bucket, bucket * 50000.0 AS lo, count(*) AS n
+         FROM (SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket
+               FROM orders)
+         GROUP BY bucket ORDER BY bucket""",
+    "q_join_full_outer" ->
+      """SELECT CAST(COALESCE(c.nk, s.nk) AS BIGINT) AS nationkey,
+                COALESCE(c.n_rich_cust, 0) AS n_rich_cust,
+                COALESCE(s.n_poor_supp, 0) AS n_poor_supp
+         FROM (SELECT c_nationkey AS nk, count(*) AS n_rich_cust
+               FROM customer WHERE c_acctbal > 9000.0 GROUP BY 1) c
+         FULL OUTER JOIN
+              (SELECT s_nationkey AS nk, count(*) AS n_poor_supp
+               FROM supplier WHERE s_acctbal < 3000.0 GROUP BY 1) s
+         ON c.nk = s.nk
+         ORDER BY nationkey""",
+    "q_dq_audit" ->
+      """SELECT * FROM (
+           SELECT 'orders_pk_duplicate' AS check_name,
+                  count(*) - count(DISTINCT o_orderkey) AS violations FROM orders
+           UNION ALL
+           SELECT 'orders_custkey_null',
+                  count(*) FILTER (WHERE o_custkey IS NULL) FROM orders
+           UNION ALL
+           SELECT 'orders_totalprice_nonpositive',
+                  count(*) FILTER (WHERE o_totalprice <= 0.0) FROM orders
+           UNION ALL
+           SELECT 'lineitem_quantity_nonpositive',
+                  count(*) FILTER (WHERE l_quantity <= 0.0) FROM lineitem
+           UNION ALL
+           SELECT 'lineitem_discount_range',
+                  count(*) FILTER (WHERE l_discount < 0.0 OR l_discount > 1.0) FROM lineitem
+           UNION ALL
+           SELECT 'lineitem_shipdate_null',
+                  count(*) FILTER (WHERE l_shipdate IS NULL) FROM lineitem
+           UNION ALL
+           SELECT 'lineitem_fk_orders_orphan', count(*)
+           FROM lineitem l WHERE NOT EXISTS
+             (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+           UNION ALL
+           SELECT 'orders_fk_customer_orphan', count(*)
+           FROM orders o WHERE o.o_custkey IS NOT NULL AND NOT EXISTS
+             (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+         ) ORDER BY check_name""",
+    // relational (self-join) form of the pair count — the registered query
+    // uses the bounded collect_set + pair-explode form; equality proves them
+    // equivalent
+    "q_event_cooccurrence" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+         SELECT a.event_type AS type_a, b.event_type AS type_b,
+                count(*) AS n_users
+         FROM ut a JOIN ut b
+           ON a.user_id = b.user_id AND a.event_type < b.event_type
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    // scaled-BIGINT fixed-point PageRank: five unrolled iterations replay the
+    // registered loop bit-for-bit (integer div only; DuckDB // == Spark div
+    // on non-negative operands); HUGEINT intermediate sums cast back at the end
+    "q_graph_pagerank" ->
+      """WITH pp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+          e AS (SELECT DISTINCT a.p AS src, b.p AS dst
+                FROM pp a JOIN pp b ON a.o = b.o AND a.p <> b.p),
+          deg AS (SELECT src, count(*) AS d FROM e GROUP BY 1),
+          nn AS (SELECT count(*) AS n_nodes FROM deg),
+          tele AS (SELECT (15 * (1000000000000 // n_nodes)) // 100 AS t FROM nn),
+          r0 AS (SELECT src AS node, 1000000000000 // n_nodes AS rank FROM deg, nn),
+          r1 AS (SELECT e.dst AS node,
+                   (SELECT t FROM tele) + (85 * sum(r.rank // d.d)) // 100 AS rank
+                 FROM e JOIN r0 r ON r.node = e.src JOIN deg d ON d.src = e.src
+                 GROUP BY e.dst),
+          r2 AS (SELECT e.dst AS node,
+                   (SELECT t FROM tele) + (85 * sum(r.rank // d.d)) // 100 AS rank
+                 FROM e JOIN r1 r ON r.node = e.src JOIN deg d ON d.src = e.src
+                 GROUP BY e.dst),
+          r3 AS (SELECT e.dst AS node,
+                   (SELECT t FROM tele) + (85 * sum(r.rank // d.d)) // 100 AS rank
+                 FROM e JOIN r2 r ON r.node = e.src JOIN deg d ON d.src = e.src
+                 GROUP BY e.dst),
+          r4 AS (SELECT e.dst AS node,
+                   (SELECT t FROM tele) + (85 * sum(r.rank // d.d)) // 100 AS rank
+                 FROM e JOIN r3 r ON r.node = e.src JOIN deg d ON d.src = e.src
+                 GROUP BY e.dst),
+          r5 AS (SELECT e.dst AS node,
+                   (SELECT t FROM tele) + (85 * sum(r.rank // d.d)) // 100 AS rank
+                 FROM e JOIN r4 r ON r.node = e.src JOIN deg d ON d.src = e.src
+                 GROUP BY e.dst)
+          SELECT node AS part_key, CAST(rank AS BIGINT) AS rank_scaled
+          FROM r5 ORDER BY rank_scaled DESC, part_key LIMIT 50""",
+    // degree-ordered orientation: each triangle p≺q≺r is the wedge p→q→r
+    // closed by p→r, counted once
+    "q_graph_triangles" ->
+      """WITH pp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+          canon AS (SELECT DISTINCT a.p AS src, b.p AS dst
+                    FROM pp a JOIN pp b ON a.o = b.o AND a.p < b.p),
+          deg AS (SELECT node, count(*) AS d FROM
+                    (SELECT src AS node FROM canon
+                     UNION ALL SELECT dst FROM canon) GROUP BY 1),
+          o AS (SELECT
+                  CASE WHEN du.d < dv.d OR (du.d = dv.d AND c.src < c.dst)
+                       THEN c.src ELSE c.dst END AS x,
+                  CASE WHEN du.d < dv.d OR (du.d = dv.d AND c.src < c.dst)
+                       THEN c.dst ELSE c.src END AS y
+                FROM canon c JOIN deg du ON du.node = c.src
+                             JOIN deg dv ON dv.node = c.dst),
+          tri AS (SELECT o1.x AS a, o1.y AS b, o2.y AS c
+                  FROM o o1 JOIN o o2 ON o2.x = o1.y
+                            JOIN o o3 ON o3.x = o1.x AND o3.y = o2.y)
+          SELECT part_key, count(*) AS n_tri FROM (
+            SELECT a AS part_key FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri)
+          GROUP BY 1 ORDER BY n_tri DESC, part_key LIMIT 50""",
+    "q_graph_degree_dist" ->
+      """WITH pp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+          canon AS (SELECT DISTINCT a.p AS src, b.p AS dst
+                    FROM pp a JOIN pp b ON a.o = b.o AND a.p < b.p),
+          deg AS (SELECT node, count(*) AS d FROM
+                    (SELECT src AS node FROM canon
+                     UNION ALL SELECT dst FROM canon) GROUP BY 1)
+          SELECT d AS degree, count(*) AS n_nodes
+          FROM deg GROUP BY 1 ORDER BY degree""",
   )
 }

@@ -251,4 +251,26 @@ object Sessions {
         col("value"))
       .orderBy("event_id")
   }
+
+  /** Market-basket co-occurrence: for every unordered pair of event types,
+    * how many users did both. The naive form is a per-user self-join —
+    * at 100 TB that shuffles the (user, type) set TWICE and its output is
+    * quadratic in per-user types before the final count. This form does one
+    * groupBy(user) with a collect_set bounded by the event-type DOMAIN (a
+    * category vocabulary, not the corpus), then explodes the sorted set's
+    * C(k,2) pairs as a pure map stage — one user exchange, one tiny pair
+    * exchange, pair output bounded by users × C(|domain|,2).
+    * CooccurrenceSpec proves this ≡ the relational self-join form. */
+  def cooccurrence(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy("user_id")
+      .agg(sort_array(collect_set(col("event_type"))).as("ts"))
+      .select(explode(expr(
+        """flatten(transform(ts, (x, i) ->
+             transform(slice(ts, i + 2, size(ts)), y ->
+               struct(x AS type_a, y AS type_b))))""")).as("p"))
+      .select(col("p.type_a"), col("p.type_b"))
+      .groupBy("type_a", "type_b")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("type_a", "type_b")
 }

@@ -170,4 +170,59 @@ object Aggregates {
       .agg(count(lit(1)))
       .na.fill(0L)
       .orderBy("source")
+
+  /** Pearson correlation + sample covariance per group, from EXACT decimal
+    * sums (the q_agg_stats discipline extended to two variables): the five
+    * cross-moments accumulate as DECIMAL — associative, bit-exact, partial-
+    * aggregatable, so the shuffle carries one 5-sum row per (partition,
+    * group) — and only the FINAL corr/cov arithmetic drops to one shared
+    * IEEE expression tree over those exact statistics. Built-in corr()
+    * would stream doubles through Welford-style accumulators whose result
+    * depends on partition order — unreproducible across engines AND across
+    * re-runs at 100 TB; this form is deterministic at any parallelism. */
+  def corrAgg(s: SparkSession, dir: String): DataFrame = {
+    val x = col("l_quantity")
+    val y = col("l_extendedprice")
+    val sums = t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x.cast("decimal(18,2)")).cast("double").as("sx"),
+        sum(y.cast("decimal(18,2)")).cast("double").as("sy"),
+        sum(x.cast("decimal(12,2)") * x.cast("decimal(12,2)")).cast("double").as("sxx"),
+        sum(y.cast("decimal(12,2)") * y.cast("decimal(12,2)")).cast("double").as("syy"),
+        sum(x.cast("decimal(12,2)") * y.cast("decimal(12,2)")).cast("double").as("sxy"))
+    sums
+      .withColumn("cov_samp",
+        (col("sxy") - col("sx") * col("sy") / col("n")) / (col("n") - 1))
+      .withColumn("corr_xy",
+        (col("sxy") - col("sx") * col("sy") / col("n")) /
+          sqrt((col("sxx") - col("sx") * col("sx") / col("n")) *
+               (col("syy") - col("sy") * col("sy") / col("n"))))
+      .select("l_returnflag", "n", "cov_samp", "corr_xy")
+      .orderBy("l_returnflag")
+  }
+
+  /** Incremental aggregate maintenance: the materialized-view refresh a
+    * warehouse runs on every load — merge the standing aggregate with the
+    * new batch's partial instead of rescanning history. Both partials carry
+    * re-aggregable state (COUNT and a DECIMAL sum — both associative), so
+    * merge is sum-of-sums; the registered query computes base ⊎ delta and
+    * the oracle recomputes from scratch, proving merge ≡ recompute exactly.
+    * At 100 TB the base partial is table-sized-independent (one row per
+    * group) while a recompute rescans everything — this identity is why the
+    * incremental path is safe to serve from. */
+  def incrementalMerge(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("total_dec"))
+    val base  = partial(orders.filter(col("o_orderdate") <  lit("1999-01-01")))
+    val delta = partial(orders.filter(col("o_orderdate") >= lit("1999-01-01")))
+    base.unionByName(delta)
+      .groupBy("o_orderpriority")
+      .agg(sum(col("n")).as("n"), sum(col("total_dec")).cast("double").as("total"))
+      .orderBy("o_orderpriority")
+  }
 }

@@ -388,4 +388,25 @@ object Joins {
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       .limit(100)
   }
+
+  /** FULL OUTER join — the reconciliation shape (two reports that must
+    * agree on a shared key, keeping rows unique to EITHER side): high-
+    * balance customers vs low-balance suppliers per nation. Both sides
+    * aggregate BEFORE the join, so the full-outer shuffle carries one row
+    * per (side, nation) — never fact-table rows — and the filters cut each
+    * side at the scan. COALESCE surfaces one key column and zero-fills the
+    * missing side, the convention that lets the result feed arithmetic
+    * without null checks. */
+  def fullOuter(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").filter(col("c_acctbal") > lit(9000.0))
+      .groupBy("c_nationkey").agg(count(lit(1)).as("n_rich_cust"))
+    val sup = t(s, dir, "supplier").filter(col("s_acctbal") < lit(3000.0))
+      .groupBy("s_nationkey").agg(count(lit(1)).as("n_poor_supp"))
+    c.join(sup, col("c_nationkey") === col("s_nationkey"), "full_outer")
+      .select(
+        coalesce(col("c_nationkey"), col("s_nationkey")).cast("long").as("nationkey"),
+        coalesce(col("n_rich_cust"), lit(0L)).as("n_rich_cust"),
+        coalesce(col("n_poor_supp"), lit(0L)).as("n_poor_supp"))
+      .orderBy("nationkey")
+  }
 }

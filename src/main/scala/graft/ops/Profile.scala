@@ -90,4 +90,20 @@ object Profile {
       .orderBy(col("n").desc, col("key")).limit(20)
       .select("key", "n", "pct")
   }
+
+  /** Fixed-width value histogram of o_totalprice (50 k bins): the
+    * distribution profile behind partition-sizing and skew decisions. The
+    * bucket id is a pure map expression (floor of one double division — the
+    * same IEEE op in any engine), so the only shuffle carries one count per
+    * occupied bucket — bounded by the value range / width, independent of
+    * row count. An equi-height variant would need a percentile pass first;
+    * equi-width is the one-scan form. */
+  def histogram(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(floor(col("o_totalprice") / lit(50000.0)).cast("long").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("lo", col("bucket") * lit(50000.0))
+      .select("bucket", "lo", "n")
+      .orderBy("bucket")
 }

@@ -189,9 +189,12 @@ class PlanSpec extends SparkSpec {
     // broadcasts (Curation.qualityThreshold).
     // q_active_users' max(day) and q_stats_drift's corpus count are the
     // same 1-row broadcast totals as q_stats_skew's.
+    // q_dq_audit: every check is a global SCALAR violation count (map-side
+    // partial agg → one row per upstream partition into an 8-row audit) —
+    // the single partition carries per-check counters, not data volume.
     val scalarAggs = Set("q_join_anti_null", "q_stats_profile", "q_stats_skew",
       "q_text_tfidf", "q_sample_temperature", "q_quality_threshold",
-      "q_active_users", "q_active_users_sketch", "q_stats_drift")
+      "q_active_users", "q_active_users_sketch", "q_stats_drift", "q_dq_audit")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
       val p = plan(q)
       Seq(
