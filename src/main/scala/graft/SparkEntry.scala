@@ -170,6 +170,10 @@ object SparkEntry {
     "q_graph_pagerank"     -> (graft.ops.Graph.pagerank _),
     "q_graph_triangles"    -> (graft.ops.Graph.triangles _),
     "q_graph_degree_dist"  -> (graft.ops.Graph.degreeDist _),
+    "q_agg_revenue_slice"  -> (Aggregates.revenueSlice _),
+    "q_join_promo_share"   -> (Joins.promoRevenue _),
+    "q_join_disjunctive"   -> (Joins.disjunctiveRevenue _),
+    "q_event_rfm"          -> (Sessions.rfm _),
   )
 
   /** DECIMAL-staged exact sum, surfaced as DOUBLE (matches Tables.dsum2).
@@ -1794,5 +1798,65 @@ object SparkEntry {
                      UNION ALL SELECT dst FROM canon) GROUP BY 1)
           SELECT d AS degree, count(*) AS n_nodes
           FROM deg GROUP BY 1 ORDER BY degree""",
+    "q_agg_revenue_slice" ->
+      """SELECT CAST(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS revenue,
+                count(*) AS n
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+           AND l_discount >= 0.04 AND l_discount <= 0.06
+           AND l_quantity < 24.0""",
+    "q_join_promo_share" ->
+      """WITH a AS (SELECT
+                 CAST(CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                       THEN l_extendedprice*(1-l_discount) ELSE 0.0 END
+                     AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS promo_rev,
+                 CAST(CAST(SUM(CAST(l_extendedprice*(1-l_discount)
+                     AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS total_rev,
+                 count(*) AS n
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+            AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00')
+          SELECT promo_rev, total_rev,
+                 100.0 * promo_rev / total_rev AS promo_share_pct, n
+          FROM a""",
+    "q_join_disjunctive" ->
+      """SELECT p_brand,
+                CAST(CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS revenue,
+                count(*) AS n
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+                AND l_quantity BETWEEN 1.0 AND 11.0)
+            OR (p_brand = 'Brand#21' AND p_size BETWEEN 10 AND 30
+                AND l_quantity BETWEEN 10.0 AND 20.0)
+            OR (p_brand = 'Brand#5' AND p_size BETWEEN 20 AND 50
+                AND l_quantity BETWEEN 20.0 AND 30.0)
+         GROUP BY 1 ORDER BY 1""",
+    // quartile-boundary thresholds broadcast back over the per-user
+    // aggregate — 0.25/0.75 are binary-exact, so quantile_cont interpolates
+    // the same doubles Spark's percentile() does
+    "q_event_rfm" ->
+      """WITH p AS (SELECT user_id, epoch_ms(ts) // 86400000 AS day, value
+                    FROM events WHERE event_type = 'purchase'),
+          u AS (SELECT user_id, max(day) AS last_day, count(*) AS frequency,
+                       CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS monetary
+                FROM p GROUP BY 1),
+          mx AS (SELECT max(last_day) AS max_day FROM u),
+          b AS (SELECT user_id, max_day - last_day AS recency_days,
+                       frequency, monetary FROM u, mx),
+          th AS (SELECT quantile_cont(recency_days, 0.25) AS r1,
+                        quantile_cont(recency_days, 0.75) AS r2,
+                        quantile_cont(frequency, 0.25) AS f1,
+                        quantile_cont(frequency, 0.75) AS f2,
+                        quantile_cont(monetary, 0.25) AS m1,
+                        quantile_cont(monetary, 0.75) AS m2 FROM b)
+          SELECT user_id, recency_days, frequency, monetary,
+                 CAST(CASE WHEN recency_days <= r1 THEN 1
+                      WHEN recency_days <= r2 THEN 2 ELSE 3 END AS BIGINT) AS r_seg,
+                 CAST(CASE WHEN frequency <= f1 THEN 1
+                      WHEN frequency <= f2 THEN 2 ELSE 3 END AS BIGINT) AS f_seg,
+                 CAST(CASE WHEN monetary <= m1 THEN 1
+                      WHEN monetary <= m2 THEN 2 ELSE 3 END AS BIGINT) AS m_seg
+          FROM b, th ORDER BY user_id""",
   )
 }

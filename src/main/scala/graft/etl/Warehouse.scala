@@ -320,6 +320,35 @@ object Warehouse {
     spark.read.parquet(s"$target/$version")
   }
 
+  /** Change feed between two published versions — what a downstream
+    * incremental consumer reads instead of diffing full snapshots by hand:
+    * one row per changed key with `change_type` inserted / deleted /
+    * updated (unchanged keys are dropped). One full-outer join keyed on the
+    * primary key — the shuffle carries both snapshots once, the payload
+    * compare is a null-safe struct equality, and the common (unchanged)
+    * bulk never leaves the join's filter. Presence markers distinguish a
+    * MISSING row from a present row whose payload columns are all NULL. */
+  def diffVersions(spark: SparkSession, target: String,
+                   vOld: String, vNew: String, keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, struct, when}
+    val o = readVersion(spark, target, vOld)
+    val n = readVersion(spark, target, vNew)
+    require(o.columns.sorted.sameElements(n.columns.sorted),
+      s"schema drift between $vOld and $vNew: ${o.columns.toSeq} vs ${n.columns.toSeq}")
+    val payload = o.columns.filterNot(keys.contains).toSeq
+    def side(df: DataFrame, tag: String) = df.select(
+      keys.map(col) ++ Seq(
+        struct(payload.map(col): _*).as(s"_${tag}_payload"),
+        lit(true).as(s"_in_$tag")): _*)
+    side(o, "old").join(side(n, "new"), keys, "full_outer")
+      .withColumn("change_type",
+        when(col("_in_new").isNull, lit("deleted"))
+          .when(col("_in_old").isNull, lit("inserted"))
+          .when(!(col("_old_payload") <=> col("_new_payload")), lit("updated")))
+      .filter(col("change_type").isNotNull)
+      .select(keys.map(col) :+ col("change_type"): _*)
+  }
+
   /** Drop every version dir except the current one (call once readers of the
     * previous version have drained; on an object store this is the offline
     * GC job). */

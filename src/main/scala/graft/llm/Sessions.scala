@@ -252,6 +252,46 @@ object Sessions {
       .orderBy("event_id")
   }
 
+  /** RFM segmentation: per purchasing user, Recency (days since last
+    * purchase, vs the corpus's last observed purchase day), Frequency
+    * (purchase count) and Monetary (exact decimal spend), each cut into
+    * quartile-boundary segments (1 = lowest value … 3 = top quartile).
+    * The scalable form: segment BOUNDARIES are one exact-percentile row
+    * over the per-user aggregate, broadcast back — a global ntile() window
+    * over billions of users would single-partition the user domain; three
+    * threshold comparisons don't. 0.25/0.75 are binary-exact literals, so
+    * both engines interpolate identical doubles (the q_agg_percentile
+    * discipline); day arithmetic is integer ns→day division. */
+  def rfm(s: SparkSession, dir: String): DataFrame = {
+    val purchases = t(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr("ts div 86400000000000").as("day"),
+        col("value"))
+    val base = purchases.groupBy("user_id")
+      .agg(max(col("day")).as("last_day"),
+        count(lit(1)).as("frequency"),
+        dsum2(col("value")).as("monetary"))
+    val maxDay = base.agg(max(col("last_day")).as("max_day"))
+    val withR = base.crossJoin(broadcast(maxDay))
+      .withColumn("recency_days", col("max_day") - col("last_day"))
+    val th = withR.agg(
+      expr("percentile(recency_days, 0.25D)").as("r1"),
+      expr("percentile(recency_days, 0.75D)").as("r2"),
+      expr("percentile(frequency, 0.25D)").as("f1"),
+      expr("percentile(frequency, 0.75D)").as("f2"),
+      expr("percentile(monetary, 0.25D)").as("m1"),
+      expr("percentile(monetary, 0.75D)").as("m2"))
+    def seg(v: String, lo: String, hi: String) =
+      when(col(v) <= col(lo), 1L).when(col(v) <= col(hi), 2L).otherwise(3L)
+    withR.crossJoin(broadcast(th))
+      .select(col("user_id"), col("recency_days"), col("frequency"),
+        col("monetary"),
+        seg("recency_days", "r1", "r2").as("r_seg"),
+        seg("frequency", "f1", "f2").as("f_seg"),
+        seg("monetary", "m1", "m2").as("m_seg"))
+      .orderBy("user_id")
+  }
+
   /** Market-basket co-occurrence: for every unordered pair of event types,
     * how many users did both. The naive form is a per-user self-join —
     * at 100 TB that shuffles the (user, type) set TWICE and its output is

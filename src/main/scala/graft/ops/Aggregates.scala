@@ -203,6 +203,20 @@ object Aggregates {
       .orderBy("l_returnflag")
   }
 
+  /** Forecast-revenue slice (TPC-H Q6 shape): one filtered scan, one global
+    * sum — the simplest report a warehouse serves and the purest pushdown
+    * test: all four predicates must reach the parquet scan (PlanSpec
+    * asserts PushedFilters), and the aggregate is map-side partial into a
+    * single exact row. */
+  def revenueSlice(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1997-01-01") &&
+        col("l_discount") >= lit(0.04) && col("l_discount") <= lit(0.06) &&
+        col("l_quantity") < lit(24.0))
+      .agg(dsum10(col("l_extendedprice") * col("l_discount")).as("revenue"),
+        count(lit(1)).as("n"))
+
   /** Incremental aggregate maintenance: the materialized-view refresh a
     * warehouse runs on every load — merge the standing aggregate with the
     * new batch's partial instead of rescanning history. Both partials carry

@@ -29,13 +29,33 @@ import graft.Tables._
   * hub product cannot make the wedge join quadratic in its frequency. */
 object Graph {
 
-  /** Canonical undirected co-purchase edges (src < dst, distinct). */
+  /** Canonical undirected co-purchase edges (src < dst, distinct),
+    * graph-once/serve-many: the first caller pays the pair join and
+    * PUBLISHES the edge list through the warehouse pointer commit (the
+    * `Dedup.components` / IVF-centroid discipline — a production system
+    * materializes the item graph once per corpus, it does not rebuild it
+    * per analytic); PageRank, triangles, and the degree profile all serve
+    * from the same published table. Content-fingerprinted target: a
+    * rewritten fixture can never serve a stale graph. */
   private def edges(s: SparkSession, dir: String): DataFrame = {
-    val pp = t(s, dir, "lineitem")
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    pp.as("a").join(pp.as("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .select(col("a.p").as("src"), col("b.p").as("dst")).distinct()
+    val p = new org.apache.hadoop.fs.Path(s"$dir/lineitem.parquet")
+    val hfs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val parts = hfs.listStatus(p).map(st =>
+      s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .sorted.mkString("|")
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir|$parts".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+    val target = s"${sys.props("java.io.tmpdir")}/graft_graph/edges_$key"
+    if (!graft.etl.Warehouse.exists(s, target)) {
+      val pp = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val canon = pp.as("a").join(pp.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("src"), col("b.p").as("dst")).distinct()
+      graft.etl.Warehouse.publish(s, target, canon)
+    }
+    graft.etl.Warehouse.read(s, target)
   }
 
   private def bothDirections(canon: DataFrame): DataFrame =
@@ -69,23 +89,32 @@ object Graph {
     * dangling-mass term is needed. */
   def pagerank(s: SparkSession, dir: String): DataFrame = {
     val S = 1000000000000L
-    val canon = edges(s, dir)
-    val e = bothDirections(canon)
-    val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
-    // (src, dst, d): the loop's constant input, materialized once
-    val ed = e.join(deg, "src").localCheckpoint()
+    val e = bothDirections(edges(s, dir)).localCheckpoint()
+    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+      .localCheckpoint()
     val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
     val tele = nNodes.select(expr(s"(15 * ($S div n_nodes)) div 100").as("t"))
+    // Rank state is one row per NODE of the item graph — dimension-tier
+    // (like the part table), never fact-tier. Pre-dividing rank/deg on the
+    // node frame and BROADCASTING it means each round's contribution join
+    // never shuffles the edge frame: the only per-round exchange is the
+    // map-side-combined sum per dst. (A catalog too large to broadcast
+    // would swap the hint for edges and ranks bucketed on the same key —
+    // the shape stays one exchange per round.)
     var ranks = deg.crossJoin(broadcast(nNodes))
-      .select(col("src").as("node"), expr(s"$S div n_nodes").as("rank"))
+      .select(col("node"), col("d"), expr(s"$S div n_nodes").as("rank"))
       .localCheckpoint()
     for (_ <- 1 to 5) {
-      ranks = ed.join(ranks, col("src") === col("node"))
-        .select(col("dst"), expr("rank div d").as("contrib"))
+      ranks = e.join(
+          broadcast(ranks.select(col("node"), expr("rank div d").as("c"))),
+          col("src") === col("node"))
         .groupBy(col("dst").as("node2"))
-        .agg(sum(col("contrib")).as("m"))
+        .agg(sum(col("c")).as("m"))
         .crossJoin(broadcast(tele))
         .select(col("node2").as("node"), expr("t + (85 * m) div 100").as("rank"))
+        .join(broadcast(deg.withColumnRenamed("node", "node3")),
+          col("node") === col("node3"))
+        .select(col("node"), col("d"), col("rank"))
         .localCheckpoint()
     }
     ranks.orderBy(col("rank").desc, col("node"))
@@ -93,12 +122,16 @@ object Graph {
       .select(col("node").as("part_key"), col("rank").as("rank_scaled"))
   }
 
-  /** Per-node triangle counts (top 50), via degree-ordered orientation:
-    * each undirected edge points from its (degree, id)-smaller endpoint, so
-    * each triangle {p ≺ q ≺ r} materializes exactly once as the wedge
-    * p→q→r closed by p→r, and the wedge join fans out on the orientation's
-    * OUT-degree — bounded even at a hub node. The closing join is a hash
-    * join on the (a, c) pair, never a cartesian. */
+  /** Per-node triangle counts (top 50), via degree-ordered orientation +
+    * adjacency intersection (the edge-iterator algorithm): each undirected
+    * edge points from its (degree, id)-smaller endpoint, so each triangle
+    * {p ≺ q ≺ r} is found exactly once — at edge p→q, as r ∈ N⁺(p)∩N⁺(q).
+    * Intersecting out-neighbor LISTS keeps the row count at |E| plus one
+    * row per actual triangle; the naive wedge join (the DuckDB twin's form)
+    * materializes and shuffles every wedge — orders of magnitude more rows
+    * on a dense graph. The per-node adjacency array is bounded by the
+    * orientation OUT-degree (O(√E) for any graph — the compact-forward
+    * bound), not by a hub's raw degree. */
   def triangles(s: SparkSession, dir: String): DataFrame = {
     val canon = edges(s, dir)
     val degT = degrees(canon)
@@ -111,10 +144,17 @@ object Graph {
       .select(
         when(fwd, col("src")).otherwise(col("dst")).as("x"),
         when(fwd, col("dst")).otherwise(col("src")).as("y"))
-    val wedges = o.select(col("x").as("a"), col("y").as("b"))
-      .join(o.select(col("x").as("b"), col("y").as("c")), "b")
-    val tri = wedges.join(
-      o.select(col("x").as("a"), col("y").as("c")), Seq("a", "c"))
+      .localCheckpoint()
+    val adj = o.groupBy(col("x"))
+      .agg(sort_array(collect_list(col("y"))).as("nbrs"))
+    // inner joins: an edge whose head has no out-neighbors closes nothing
+    val tri = o
+      .join(adj.select(col("x").as("xx"), col("nbrs").as("nx")),
+        col("x") === col("xx"))
+      .join(adj.select(col("x").as("yy"), col("nbrs").as("ny")),
+        col("y") === col("yy"))
+      .select(col("x").as("a"), col("y").as("b"),
+        explode(expr("array_intersect(nx, ny)")).as("c"))
     tri.select(explode(array(col("a"), col("b"), col("c"))).as("part_key"))
       .groupBy("part_key")
       .agg(count(lit(1)).as("n_tri"))

@@ -389,6 +389,52 @@ object Joins {
       .limit(100)
   }
 
+  /** Promotion revenue share (TPC-H Q14 shape): what fraction of a month's
+    * discounted revenue came from PROMO-type parts. Both sums ride ONE
+    * conditional aggregation over the same join (no second scan for the
+    * numerator); the month predicate cuts lineitem at the scan before the
+    * partkey shuffle; the share is one IEEE division of two exact decimal
+    * sums. */
+  def promoRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-09-01") &&
+        col("l_shipdate") < lit("1996-10-01"))
+    val p = t(s, dir, "part").select("p_partkey", "p_type")
+    val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    li.join(p, col("l_partkey") === col("p_partkey"))
+      .agg(
+        dsum10(when(col("p_type") === "PROMO", disc).otherwise(lit(0.0)))
+          .as("promo_rev"),
+        dsum10(disc).as("total_rev"),
+        count(lit(1)).as("n"))
+      .withColumn("promo_share_pct",
+        lit(100.0) * col("promo_rev") / col("total_rev"))
+      .select("promo_rev", "total_rev", "promo_share_pct", "n")
+  }
+
+  /** Disjunctive-predicate revenue (TPC-H Q19 shape, adapted to this
+    * schema's columns): three OR'd (brand, size-range, quantity-range)
+    * branches. The planner can push only the OR-of-brands envelope to the
+    * part scan; the full residual evaluates post-join — the shape that
+    * tests predicate handling beyond simple conjunctions. */
+  def disjunctiveRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val p = t(s, dir, "part").select("p_partkey", "p_brand", "p_size")
+    val pred =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(1.0, 11.0)) ||
+      (col("p_brand") === "Brand#21" && col("p_size").between(10, 30) &&
+        col("l_quantity").between(10.0, 20.0)) ||
+      (col("p_brand") === "Brand#5" && col("p_size").between(20, 50) &&
+        col("l_quantity").between(20.0, 30.0))
+    li.join(p, col("l_partkey") === col("p_partkey"))
+      .filter(pred)
+      .groupBy("p_brand")
+      .agg(dsum10(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"), count(lit(1)).as("n"))
+      .orderBy("p_brand")
+  }
+
   /** FULL OUTER join — the reconciliation shape (two reports that must
     * agree on a shared key, keeping rows unique to EITHER side): high-
     * balance customers vs low-balance suppliers per nation. Both sides

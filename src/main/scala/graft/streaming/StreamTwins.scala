@@ -241,4 +241,21 @@ object StreamTwins {
     orders.groupBy("o_orderpriority")
       .agg(hll_sketch_estimate(hll_sketch_agg(col("o_custkey")))
         .cast("long").as("approx_customers"))
+
+  /** Streaming DATA-QUALITY gate: the per-row expectation subset of
+    * `DataQuality.audit` as running totals across micro-batches (each
+    * check is an associative conditional SUM, so streaming state is one
+    * counter per check — constant). Complete-mode output on the drained
+    * stream equals the batch audit's rows for the same checks; the
+    * table-level expectations (pk uniqueness, referential orphans) need
+    * the whole table by definition and stay on the post-publish batch
+    * audit — splitting them this way is the production contract: row
+    * expectations gate ADMISSION, table expectations gate PUBLISH. */
+  def dqGate(orders: DataFrame): DataFrame =
+    orders.agg(
+      sum(when(col("o_custkey").isNull, 1L).otherwise(0L))
+        .as("orders_custkey_null"),
+      sum(when(col("o_totalprice") <= 0.0, 1L).otherwise(0L))
+        .as("orders_totalprice_nonpositive"),
+      count(lit(1)).as("rows_seen"))
 }

@@ -50,6 +50,23 @@ class TimeTravelSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Warehouse.readVersion(s, target, v1) }
   }
 
+  test("diffVersions emits the exact change feed between two snapshots") {
+    val s = spark
+    import s.implicits._
+    val target = java.nio.file.Files.createTempDirectory("tt4").toString + "/t"
+    val v1 = Warehouse.publish(s, target,
+      Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0),
+        (4L, null.asInstanceOf[String], 40.0)).toDF("id", "v", "x"))
+    val v2 = Warehouse.publish(s, target,
+      Seq((1L, "a", 10.0),                       // unchanged → dropped
+        (2L, "B", 20.0),                         // updated payload
+        (4L, null.asInstanceOf[String], 40.0),   // unchanged (null payload kept)
+        (5L, "e", 50.0)).toDF("id", "v", "x"))   // inserted; 3 deleted
+    val diff = Warehouse.diffVersions(s, target, v1, v2, Seq("id"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(diff == Map(2L -> "updated", 3L -> "deleted", 5L -> "inserted"))
+  }
+
   test("versions on an unpublished target is empty, readVersion fails loudly") {
     val target = java.nio.file.Files.createTempDirectory("tt2").toString + "/none"
     assert(Warehouse.versions(spark, target).isEmpty)

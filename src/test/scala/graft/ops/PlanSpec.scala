@@ -46,6 +46,17 @@ class PlanSpec extends SparkSpec {
     assert(plan("q_topk").contains("TakeOrderedAndProject"))
   }
 
+  test("Q6-shape predicates all reach the lineitem scan") {
+    // executedPlan.toString truncates PushedFilters; formatted mode is full
+    val p = SparkEntry.queries("q_agg_revenue_slice")(spark, sf)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("PushedFilters"), p)
+    Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+      "GreaterThanOrEqual(l_discount", "LessThanOrEqual(l_discount",
+      "LessThan(l_quantity").foreach(f => assert(p.contains(f), s"$f missing:\n$p"))
+  }
+
   test("column pruning reaches the lineitem scan of the flagship") {
     val p = plan("q_join_multi")
     // ReadSchema must not include unused lineitem columns
@@ -175,7 +186,12 @@ class PlanSpec extends SparkSpec {
     // q_stats_drift's collect_list gathers one (bin, term) struct per
     // length-histogram bin — bounded by the bin domain (n_chars/64), not
     // the corpus (Profile.drift's ordered χ² fold).
-    val boundedArrays = Set("q_sim_ivf_trained", "q_stats_drift")
+    // q_graph_triangles' collect_list is the oriented OUT-adjacency — bounded
+    // by the degree-orientation out-degree (O(√E), the compact-forward bound),
+    // never a hub's raw degree; it is the standard distributed
+    // triangle-counting representation (adjacency intersection).
+    val boundedArrays = Set("q_sim_ivf_trained", "q_stats_drift",
+      "q_graph_triangles")
     // allowlisted: global SCALAR aggregates (3 labeled counts / one stats
     // row) — the final agg is one row per upstream partition into a 1-row
     // result, after map-side partial aggregation; the single partition
@@ -192,9 +208,13 @@ class PlanSpec extends SparkSpec {
     // q_dq_audit: every check is a global SCALAR violation count (map-side
     // partial agg → one row per upstream partition into an 8-row audit) —
     // the single partition carries per-check counters, not data volume.
+    // q_agg_revenue_slice / q_join_promo_share are single-row reports (the
+    // TPC-H Q6/Q14 contract); q_event_rfm's quartile thresholds and
+    // max-day are 1-row broadcasts over the per-user aggregate.
     val scalarAggs = Set("q_join_anti_null", "q_stats_profile", "q_stats_skew",
       "q_text_tfidf", "q_sample_temperature", "q_quality_threshold",
-      "q_active_users", "q_active_users_sketch", "q_stats_drift", "q_dq_audit")
+      "q_active_users", "q_active_users_sketch", "q_stats_drift", "q_dq_audit",
+      "q_agg_revenue_slice", "q_join_promo_share", "q_event_rfm")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
       val p = plan(q)
       Seq(

@@ -397,4 +397,29 @@ class StreamTwinsSpec extends SparkSpec {
     q2.awaitTermination(120000)
     assert(Warehouse.currentVersion(spark, dim) == vDim)
   }
+
+  test("streaming dq gate accumulates exact violation counts across micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[(Long, Option[Long], Double)]
+    val orders = mem.toDF().toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val q = StreamTwins.dqGate(orders).writeStream
+      .format("memory").queryName("dq_out").outputMode("complete").start()
+    // batch 1: one null FK; batch 2: one non-positive price
+    mem.addData((1L, Some(10L), 100.0), (2L, None, 50.0))
+    q.processAllAvailable()
+    mem.addData((3L, Some(11L), -5.0), (4L, Some(12L), 75.0))
+    q.processAllAvailable(); q.stop()
+    val got = s.table("dq_out").collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((1L, 1L, 4L)))
+    // equals the batch form of the same checks on the full input
+    val batch = Seq((1L, Some(10L), 100.0), (2L, None: Option[Long], 50.0),
+      (3L, Some(11L), -5.0), (4L, Some(12L), 75.0))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val b = StreamTwins.dqGate(batch).collect().head
+    assert(b.getLong(0) == 1L && b.getLong(1) == 1L && b.getLong(2) == 4L)
+  }
 }
