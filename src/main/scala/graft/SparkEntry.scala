@@ -174,6 +174,12 @@ object SparkEntry {
     "q_join_promo_share"   -> (Joins.promoRevenue _),
     "q_join_disjunctive"   -> (Joins.disjunctiveRevenue _),
     "q_event_rfm"          -> (Sessions.rfm _),
+    "q_agg_weighted_avg"   -> (Aggregates.weightedAvg _),
+    // no oracle (GK sketch estimate is engine-specific) — rows-only check;
+    // ApproxPercentileSpec pins the estimates to the exact percentiles
+    "q_agg_percentile_approx" -> (Aggregates.approxPercentiles _),
+    "q_chunk_sentences"    -> (graft.llm.Curation.chunkSentences _),
+    "q_sample_target_mix"  -> (graft.llm.Curation.targetMix _),
   )
 
   /** DECIMAL-staged exact sum, surfaced as DOUBLE (matches Tables.dsum2).
@@ -1858,5 +1864,37 @@ object SparkEntry {
                  CAST(CASE WHEN monetary <= m1 THEN 1
                       WHEN monetary <= m2 THEN 2 ELSE 3 END AS BIGINT) AS m_seg
           FROM b, th ORDER BY user_id""",
+    "q_agg_weighted_avg" ->
+      """WITH a AS (SELECT l_returnflag,
+                 CAST(CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS wsum,
+                 CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS wmass,
+                 count(*) AS n
+          FROM lineitem GROUP BY 1)
+          SELECT l_returnflag, wsum, wmass, wsum / wmass AS wavg_price, n
+          FROM a ORDER BY l_returnflag""",
+    // sentence split is a lookaround-free regex (identical in Java regex and
+    // RE2); DuckDB zips unnest + generate_subscripts over the same list
+    "q_chunk_sentences" ->
+      """WITH s0 AS (SELECT doc_id,
+                 unnest(regexp_extract_all(coalesce(text, ''), '[^.!?]+[.!?]*')) AS sent,
+                 CAST(generate_subscripts(regexp_extract_all(coalesce(text, ''), '[^.!?]+[.!?]*'), 1) AS BIGINT) AS sent_idx
+               FROM documents),
+          t1 AS (SELECT doc_id, sent_idx,
+                 CAST(len(string_split(trim(sent), ' ')) AS BIGINT) AS n_tokens FROM s0),
+          t2 AS (SELECT doc_id, sent_idx, n_tokens,
+                 CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY doc_id ORDER BY sent_idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_before
+               FROM t1)
+          SELECT doc_id, sent_idx, n_tokens, tok_before,
+                 tok_before // 48 AS chunk_id
+          FROM t2 ORDER BY doc_id, sent_idx""",
+    "q_sample_target_mix" ->
+      """WITH c AS (SELECT source, count(*) AS n_source FROM documents GROUP BY 1),
+          tot AS (SELECT CAST(sum(n_source) AS BIGINT) AS n_total,
+                         count(*) AS n_sources FROM c)
+          SELECT source, n_source, n_total,
+                 least(1000000, (n_total * 1000000) // (n_sources * n_source)) AS rate_ppm,
+                 (n_source * least(1000000, (n_total * 1000000) // (n_sources * n_source))) // 1000000 AS expected_kept
+          FROM c, tot ORDER BY source""",
   )
 }

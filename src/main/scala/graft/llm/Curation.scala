@@ -568,6 +568,52 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Static target-mix rebalancing: the per-source sampling rate that moves
+    * the corpus toward a UNIFORM source mix (the explicit-target companion
+    * of `temperatureSample`'s α=1/2 softening): rate = min(1, fair-share /
+    * actual-share), in exact ppm integers — over-represented sources are
+    * downsampled to the fair share, under-represented ones keep everything
+    * (a rate can't exceed 1). One source-keyed count agg + a 1-row total
+    * broadcast; the rates table is metadata-sized at any corpus size. */
+  def targetMix(s: SparkSession, dir: String): DataFrame = {
+    val counts = t(s, dir, "documents")
+      .groupBy("source").agg(count(lit(1)).as("n_source"))
+    val tot = counts.agg(sum(col("n_source")).as("n_total"),
+      count(lit(1)).as("n_sources"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("rate_ppm",
+        least(lit(1000000L), expr("(n_total * 1000000) div (n_sources * n_source)")))
+      .withColumn("expected_kept", expr("(n_source * rate_ppm) div 1000000"))
+      .select("source", "n_source", "n_total", "rate_ppm", "expected_kept")
+      .orderBy("source")
+  }
+
+  /** Sentence-boundary chunking — the semantic alternative to the fixed-
+    * stride `chunkTokens`: sentences (runs up to .!? terminators) never
+    * split across chunks; a sentence opens chunk `tok_before div budget`,
+    * so chunks stay sentence-aligned with a SOFT token budget (a chunk may
+    * overflow by the sentence that crosses the line — the standard trade
+    * for not cutting mid-sentence). The sentence regex is lookaround-free
+    * (plain character classes), so Java regex and RE2 extract identical
+    * runs; everything after the extract is integer arithmetic over one
+    * doc-keyed window. */
+  val SentenceChunkBudget = 48
+  def chunkSentences(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("sent_idx")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(expr("regexp_extract_all(coalesce(text, ''), '[^.!?]+[.!?]*', 0)"))
+          .as(Seq("sent_idx0", "sent")))
+      .select(col("doc_id"), (col("sent_idx0") + 1).cast("long").as("sent_idx"),
+        size(split(trim(col("sent")), " ")).cast("long").as("n_tokens"))
+      .withColumn("tok_before", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .select(col("doc_id"), col("sent_idx"), col("n_tokens"), col("tok_before"),
+        expr(s"tok_before div $SentenceChunkBudget").as("chunk_id"))
+      .orderBy("doc_id", "sent_idx")
+  }
+
   /** Gopher-style repetition signals: duplicate 2-gram / 3-gram fractions
     * per doc (1 − distinct/total) and a keep/drop flag. Pure per-row
     * expressions — no shuffle at all before the output sort. */

@@ -203,6 +203,38 @@ object Aggregates {
       .orderBy("l_returnflag")
   }
 
+  /** Weighted average (quantity-weighted unit price per flag): both the
+    * weighted sum and the weight mass accumulate as exact decimals; the
+    * average is ONE IEEE division at the end — the only correct shape for a
+    * reproducible weighted mean at any parallelism. */
+  def weightedAvg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        dsum10(col("l_extendedprice") * col("l_quantity")).as("wsum"),
+        dsum2(col("l_quantity")).as("wmass"),
+        count(lit(1)).as("n"))
+      .withColumn("wavg_price", col("wsum") / col("wmass"))
+      .select("l_returnflag", "wsum", "wmass", "wavg_price", "n")
+      .orderBy("l_returnflag")
+
+  /** APPROXIMATE percentiles (GK sketch, mergeable partial state) — the
+    * serving path for quantiles at warehouse scale, where the exact
+    * sort-based `percentiles` pays a full shuffle of the value column.
+    * Engine-specific estimates → rows-only driver check (the
+    * q_agg_approx_distinct contract); ApproxPercentileSpec pins each
+    * estimate against the exact percentile within the sketch's accuracy
+    * bound. */
+  def approxPercentiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(
+        expr("approx_percentile(o_totalprice, array(0.5D, 0.9D), 1000)").as("p"),
+        count(lit(1)).as("n"))
+      .select(col("o_orderstatus"), col("p")(0).as("p50_approx"),
+        col("p")(1).as("p90_approx"), col("n"))
+      .orderBy("o_orderstatus")
+
   /** Forecast-revenue slice (TPC-H Q6 shape): one filtered scan, one global
     * sum — the simplest report a warehouse serves and the purest pushdown
     * test: all four predicates must reach the parquet scan (PlanSpec
