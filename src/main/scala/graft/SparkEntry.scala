@@ -180,6 +180,12 @@ object SparkEntry {
     "q_agg_percentile_approx" -> (Aggregates.approxPercentiles _),
     "q_chunk_sentences"    -> (graft.llm.Curation.chunkSentences _),
     "q_sample_target_mix"  -> (graft.llm.Curation.targetMix _),
+    "q_window_ntile"       -> (WindowsSorts.ntileQuartiles _),
+    "q_event_transitions"  -> (Sessions.transitions _),
+    "q_scd2_asof"          -> (GroupA.scd2Asof _),
+    "q_table_checksum"     -> (graft.ops.DataQuality.tableChecksum _),
+    "q_text_ngrams"        -> (TextAnalysis.bigramFreq _),
+    "q_agg_topk"           -> (Aggregates.topVals _),
   )
 
   /** DECIMAL-staged exact sum, surfaced as DOUBLE (matches Tables.dsum2).
@@ -1896,5 +1902,78 @@ object SparkEntry {
                  least(1000000, (n_total * 1000000) // (n_sources * n_source)) AS rate_ppm,
                  (n_source * least(1000000, (n_total * 1000000) // (n_sources * n_source))) // 1000000 AS expected_kept
           FROM c, tot ORDER BY source""",
+    "q_window_ntile" ->
+      s"""WITH q AS (SELECT o_orderpriority, o_totalprice,
+                 CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+                                     ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile
+          FROM orders)
+          SELECT o_orderpriority, quartile, count(*) AS n,
+                 ${dsum("o_totalprice")} AS total,
+                 min(o_totalprice) AS lo, max(o_totalprice) AS hi
+          FROM q GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_event_transitions" ->
+      """WITH e AS (SELECT user_id, event_type,
+                 CAST(epoch_ns(ts) // 1000000 AS BIGINT) AS ms, event_id FROM events),
+          x AS (SELECT event_type AS src,
+                       lead(event_type) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS dst
+                FROM e),
+          c AS (SELECT src, dst, count(*) AS n FROM x WHERE dst IS NOT NULL GROUP BY 1, 2)
+          SELECT src, dst, n,
+                 CAST((n * 1000) // sum(n) OVER (PARTITION BY src) AS BIGINT) AS p_milli
+          FROM c ORDER BY src, dst""",
+    "q_scd2_asof" ->
+      s"""WITH ch AS (SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+                 lag(o_orderstatus) OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate, o_orderkey) AS prev
+          FROM orders),
+          hist AS (SELECT o_custkey, o_orderstatus AS status,
+                          o_orderdate AS valid_from,
+                          lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                                  ORDER BY o_orderdate, o_orderkey) AS valid_to
+                   FROM ch WHERE prev IS NULL OR prev <> o_orderstatus)
+          SELECT h.status, count(*) AS n_items, ${dsum("l.l_extendedprice")} AS revenue
+          FROM lineitem l
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN hist h ON o.o_custkey = h.o_custkey
+                     AND h.valid_from <= l.l_shipdate
+                     AND (h.valid_to IS NULL OR l.l_shipdate < h.valid_to)
+          GROUP BY 1 ORDER BY 1""",
+    "q_table_checksum" -> {
+      // twin of DataQuality.tableChecksum: same canonical serialization
+      // (ints verbatim, money via scale-padded DECIMAL(18,2) render,
+      // timestamps as epoch micros), same 60-bit md5 row hash
+      def sig(name: String, table: String, cols: String*) = {
+        val row = cols.mkString("concat_ws('|', ", ", ", ")")
+        s"""SELECT '$name' AS table_name, count(*) AS n_rows,
+               bit_xor(${dTokHash(row)}) AS xor_sig,
+               CAST(sum(${dTokHash(row)}) AS DECIMAL(38,0)) AS sum_sig
+            FROM $table"""
+      }
+      Seq(
+        sig("orders", "orders", "o_orderkey", "o_custkey", "o_orderstatus",
+          "CAST(o_totalprice AS DECIMAL(18,2))", "epoch_us(o_orderdate)",
+          "o_orderpriority"),
+        sig("customer", "customer", "c_custkey", "c_name", "c_nationkey",
+          "CAST(c_acctbal AS DECIMAL(18,2))", "c_mktsegment"),
+        sig("lineitem", "lineitem", "l_orderkey", "l_linenumber",
+          "CAST(l_quantity AS DECIMAL(18,2))",
+          "CAST(l_extendedprice AS DECIMAL(18,2))", "l_returnflag",
+          "epoch_us(l_shipdate)"))
+        .mkString("", " UNION ALL ", " ORDER BY table_name")
+    },
+    "q_text_ngrams" ->
+      """WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+          bg AS (SELECT unnest([t[i] || ' ' || t[i+1]
+                                for i in generate_series(1, len(t) - 1)]) AS bigram
+                 FROM toks WHERE len(t) >= 2)
+          SELECT bigram, count(*) AS n FROM bg
+          GROUP BY 1 ORDER BY n DESC, bigram LIMIT 50""",
+    "q_agg_topk" ->
+      """SELECT o_orderpriority,
+                array_to_string([CAST(CAST(x AS DECIMAL(18,2)) AS VARCHAR)
+                                 for x in (list(o_totalprice ORDER BY o_totalprice DESC))[1:5]],
+                                '|') AS top5,
+                count(*) AS n
+         FROM orders GROUP BY 1 ORDER BY 1""",
   )
 }

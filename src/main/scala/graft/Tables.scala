@@ -20,9 +20,18 @@ object Tables {
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     // defensive: a driver-built session may lack this (runtime-settable) conf;
-    // without it any events.parquet read throws on the TIMESTAMP(NANOS) column
+    // without it any TIMESTAMP(NANOS) events.parquet read throws
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/$name.parquet")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // The generated events.ts has shipped as both TIMESTAMP(NANOS) (read as
+    // raw Long ns under the conf above) and TIMESTAMP(MICROS) (read as a
+    // timestamp). Normalize to the engine's canonical form — Long epoch
+    // NANOSECONDS — so every downstream integer-time expression (and its
+    // DuckDB epoch_ns twin) sees one type regardless of which file vintage
+    // it scans. The conversion is exact integer math; session tz is UTC.
+    if (name == "events" && df.schema("ts").dataType != LongType)
+      df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+    else df
   }
 
   /** Exact order-independent sum of a money-ish double column, as double. */

@@ -645,6 +645,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (children: Seq[Expression]) => VecDot(children.head, children(1))))
     e.injectFunction((
+      FunctionIdentifier("top_vals"),
+      new ExpressionInfo(classOf[TopVals].getName, "top_vals"),
+      (children: Seq[Expression]) => TopVals(children.head, children(1))))
+    e.injectFunction((
       FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
       (children: Seq[Expression]) => MinHashSig(children.head)))

@@ -313,4 +313,29 @@ object Sessions {
       .groupBy("type_a", "type_b")
       .agg(count(lit(1)).as("n_users"))
       .orderBy("type_a", "type_b")
+
+  /** First-order Markov transition matrix over the event stream: for each
+    * (src → dst) consecutive-event pair, its count and milli-probability
+    * among all transitions leaving src. One user-keyed window (the same
+    * shuffle family as sessionize/eventPaths) produces the pairs; the
+    * matrix itself is domain-bounded (|event types|² rows), so the share
+    * denominator is a window over THAT aggregate — tiny at any corpus
+    * size. Probability in exact integer millis (1000·n div total), so no
+    * float division can diverge between engines. */
+  def transitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ms"), col("event_id"))
+    val pairs = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), nsToMs("ts").as("ms"),
+        col("event_id"))
+      .withColumn("dst", lead("event_type", 1).over(w))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("event_type").as("src"), col("dst"))
+      .agg(count(lit(1)).as("n"))
+    pairs
+      // the frame here is the |types|² transition matrix, not raw events
+      .withColumn("total", sum("n").over(Window.partitionBy("src")))
+      .select(col("src"), col("dst"), col("n"),
+        expr("n * 1000L div total").as("p_milli"))
+      .orderBy("src", "dst")
+  }
 }

@@ -37,6 +37,26 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("token"))
       .limit(100)
 
+  /** Corpus n-gram frequency: top-50 token BIGRAMS by count — the language-
+    * model/statistics companion of `termFreq` (collocation mining, n-gram LM
+    * training counts, boilerplate-phrase discovery). Pure map stage per doc
+    * (a slide over the token array — no self-join of the token table), then
+    * one count shuffle whose keys are the distinct bigrams; map-side partial
+    * aggregation means the exchange carries counts, not occurrences. The
+    * (count desc, bigram asc) order makes the top-50 cut deterministic. */
+  def bigramFreq(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(tokens(col("text")).as("toks"))
+      .select(explode(expr(
+        """CASE WHEN size(toks) >= 2
+             THEN transform(sequence(1, size(toks) - 1),
+                    i -> concat_ws(' ', slice(toks, i, 2)))
+             ELSE array() END""")).as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(50)
+
   /** TF-IDF-style term salience, exactly: per doc, the top-3 tokens by
     * `tf · N / df` (term frequency × inverse document frequency, the
     * log-free rational form — one correctly-rounded IEEE division of exact

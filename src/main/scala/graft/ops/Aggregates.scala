@@ -271,4 +271,28 @@ object Aggregates {
       .agg(sum(col("n")).as("n"), sum(col("total_dec")).cast("double").as("total"))
       .orderBy("o_orderpriority")
   }
+
+  /** Exact top-k values per group through the custom `top_vals`
+    * TypedImperativeAggregate (graft.functions.TopVals): a k-bounded
+    * min-heap per partial, merged associatively — the shuffle carries
+    * groups × k doubles, never the raw rows, unlike the window-rank form
+    * (full row shuffle) or collect_list (unbounded executor state on a hot
+    * group). Sessions without GraftExtensions fall back to the declarative
+    * slice(sort_array(collect_list…)) — identical output (TopKSpec pins
+    * both), just without the bounded-state guarantee. Values surface
+    * scale-padded through DECIMAL(18,2) so the joined string renders
+    * identically in both engines. */
+  def topVals(s: SparkSession, dir: String): DataFrame = {
+    val tv =
+      if (s.catalog.functionExists("top_vals")) expr("top_vals(o_totalprice, 5)")
+      else expr("slice(sort_array(collect_list(o_totalprice), false), 1, 5)")
+    t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(tv.as("arr"), count(lit(1)).as("n"))
+      .select(col("o_orderpriority"),
+        concat_ws("|", expr(
+          "transform(arr, x -> CAST(CAST(x AS DECIMAL(18,2)) AS STRING))")).as("top5"),
+        col("n"))
+      .orderBy("o_orderpriority")
+  }
 }

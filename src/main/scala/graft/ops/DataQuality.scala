@@ -72,4 +72,43 @@ object DataQuality {
       .unionByName(liOrphans).unionByName(orderOrphans)
       .orderBy("check_name")
   }
+
+  /** Cross-system table fingerprints — the reconciliation primitive for
+    * "does the replica/migrated copy hold EXACTLY the source's rows"
+    * without moving either table: per table, the row count plus two
+    * ORDER-INDEPENDENT digests of a canonical per-row serialization
+    * (XOR of 60-bit row hashes, which an equal-pair insertion can fool,
+    * and their exact decimal SUM, which it can't — together they pin the
+    * row multiset). Every aggregate is commutative/associative, so each
+    * table is ONE partial-aggregatable scan: the shuffle carries 3 values
+    * per partition regardless of table size, and two engines can compare
+    * 100 TB tables by exchanging three numbers.
+    *
+    * Canonical form discipline (cross-engine): integers and strings cast
+    * verbatim, money through DECIMAL(18,2) (renders scale-padded the same
+    * in Spark and DuckDB — never raw double→string), timestamps as epoch
+    * MICROSECOND integers (never timestamp→string). */
+  def tableChecksum(s: SparkSession, dir: String): DataFrame = {
+    import graft.llm.TextHash.tokHash
+    def sigOf(name: String, df: DataFrame, cols: org.apache.spark.sql.Column*) = {
+      val withH = df.select(tokHash(concat_ws("|", cols: _*)).as("h"))
+      withH.agg(count(lit(1)).as("n_rows"),
+          expr("bit_xor(h)").as("xor_sig"),
+          sum(col("h").cast("decimal(38,0)")).as("sum_sig"))
+        .select(lit(name).as("table_name"), col("n_rows"), col("xor_sig"), col("sum_sig"))
+    }
+    val orders = sigOf("orders", t(s, dir, "orders"),
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice").cast("decimal(18,2)"),
+      unix_micros(col("o_orderdate").cast("timestamp")), col("o_orderpriority"))
+    val cust = sigOf("customer", t(s, dir, "customer"),
+      col("c_custkey"), col("c_name"), col("c_nationkey"),
+      col("c_acctbal").cast("decimal(18,2)"), col("c_mktsegment"))
+    val li = sigOf("lineitem", t(s, dir, "lineitem"),
+      col("l_orderkey"), col("l_linenumber"),
+      col("l_quantity").cast("decimal(18,2)"),
+      col("l_extendedprice").cast("decimal(18,2)"), col("l_returnflag"),
+      unix_micros(col("l_shipdate").cast("timestamp")))
+    orders.unionByName(cust).unionByName(li).orderBy("table_name")
+  }
 }

@@ -108,7 +108,14 @@ object GroupA {
     * over the surviving changes; the open interval is the current row.
     * Two windows on the same (custkey, time) partitioning — one shuffle,
     * linear per key at any scale. */
-  def scd2History(s: SparkSession, dir: String): DataFrame = {
+  def scd2History(s: SparkSession, dir: String): DataFrame =
+    scd2Rows(s, dir)
+      .withColumn("is_current", col("valid_to").isNull)
+      .orderBy("o_custkey", "valid_from", "status")
+
+  /** The SCD2 interval rows without the presentation sort — shared by the
+    * registered history query and the point-in-time lookup below. */
+  private def scd2Rows(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byKey = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     t(s, dir, "orders")
@@ -118,8 +125,33 @@ object GroupA {
       .select(col("o_custkey"), col("o_orderstatus").as("status"),
         col("o_orderdate").as("valid_from"),
         lead("o_orderdate", 1).over(byKey).as("valid_to"))
-      .withColumn("is_current", col("valid_to").isNull)
-      .orderBy("o_custkey", "valid_from", "status")
+  }
+
+  /** POINT-IN-TIME lookup against the SCD2 dimension history — the fact-to-
+    * slowly-changing-dimension join every warehouse report needs ("what was
+    * the customer's state when this item SHIPPED", not "what is it now").
+    * Probe: lineitem at l_shipdate, routed to its customer through orders.
+    * The interval predicate rides INSIDE the custkey equi-join (Spark plans
+    * a hash join with the range as a post-condition), so no range-join
+    * blowup: per-key intervals are the customer's status CHANGES — bounded
+    * — and the intervals partition the timeline, so each probe matches
+    * exactly one row (a half-open [from, to) match; probes before the first
+    * change drop). Output is the revenue-by-historical-status rollup. */
+  def scd2Asof(s: SparkSession, dir: String): DataFrame = {
+    val hist = scd2Rows(s, dir)
+      .select(col("o_custkey").as("h_custkey"), col("status"),
+        col("valid_from"), col("valid_to"))
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate"), col("l_extendedprice"))
+    val ord = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(hist,
+        col("o_custkey") === col("h_custkey") &&
+          col("valid_from") <= col("l_shipdate") &&
+          (col("valid_to").isNull || col("l_shipdate") < col("valid_to")))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_items"), dsum2(col("l_extendedprice")).as("revenue"))
+      .orderBy("status")
   }
 
   /** Partition-pruned scan over a partitionBy(year) parquet layout — the

@@ -83,6 +83,27 @@ object WindowsSorts {
       .orderBy("user_id", "ts_ms", "event_id")
   }
 
+  /** NTILE bucketing: quartiles of order value WITHIN each priority class,
+    * then one summary row per (priority, quartile) — the "spend quartile"
+    * report shape. The window partitions on o_orderpriority (each partition
+    * sorts independently; no global single-partition window — the global
+    * form of this report is q_event_rfm's broadcast-threshold pattern), and
+    * the (o_totalprice, o_orderkey) ordering key makes equal prices
+    * deterministic in both engines. NTILE's uneven-bucket rule (earlier
+    * buckets take the remainder) is identical in Spark and DuckDB. */
+  def ntileQuartiles(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .groupBy("o_orderpriority", "quartile")
+      .agg(count(lit(1)).as("n"),
+        dsum2(col("o_totalprice")).as("total"),
+        min("o_totalprice").as("lo"),
+        max("o_totalprice").as("hi"))
+      .orderBy("o_orderpriority", "quartile")
+  }
+
   /** Top-N by measure → TakeOrderedAndProject (no global sort at scale). */
   def topk(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")

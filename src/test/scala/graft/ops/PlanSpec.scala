@@ -217,7 +217,11 @@ class PlanSpec extends SparkSpec {
       "q_agg_revenue_slice", "q_join_promo_share", "q_event_rfm",
       // q_sample_target_mix: the corpus total is the same 1-row broadcast
       // as q_sample_temperature's min
-      "q_sample_target_mix")
+      "q_sample_target_mix",
+      // q_table_checksum: three global 3-value fingerprint aggregates —
+      // the single partition receives one partial row per upstream
+      // partition, never data volume (ChecksumSpec)
+      "q_table_checksum")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
       val p = plan(q)
       Seq(

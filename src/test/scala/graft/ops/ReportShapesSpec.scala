@@ -60,7 +60,7 @@ class ReportShapesSpec extends SparkSpec {
     val wau = graft.llm.Sessions.activeUsers(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(wau.nonEmpty)
-    val events = spark.read.parquet(s"$sf/events.parquet")
+    val events = graft.Tables.t(spark, sf, "events")
       .select(col("user_id"), expr("ts div 1000000 div 86400000").as("day"))
     val totalUsers = events.select("user_id").distinct().count()
     assert(wau.values.forall(w => w > 0 && w <= totalUsers))
