@@ -186,6 +186,10 @@ object SparkEntry {
     "q_table_checksum"     -> (graft.ops.DataQuality.tableChecksum _),
     "q_text_ngrams"        -> (TextAnalysis.bigramFreq _),
     "q_agg_topk"           -> (Aggregates.topVals _),
+    "q_join_bloom"         -> (Joins.bloomPrunedJoin _),
+    "q_agg_argmax"         -> (Aggregates.argmax _),
+    "q_window_pct"         -> (WindowsSorts.percentRank _),
+    "q_sample_weighted"    -> (graft.llm.Curation.sampleWeighted _),
   )
 
   /** DECIMAL-staged exact sum, surfaced as DOUBLE (matches Tables.dsum2).
@@ -1975,5 +1979,39 @@ object SparkEntry {
                                 '|') AS top5,
                 count(*) AS n
          FROM orders GROUP BY 1 ORDER BY 1""",
+    // the oracle is the UNFILTERED join: bloom has no false negatives and
+    // the exact join removes false positives, so the hash match proves the
+    // runtime-pruned rewrite
+    "q_join_bloom" ->
+      s"""SELECT l.l_returnflag, count(*) AS n, ${dsum("l.l_extendedprice")} AS revenue
+          FROM lineitem l
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          WHERE o.o_orderpriority = '1-URGENT' AND o.o_orderstatus = 'O'
+          GROUP BY 1 ORDER BY 1""",
+    "q_agg_argmax" ->
+      """SELECT o_orderpriority,
+                arg_max(o_orderkey,
+                        CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0))
+                          * 10000000000 + o_orderkey) AS top_orderkey,
+                max(o_totalprice) AS top_price,
+                count(*) AS n
+         FROM orders GROUP BY 1 ORDER BY 1""",
+    "q_window_pct" ->
+      """WITH x AS (SELECT p_brand, p_partkey, p_retailprice,
+                 percent_rank() OVER w AS pr, cume_dist() OVER w AS cd
+          FROM part WINDOW w AS (PARTITION BY p_brand
+                                 ORDER BY p_retailprice, p_partkey))
+          SELECT p_brand, p_partkey, p_retailprice, pr, cd FROM x
+          WHERE pr <= 0.02 OR pr >= 0.98 ORDER BY p_brand, p_partkey""",
+    "q_sample_weighted" ->
+      s"""WITH d AS (SELECT doc_id,
+                 CAST(len(string_split(coalesce(text, ''), ' ')) // 64 + 1 AS BIGINT) AS w
+          FROM documents),
+          tick AS (SELECT doc_id, w, unnest(generate_series(1, w)) AS tick FROM d),
+          pri AS (SELECT doc_id, max(w) AS w,
+                         max(${dTokHash("concat_ws(':', 'wsample-v1', doc_id, tick)")}) AS priority
+                  FROM tick GROUP BY doc_id)
+          SELECT doc_id, w, priority FROM pri
+          ORDER BY priority DESC, doc_id LIMIT 100""",
   )
 }

@@ -588,6 +588,31 @@ object Curation {
       .orderBy("source")
   }
 
+  /** WEIGHTED sampling without replacement, deterministically: pick the 100
+    * "heaviest-lucky" documents where a doc's selection odds grow with its
+    * token count. Scheme (discrete priority sampling): every WEIGHT UNIT
+    * (here: one per 64 tokens, +1) is a lottery ticket hashed
+    * independently; a doc's priority is its best ticket, and the top-100
+    * priorities win. All md5 integers — no float pow/exp (libm diverges
+    * across engines), so both engines draw the identical sample.
+    * Scale shape: the ticket explode is a pure map stage bounded by total
+    * weight mass (≤ corpus tokens / 64), the per-doc max is a partial
+    * aggregate, and the top-100 is TakeOrderedAndProject — no global sort,
+    * no window. */
+  def sampleWeighted(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        (size(tokens(coalesce(col("text"), lit("")))) / 64 + 1).cast("long").as("w"))
+      .select(col("doc_id"), col("w"),
+        explode(expr("sequence(1L, w)")).as("tick"))
+      .select(col("doc_id"), col("w"),
+        tokHash(concat_ws(":", lit("wsample-v1"), col("doc_id").cast("string"),
+          col("tick").cast("string"))).as("ticket"))
+      .groupBy("doc_id")
+      .agg(max("w").as("w"), max("ticket").as("priority"))
+      .orderBy(col("priority").desc, col("doc_id"))
+      .limit(100)
+
   /** Sentence-boundary chunking — the semantic alternative to the fixed-
     * stride `chunkTokens`: sentences (runs up to .!? terminators) never
     * split across chunks; a sentence opens chunk `tok_before div budget`,

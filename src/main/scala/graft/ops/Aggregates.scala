@@ -272,6 +272,25 @@ object Aggregates {
       .orderBy("o_orderpriority")
   }
 
+  /** ARGMAX per group (max_by / arg_max surface): the order that carries
+    * each priority class's highest total. max_by's tie rule is
+    * engine-arbitrary, so the ordering value ENCODES the tie-break
+    * exactly: integer cents (DECIMAL, exact) scaled past the key domain
+    * plus the orderkey — one comparable BIGINT-ish decimal, identical in
+    * both engines, no window and no raw-row shuffle (partial-aggregatable
+    * like any max). */
+  def argmax(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .withColumn("ord",
+        (col("o_totalprice").cast("decimal(18,2)") * lit(100).cast("decimal(18,0)"))
+          .cast("decimal(38,0)") * lit(10000000000L) + col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(
+        max_by(col("o_orderkey"), col("ord")).as("top_orderkey"),
+        max(col("o_totalprice")).as("top_price"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+
   /** Exact top-k values per group through the custom `top_vals`
     * TypedImperativeAggregate (graft.functions.TopVals): a k-bounded
     * min-heap per partial, merged associatively — the shuffle carries

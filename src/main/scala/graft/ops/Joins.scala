@@ -455,4 +455,38 @@ object Joins {
         coalesce(col("n_poor_supp"), lit(0L)).as("n_poor_supp"))
       .orderBy("nationkey")
   }
+
+  /** BLOOM-FILTER runtime-pruned join — the explicit form of the runtime
+    * row-filter a selective star join needs at 100 TB: the build side is a
+    * ~10% slice of orders, so ~90% of lineitem rows would travel the join
+    * exchange only to be discarded. A bloom filter over the build keys
+    * (scalar subquery — built once, shipped to every scan task) drops them
+    * AT THE FACT SCAN instead; the exact equi-join then removes the bloom's
+    * false positives, so the result is bit-identical to the plain join (the
+    * oracle IS the plain join — the hash match proves the rewrite). Uses
+    * Spark's own BloomFilterAggregate/BloomFilterMightContain (exposed as
+    * bloom_agg/bloom_contains by GraftExtensions) over xxhash64 keys;
+    * sessions without the extensions run the identical-result plain join.
+    * BloomJoinSpec asserts the pruned plan and the equivalence. */
+  def bloomPrunedJoin(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT" && col("o_orderstatus") === "O")
+      .select("o_orderkey").createOrReplaceTempView("graft_bloom_dim")
+    t(s, dir, "lineitem")
+      .select("l_orderkey", "l_returnflag", "l_extendedprice")
+      .createOrReplaceTempView("graft_bloom_fact")
+    val bloomPred =
+      if (s.catalog.functionExists("bloom_contains"))
+        """WHERE bloom_contains(
+             (SELECT bloom_agg(xxhash64(o_orderkey)) FROM graft_bloom_dim),
+             xxhash64(l.l_orderkey))"""
+      else ""
+    s.sql(
+      s"""SELECT l.l_returnflag, count(*) AS n,
+                 CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+          FROM graft_bloom_fact l
+          JOIN graft_bloom_dim d ON l.l_orderkey = d.o_orderkey
+          $bloomPred
+          GROUP BY 1 ORDER BY 1""")
+  }
 }

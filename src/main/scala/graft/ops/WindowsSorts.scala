@@ -104,6 +104,23 @@ object WindowsSorts {
       .orderBy("o_orderpriority", "quartile")
   }
 
+  /** Relative-standing window surface: percent_rank and cume_dist of each
+    * part's price WITHIN its brand (same partitioned-window family as
+    * `rank` — per-brand state, never a global window). Both are exact
+    * rational definitions — (rank−1)/(n−1) and rows_at_or_below/n — and the
+    * one double division per row is identically rounded in both engines.
+    * Output keeps only each brand's extremes to stay bounded. */
+  def percentRank(s: SparkSession, dir: String): DataFrame = {
+    val byPrice = Window.partitionBy("p_brand")
+      .orderBy(col("p_retailprice"), col("p_partkey"))
+    t(s, dir, "part")
+      .withColumn("pr", percent_rank().over(byPrice))
+      .withColumn("cd", cume_dist().over(byPrice))
+      .filter(col("pr") <= 0.02 || col("pr") >= 0.98)
+      .select("p_brand", "p_partkey", "p_retailprice", "pr", "cd")
+      .orderBy("p_brand", "p_partkey")
+  }
+
   /** Top-N by measure → TakeOrderedAndProject (no global sort at scale). */
   def topk(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")

@@ -221,7 +221,11 @@ class PlanSpec extends SparkSpec {
       // q_table_checksum: three global 3-value fingerprint aggregates —
       // the single partition receives one partial row per upstream
       // partition, never data volume (ChecksumSpec)
-      "q_table_checksum")
+      "q_table_checksum",
+      // q_join_bloom: the scalar subquery that BUILDS the bloom filter is a
+      // global aggregate of per-partition bloom partials — one binary value,
+      // the runtime-filter shape itself (BloomJoinSpec)
+      "q_join_bloom")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
       val p = plan(q)
       Seq(
