@@ -190,6 +190,8 @@ object SparkEntry {
     "q_agg_argmax"         -> (Aggregates.argmax _),
     "q_window_pct"         -> (WindowsSorts.percentRank _),
     "q_sample_weighted"    -> (graft.llm.Curation.sampleWeighted _),
+    "q_scd2_merge"         -> (GroupA.scd2Merge _),
+    "q_fuzzy_match"        -> (Joins.fuzzyMatch _),
   )
 
   /** DECIMAL-staged exact sum, surfaced as DOUBLE (matches Tables.dsum2).
@@ -2013,5 +2015,29 @@ object SparkEntry {
                   FROM tick GROUP BY doc_id)
           SELECT doc_id, w, priority FROM pri
           ORDER BY priority DESC, doc_id LIMIT 100""",
+    // the oracle REBUILDS the full SCD2 history from scratch — the hash
+    // match proves incremental apply ≡ full rebuild (see GroupA.scd2Merge)
+    "q_scd2_merge" ->
+      """WITH ordered AS (
+           SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+                  lag(o_orderstatus) OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey) AS prev
+           FROM orders),
+         changes AS (SELECT * FROM ordered WHERE prev IS NULL OR prev <> o_orderstatus),
+         hist AS (
+           SELECT o_custkey, o_orderstatus AS status, o_orderdate AS valid_from,
+                  lead(o_orderdate) OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey) AS valid_to
+           FROM changes)
+         SELECT o_custkey, status, valid_from, valid_to,
+                (valid_to IS NULL) AS is_current
+         FROM hist ORDER BY o_custkey, valid_from, status""",
+    "q_fuzzy_match" ->
+      """WITH n AS (SELECT DISTINCT p_name, string_split(p_name, ' ')[-1] AS blk FROM part)
+          SELECT a.p_name AS name_a, b.p_name AS name_b,
+                 CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+          FROM n a JOIN n b ON a.blk = b.blk AND a.p_name < b.p_name
+          WHERE levenshtein(a.p_name, b.p_name) <= 4
+          ORDER BY name_a, name_b""",
   )
 }

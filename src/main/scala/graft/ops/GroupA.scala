@@ -127,6 +127,48 @@ object GroupA {
         lead("o_orderdate", 1).over(byKey).as("valid_to"))
   }
 
+  /** INCREMENTAL SCD2 maintenance — the MERGE form of `scd2History`: apply
+    * a change batch (orders on/after the cutoff) to a standing dimension
+    * (intervals built from orders before it) without rescanning history.
+    * Closed intervals pass through untouched; only each key's OPEN row
+    * joins the re-detection with the batch — so the work is
+    * O(batch + open rows), never O(history), the property that makes SCD2
+    * maintainable at 100 TB (the companion identity to q_agg_incremental's
+    * merge ≡ recompute). The oracle REBUILDS the full history from scratch,
+    * so the green row IS the proof that incremental apply ≡ full rebuild.
+    * Boundary correctness: the open row carries the key's last surviving
+    * status into the change-detect, so a batch row repeating it is dropped
+    * exactly as the rebuild would; batch dates are all ≥ cutoff > any open
+    * valid_from, so the (date, orderkey) order interleaves identically. */
+  def scd2Merge(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cutoff = lit("2001-01-01")
+    val orders = t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderstatus"), col("o_orderdate"), col("o_orderkey"))
+    // standing dimension from the pre-cutoff log (what a warehouse has on disk)
+    val byKey = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val dim = orders.filter(col("o_orderdate") < cutoff)
+      .withColumn("prev", lag("o_orderstatus", 1).over(byKey))
+      .filter(col("prev").isNull || col("prev") =!= col("o_orderstatus"))
+      .select(col("o_custkey"), col("o_orderstatus"), col("o_orderdate"), col("o_orderkey"),
+        lead("o_orderdate", 1).over(byKey).as("valid_to"))
+    val closed = dim.filter(col("valid_to").isNotNull)
+    val open   = dim.filter(col("valid_to").isNull)
+      .drop("valid_to")
+    // re-detect over open ∪ batch only; closed history never rescans
+    val batch = orders.filter(col("o_orderdate") >= cutoff)
+    val merged = open.unionByName(batch)
+      .withColumn("prev", lag("o_orderstatus", 1).over(byKey))
+      .filter(col("prev").isNull || col("prev") =!= col("o_orderstatus"))
+      .select(col("o_custkey"), col("o_orderstatus"), col("o_orderdate"), col("o_orderkey"),
+        lead("o_orderdate", 1).over(byKey).as("valid_to"))
+    closed.unionByName(merged)
+      .select(col("o_custkey"), col("o_orderstatus").as("status"),
+        col("o_orderdate").as("valid_from"), col("valid_to"))
+      .withColumn("is_current", col("valid_to").isNull)
+      .orderBy("o_custkey", "valid_from", "status")
+  }
+
   /** POINT-IN-TIME lookup against the SCD2 dimension history — the fact-to-
     * slowly-changing-dimension join every warehouse report needs ("what was
     * the customer's state when this item SHIPPED", not "what is it now").

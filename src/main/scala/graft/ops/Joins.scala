@@ -456,6 +456,28 @@ object Joins {
       .orderBy("nationkey")
   }
 
+  /** BLOCKED FUZZY MATCH — entity resolution over a name domain: candidate
+    * part-name pairs within edit distance 4, blocked so no all-pairs join
+    * ever forms. Scale shape: names collapse to their DISTINCT set first (a
+    * domain, not the corpus — the same set-collapse as the dedup family),
+    * the self-join keys on a blocking attribute (the name's last token —
+    * in production a phonetic/sorted-neighborhood key), and the quadratic
+    * term is bounded per block. levenshtein() is the classic DP edit
+    * distance with identical semantics in Spark and DuckDB, so the pair
+    * set is oracle-checkable. */
+  def fuzzyMatch(s: SparkSession, dir: String): DataFrame = {
+    val names = t(s, dir, "part").select(col("p_name")).distinct()
+      .withColumn("blk", element_at(split(col("p_name"), " "), -1))
+    val a = names.select(col("p_name").as("name_a"), col("blk"))
+    val b = names.select(col("p_name").as("name_b"), col("blk"))
+    a.join(b, Seq("blk"))
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .filter(col("dist") <= 4)
+      .select("name_a", "name_b", "dist")
+      .orderBy("name_a", "name_b")
+  }
+
   /** BLOOM-FILTER runtime-pruned join — the explicit form of the runtime
     * row-filter a selective star join needs at 100 TB: the build side is a
     * ~10% slice of orders, so ~90% of lineitem rows would travel the join
