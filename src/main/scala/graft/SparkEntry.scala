@@ -192,6 +192,7 @@ object SparkEntry {
     "q_sample_weighted"    -> (graft.llm.Curation.sampleWeighted _),
     "q_scd2_merge"         -> (GroupA.scd2Merge _),
     "q_fuzzy_match"        -> (Joins.fuzzyMatch _),
+    "q_join_dpp"           -> (GroupA.dppJoin _),
   )
 
   /** DECIMAL-staged exact sum, surfaced as DOUBLE (matches Tables.dsum2).
@@ -2039,5 +2040,16 @@ object SparkEntry {
           FROM n a JOIN n b ON a.blk = b.blk AND a.p_name < b.p_name
           WHERE levenshtein(a.p_name, b.p_name) <= 4
           ORDER BY name_a, name_b""",
+    // pruning is plan-only; the oracle is the plain dim-filtered join
+    "q_join_dpp" ->
+      s"""WITH f AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, o_totalprice FROM orders),
+          d AS (SELECT DISTINCT CAST(year(o_orderdate) AS BIGINT) AS d_year FROM orders),
+          e AS (SELECT d_year,
+                       CASE WHEN d_year < 1999 THEN 'classic' ELSE 'modern' END AS era
+                FROM d)
+          SELECT f.o_year, count(*) AS n, ${dsum("f.o_totalprice")} AS total
+          FROM f JOIN e ON f.o_year = e.d_year
+          WHERE e.era = 'modern'
+          GROUP BY 1 ORDER BY 1""",
   )
 }

@@ -212,6 +212,36 @@ object GroupA {
       .orderBy("o_orderpriority")
   }
 
+  /** DYNAMIC partition pruning — the runtime companion of `partitionPrune`:
+    * the fact side is partitioned by year on disk, the filter lives on a
+    * small DIMENSION (a year→era mapping), and the year values that survive
+    * the dim filter are only known at run time. Catalyst injects the dim's
+    * filtered key set into the fact scan's partition filter
+    * (`dynamicpruning` subquery — PlanSpec asserts it), so whole
+    * directories skip before any I/O. At 100 TB this is the difference
+    * between scanning one year and scanning the decade when the cut lives
+    * in a dimension table. Oracle: the plain join (pruning is
+    * plan-invisible to results). */
+  def dppJoin(s: SparkSession, dir: String): DataFrame = {
+    val path = s"/tmp/graft_dpp_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
+    t(s, dir, "orders")
+      .withColumn("o_year", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("o_year").parquet(path)
+    // metadata-sized dim: every year present, labeled into two eras
+    val eras = t(s, dir, "orders")
+      .select(year(col("o_orderdate")).as("d_year")).distinct()
+      .withColumn("era", when(col("d_year") < 1999, "classic").otherwise("modern"))
+    s.read.parquet(path)
+      .join(broadcast(eras.filter(col("era") === "modern")),
+        col("o_year") === col("d_year"))
+      // cast AFTER the join so the scan-side filter stays on the raw
+      // partition column (DuckDB's year() is BIGINT; the partition col
+      // infers INT)
+      .groupBy(col("o_year").cast("long").as("o_year"))
+      .agg(count(lit(1)).as("n"), dsum2(col("o_totalprice")).as("total"))
+      .orderBy("o_year")
+  }
+
   /** O16: TRUNCATE + reload ≡ overwrite snapshot, then scan of post-overwrite
     * state (/root/reference/coininsights.py:173,185). */
   def snapshotOverwrite(s: SparkSession, dir: String): DataFrame = {

@@ -12,6 +12,12 @@ class PlanSpec extends SparkSpec {
     df.queryExecution.executedPlan.toString
   }
 
+  test("dpp join prunes fact partitions with a runtime dim-key subquery") {
+    val p = plan("q_join_dpp")
+    assert(p.contains("dynamicpruning"), p.take(3000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("flagship star join broadcasts every dimension") {
     val p = plan("q_join_multi")
     assert(p.contains("BroadcastHashJoin"))
