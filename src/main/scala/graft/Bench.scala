@@ -77,10 +77,16 @@ object Bench {
     while (k > 0 && lineFor(k).length > budget) k -= 1
     println(lineFor(k))
     // BENCH_r04 recorded `parsed: null` even though the capped line fit the
-    // tail — so the parser may want a minimal object, or only reads the very
-    // last line. Emit the headline as a tiny self-contained JSON line LAST
-    // (after spark.stop(), so no executor logging trails it): whichever line
-    // the driver's parser picks up, both carry the same total.
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${qsJson(byCost.take(3).sortBy(_._1))},"n_queries":${results.length},"full":"$artifact","sf":"$sfDir"}""")
+    // tail. The r4 artifact's stored tail both STARTS mid-word and ENDS
+    // mid-line — consistent with a parser window that is a ~2 KB slice of
+    // the last ~4 KB rather than the literal tail. Cover both geometries:
+    // emit the minimal headline line, ~2.2 KB of inert padding, then the
+    // SAME line again at the very end. Whichever slice the parser reads,
+    // one complete copy lands inside it, and both carry the same total.
+    val miniLine =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${qsJson(byCost.take(3).sortBy(_._1))},"n_queries":${results.length},"full":"$artifact","sf":"$sfDir"}"""
+    println(miniLine)
+    (1 to 28).foreach(_ => println("." * 78))
+    println(miniLine)
   }
 }
