@@ -193,6 +193,7 @@ object SparkEntry {
     "q_scd2_merge"         -> (GroupA.scd2Merge _),
     "q_fuzzy_match"        -> (Joins.fuzzyMatch _),
     "q_join_dpp"           -> (GroupA.dppJoin _),
+    "q_join_asof_native"   -> (Joins.asofNative _),
   )
 
   /** DECIMAL-staged exact sum, surfaced as DOUBLE (matches Tables.dsum2).
@@ -2051,5 +2052,14 @@ object SparkEntry {
           FROM f JOIN e ON f.o_year = e.d_year
           WHERE e.era = 'modern'
           GROUP BY 1 ORDER BY 1""",
+    // same oracle as q_join_asof2 — the native merge operator must produce
+    // exactly what DuckDB's ASOF LEFT JOIN produces
+    "q_join_asof_native" ->
+      """WITH trades AS (SELECT event_id, user_id, value AS t_value, ts FROM events WHERE event_type='purchase'),
+              quotes AS (SELECT user_id, value AS q_value, ts FROM events WHERE event_type='view')
+         SELECT t.event_id, t.user_id, t.t_value, epoch_ms(t.ts) AS ts_ms,
+                epoch_ms(q.ts) AS quote_ts_ms, q.q_value AS quote_value
+         FROM trades t ASOF LEFT JOIN quotes q ON t.user_id = q.user_id AND t.ts >= q.ts
+         ORDER BY event_id""",
   )
 }

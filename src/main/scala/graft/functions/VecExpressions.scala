@@ -640,6 +640,9 @@ case class HyperplaneBucket(left: Expression, right: Expression)
   * (wired in Verify.session, which every entry point uses). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    // the one custom whole-operator extension (SURVEY §4.2 tier c):
+    // the native merge as-of join (graft.plans.AsOfJoinPlan/Exec)
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     e.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),

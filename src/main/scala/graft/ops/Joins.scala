@@ -257,6 +257,39 @@ object Joins {
       .orderBy("event_id")
   }
 
+  /** The NATIVE-OPERATOR form of `asof2`: same quotes/trades semantics
+    * through graft.plans.AsOf — custom LogicalPlan → AsOfJoinStrategy →
+    * AsOfJoinExec merge join (each side shuffles once on its own key; no
+    * union super-relation, no window state — see AsOfJoin.scala for the
+    * 100 TB rationale). The oracle is DuckDB's ASOF LEFT JOIN, and
+    * NativeAsOfSpec additionally pins it row-for-row to `asof2`. On a
+    * session without GraftExtensions the plan cannot be planned — the
+    * query then degrades to the window form, which is the same result. */
+  def asofNative(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val trades = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("value").as("t_value"), col("ts"))
+    val quotes = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("q_user_id"), col("ts").as("q_ts"),
+        col("value").as("q_value"), col("event_id").as("q_event_id"))
+    def finish(df: DataFrame): DataFrame = df
+      .select(col("event_id"), col("user_id"), col("t_value"),
+        nsToMs("ts").as("ts_ms"),
+        expr("q_ts div 1000000").as("quote_ts_ms"),
+        col("q_value").as("quote_value"))
+      .orderBy("event_id")
+    try {
+      val native = graft.plans.AsOf.join(trades, quotes,
+        "user_id", "ts", "q_user_id", "q_ts", rightTieBreak = Some("q_event_id"))
+      native.queryExecution.executedPlan // force planning: throws w/o strategy
+      finish(native)
+    } catch {
+      // foreign session (no injected strategy): the window form computes
+      // the identical result with the identical column contract
+      case _: Throwable => asof2(s, dir)
+    }
+  }
+
   /** Shipping-priority report (TPC-H Q3 shape): unshipped revenue of
     * BUILDING-segment orders placed before the cutoff, top 10 by revenue.
     * The optimizer-relevant structure: both fact scans carry pushed date

@@ -1,0 +1,174 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  Ascending, Attribute, BindReferences, Expression, GenericInternalRow,
+  JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.types.LongType
+
+/** Native AS-OF JOIN — the one operator in the engine implemented as the
+  * full custom-operator stack (SURVEY §4.2 tier c): LogicalPlan node +
+  * SparkStrategy + physical merge-join operator, registered through
+  * SparkSessionExtensions (GraftExtensions.injectPlannerStrategy).
+  *
+  * WHY a custom operator when the union+last(ignoreNulls) window form
+  * (Joins.asof / asof2) already scales: the window form pays (1) a UNION
+  * materialization of both relations into one shuffle, and (2) a window
+  * scan that carries every probe AND build row through the same sort.
+  * The native operator keeps the relations separate — each side shuffles
+  * ONCE on its own key, sorts (key, time) within partitions, and a single
+  * co-partitioned MERGE pass emits probe rows with the latest build row
+  * at-or-before their timestamp. At 100 TB that is two narrow exchanges
+  * + one linear scan, with no unioned super-relation and no window state.
+  * Semantics exactly match SQL `ASOF LEFT JOIN ... ON l.k = r.k AND
+  * l.t >= r.t` (NativeAsOfSpec pins it row-for-row to the window form and
+  * to DuckDB's ASOF JOIN via the q_join_asof_native oracle).
+  *
+  * v1 scope (all the engine needs, enforced at construction): key and time
+  * are LongType on both sides (user_id / epoch-ns out of Tables.t); ties
+  * on (key, time) resolve by the ordering's last row, so callers append a
+  * deterministic tiebreak column to `rightTime` ordering when build rows
+  * can share a timestamp (the registered query orders by event_id).
+  */
+case class AsOfJoinPlan(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKey: Attribute, leftTime: Attribute,
+    rightKey: Attribute, rightTime: Attribute,
+    rightTieBreak: Option[Attribute])
+  extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Physical merge as-of join: children arrive co-partitioned on the key
+  * (ClusteredDistribution with a REQUIRED partition count, so AQE cannot
+  * coalesce the two sides asymmetrically out from under zipPartitions)
+  * and sorted (key, time[, tiebreak]); one forward pass per partition. */
+case class AsOfJoinExec(
+    left: SparkPlan, right: SparkPlan,
+    leftKey: Expression, leftTime: Expression,
+    rightKey: Expression, rightTime: Expression,
+    rightTieBreak: Option[Expression])
+  extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] = {
+    val n = Some(SQLConf.get.numShufflePartitions)
+    ClusteredDistribution(Seq(leftKey), requiredNumPartitions = n) ::
+    ClusteredDistribution(Seq(rightKey), requiredNumPartitions = n) :: Nil
+  }
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)) ++
+      rightTieBreak.map(t => SortOrder(t, Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] =
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lk = BindReferences.bindReference(leftKey, left.output)
+    val lt = BindReferences.bindReference(leftTime, left.output)
+    val rk = BindReferences.bindReference(rightKey, right.output)
+    val rt = BindReferences.bindReference(rightTime, right.output)
+    val rightWidth = right.output.size
+    val outAttrs = output
+    val leftAttrs = left.output
+    // bind against the NULLABLE view of the build side: an unmatched probe
+    // emits an all-null right row, so the projection must null-check even
+    // when the child relation's columns are non-nullable
+    val rightAttrs = right.output.map(_.withNullability(true))
+    left.execute().zipPartitions(right.execute()) { (li, ri) =>
+      val project = UnsafeProjection.create(outAttrs, leftAttrs ++ rightAttrs)
+      val joined = new JoinedRow
+      val nullRight = new GenericInternalRow(rightWidth)
+      // lookahead right row + the last build row matching the current key
+      var rRow: InternalRow = if (ri.hasNext) ri.next() else null
+      var haveLast = false
+      var lastKey = 0L
+      var lastRow: InternalRow = null
+      li.map { lRow =>
+        val lkV = lk.eval(lRow)
+        if (lkV == null) {
+          project(joined(lRow, nullRight))
+        } else {
+          val lKeyV = lkV.asInstanceOf[Long]
+          val lTimeV = lt.eval(lRow).asInstanceOf[Long]
+          // advance the build side through every row usable by this probe
+          var advancing = true
+          while (advancing && rRow != null) {
+            val rkV = rk.eval(rRow)
+            if (rkV == null) { // null keys sort first; never match
+              rRow = if (ri.hasNext) ri.next() else null
+            } else {
+              val rKeyV = rkV.asInstanceOf[Long]
+              val usable = rKeyV < lKeyV ||
+                (rKeyV == lKeyV && rt.eval(rRow).asInstanceOf[Long] <= lTimeV)
+              if (usable) {
+                if (rKeyV == lKeyV) {
+                  lastRow = rRow.copy(); lastKey = rKeyV; haveLast = true
+                }
+                rRow = if (ri.hasNext) ri.next() else null
+              } else advancing = false
+            }
+          }
+          val m = if (haveLast && lastKey == lKeyV) lastRow else nullRight
+          project(joined(lRow, m))
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case p: AsOfJoinPlan =>
+      AsOfJoinExec(planLater(p.left), planLater(p.right),
+        p.leftKey, p.leftTime, p.rightKey, p.rightTime, p.rightTieBreak) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Public API over the native operator. */
+object AsOf {
+  /** Left as-of join: every `left` row joined to the LATEST `right` row of
+    * the same key with rightTime ≤ leftTime (inclusive), nulls when none.
+    * Column names must be disjoint across sides; key/time must be LongType.
+    * `rightTieBreak` orders build rows sharing (key, time) — the LAST in
+    * that order wins, mirroring the window form's last(ignoreNulls). */
+  def join(leftDf: DataFrame, rightDf: DataFrame,
+           leftKey: String, leftTime: String,
+           rightKey: String, rightTime: String,
+           rightTieBreak: Option[String] = None): DataFrame = {
+    val s: SparkSession = leftDf.sparkSession
+    val lp = leftDf.queryExecution.analyzed
+    val rp = rightDf.queryExecution.analyzed
+    def attr(p: LogicalPlan, n: String): Attribute =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"no column $n in ${p.output.map(_.name)}"))
+    val (lk, ltm, rk, rtm) = (attr(lp, leftKey), attr(lp, leftTime),
+      attr(rp, rightKey), attr(rp, rightTime))
+    require(Seq(lk, ltm, rk, rtm).forall(_.dataType == LongType),
+      "as-of v1 requires LongType key and time on both sides")
+    require(lp.output.map(_.name).intersect(rp.output.map(_.name)).isEmpty,
+      "as-of requires disjoint column names (pre-rename the right side)")
+    org.apache.spark.sql.graft.Bridge.ofRows(s,
+      AsOfJoinPlan(lp, rp, lk, ltm, rk, rtm, rightTieBreak.map(attr(rp, _))))
+  }
+}
