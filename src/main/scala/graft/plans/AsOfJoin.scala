@@ -79,10 +79,17 @@ case class AsOfJoinExec(
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending))
 
   override protected def doExecute(): RDD[InternalRow] = {
-    val lk = BindReferences.bindReference(leftKey, left.output)
-    val lt = BindReferences.bindReference(leftTime, left.output)
-    val rk = BindReferences.bindReference(rightKey, right.output)
-    val rt = BindReferences.bindReference(rightTime, right.output)
+    // key/time are attribute refs over the child outputs: resolve their
+    // ORDINALS once and read primitives directly per row — no boxed
+    // Expression.eval in the merge loop (the operator has no codegen; this
+    // keeps its per-row cost at two getLong calls)
+    def ord(e: Expression, attrs: Seq[Attribute]): Int =
+      BindReferences.bindReference(e, attrs)
+        .asInstanceOf[org.apache.spark.sql.catalyst.expressions.BoundReference].ordinal
+    val lkOrd = ord(leftKey, left.output)
+    val ltOrd = ord(leftTime, left.output)
+    val rkOrd = ord(rightKey, right.output)
+    val rtOrd = ord(rightTime, right.output)
     val rightWidth = right.output.size
     val outAttrs = output
     val leftAttrs = left.output
@@ -100,22 +107,20 @@ case class AsOfJoinExec(
       var lastKey = 0L
       var lastRow: InternalRow = null
       li.map { lRow =>
-        val lkV = lk.eval(lRow)
-        if (lkV == null) {
+        if (lRow.isNullAt(lkOrd)) {
           project(joined(lRow, nullRight))
         } else {
-          val lKeyV = lkV.asInstanceOf[Long]
-          val lTimeV = lt.eval(lRow).asInstanceOf[Long]
+          val lKeyV = lRow.getLong(lkOrd)
+          val lTimeV = lRow.getLong(ltOrd)
           // advance the build side through every row usable by this probe
           var advancing = true
           while (advancing && rRow != null) {
-            val rkV = rk.eval(rRow)
-            if (rkV == null) { // null keys sort first; never match
+            if (rRow.isNullAt(rkOrd)) { // null keys sort first; never match
               rRow = if (ri.hasNext) ri.next() else null
             } else {
-              val rKeyV = rkV.asInstanceOf[Long]
+              val rKeyV = rRow.getLong(rkOrd)
               val usable = rKeyV < lKeyV ||
-                (rKeyV == lKeyV && rt.eval(rRow).asInstanceOf[Long] <= lTimeV)
+                (rKeyV == lKeyV && rRow.getLong(rtOrd) <= lTimeV)
               if (usable) {
                 if (rKeyV == lKeyV) {
                   lastRow = rRow.copy(); lastKey = rKeyV; haveLast = true
