@@ -194,6 +194,7 @@ object SparkEntry {
     "q_fuzzy_match"        -> (Joins.fuzzyMatch _),
     "q_join_dpp"           -> (GroupA.dppJoin _),
     "q_join_asof_native"   -> (Joins.asofNative _),
+    "q_join_band"          -> (Joins.bandJoin _),
   )
 
   /** DECIMAL-staged exact sum, surfaced as DOUBLE (matches Tables.dsum2).
@@ -2061,5 +2062,15 @@ object SparkEntry {
                 epoch_ms(q.ts) AS quote_ts_ms, q.q_value AS quote_value
          FROM trades t ASOF LEFT JOIN quotes q ON t.user_id = q.user_id AND t.ts >= q.ts
          ORDER BY event_id""",
+    // the oracle is the NAIVE theta-join — the hash match proves the
+    // three-bucket binned rewrite loses no pair and invents none
+    "q_join_band" ->
+      """WITH e AS (SELECT event_id, event_type,
+                 CAST(epoch_ns(ts) // 1000000 AS BIGINT) AS ms FROM events),
+          p AS (SELECT event_id AS p_id, ms AS p_ms FROM e WHERE event_type = 'purchase'),
+          v AS (SELECT event_id AS v_id, ms AS v_ms FROM e WHERE event_type = 'view')
+          SELECT p_id, p_ms, count(*) AS n_nearby_views
+          FROM p JOIN v ON abs(v_ms - p_ms) <= 3600000
+          GROUP BY 1, 2 ORDER BY p_id""",
   )
 }

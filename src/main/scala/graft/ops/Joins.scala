@@ -489,6 +489,35 @@ object Joins {
       .orderBy("nationkey")
   }
 
+  /** BINNED BAND JOIN — the scale technique for time-proximity joins: each
+    * purchase counts the view events within ±1 hour of it. The naive
+    * form is a θ-join on |Δt| ≤ w — a cartesian product per key domain. The
+    * binned form maps every event to a w-sized time bucket, joins each
+    * probe to its OWN bucket and the two NEIGHBORS (any row within ±w lives
+    * in one of the three), then applies the exact band predicate — an
+    * EQUI-join whose fan-out is bounded by bucket occupancy, never the
+    * corpus. The bucket arithmetic is integer ms, identical in the oracle's
+    * naive BETWEEN join — the hash match proves the rewrite. */
+  def bandJoin(s: SparkSession, dir: String): DataFrame = {
+    val w = 3600000L // 1 hour in ms
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("event_type"), nsToMs("ts").as("ms"))
+    val probes = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("ms").as("p_ms"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("v_id"), col("ms").as("v_ms"),
+        expr(s"ms div $w").as("bucket"))
+    val probed = probes.select(col("p_id"), col("p_ms"),
+      explode(expr(s"array(p_ms div $w - 1, p_ms div $w, p_ms div $w + 1)")).as("bucket"))
+    // a view has ONE bucket and the probe explodes three distinct keys, so
+    // each qualifying (probe, view) pair joins exactly once — plain count
+    probed.join(views, "bucket")
+      .filter(abs(col("v_ms") - col("p_ms")) <= w)
+      .groupBy("p_id", "p_ms")
+      .agg(count(lit(1)).as("n_nearby_views"))
+      .orderBy("p_id")
+  }
+
   /** BLOCKED FUZZY MATCH — entity resolution over a name domain: candidate
     * part-name pairs within edit distance 4, blocked so no all-pairs join
     * ever forms. Scale shape: names collapse to their DISTINCT set first (a
