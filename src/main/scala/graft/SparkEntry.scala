@@ -195,6 +195,7 @@ object SparkEntry {
     "q_join_dpp"           -> (GroupA.dppJoin _),
     "q_join_asof_native"   -> (Joins.asofNative _),
     "q_join_band"          -> (Joins.bandJoin _),
+    "q_histogram_depth"    -> (graft.ops.Profile.histogramDepth _),
   )
 
   /** DECIMAL-staged exact sum, surfaced as DOUBLE (matches Tables.dsum2).
@@ -2072,5 +2073,17 @@ object SparkEntry {
           SELECT p_id, p_ms, count(*) AS n_nearby_views
           FROM p JOIN v ON abs(v_ms - p_ms) <= 3600000
           GROUP BY 1, 2 ORDER BY p_id""",
+    "q_histogram_depth" ->
+      """WITH b AS (SELECT quantile_cont(o_totalprice, 0.25) AS q1,
+                           quantile_cont(o_totalprice, 0.5)  AS q2,
+                           quantile_cont(o_totalprice, 0.75) AS q3 FROM orders),
+          x AS (SELECT CASE WHEN o_totalprice <= q1 THEN 0
+                            WHEN o_totalprice <= q2 THEN 1
+                            WHEN o_totalprice <= q3 THEN 2
+                            ELSE 3 END AS bucket, o_totalprice
+                FROM orders, b)
+          SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n,
+                 min(o_totalprice) AS lo, max(o_totalprice) AS hi
+          FROM x GROUP BY 1 ORDER BY 1""",
   )
 }

@@ -106,4 +106,32 @@ object Profile {
       .withColumn("lo", col("bucket") * lit(50000.0))
       .select("bucket", "lo", "n")
       .orderBy("bucket")
+
+  /** EQUI-DEPTH histogram — the percentile-bounded companion of the
+    * equi-width `histogram` (and what an optimizer's column statistics
+    * actually store): four exact-quartile boundaries computed ONCE as a
+    * 1-row broadcast (the q_event_rfm threshold pattern — never a global
+    * ntile window over the rows), then one scan bins every value by
+    * comparison. Quartile fractions are binary-exact (0.25/0.5/0.75), so
+    * both engines interpolate identical doubles and the bucket cut is
+    * deterministic. Depths differ from n/4 only by boundary ties — the
+    * point of checking the exact counts. */
+  def histogramDepth(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val bounds = o.agg(
+      expr("percentile(o_totalprice, 0.25D)").as("q1"),
+      expr("percentile(o_totalprice, 0.5D)").as("q2"),
+      expr("percentile(o_totalprice, 0.75D)").as("q3"))
+    o.select("o_totalprice").crossJoin(broadcast(bounds))
+      .select(
+        when(col("o_totalprice") <= col("q1"), 0L)
+          .when(col("o_totalprice") <= col("q2"), 1L)
+          .when(col("o_totalprice") <= col("q3"), 2L)
+          .otherwise(3L).as("bucket"),
+        col("o_totalprice"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        min("o_totalprice").as("lo"), max("o_totalprice").as("hi"))
+      .orderBy("bucket")
+  }
 }

@@ -231,7 +231,10 @@ class PlanSpec extends SparkSpec {
       // q_join_bloom: the scalar subquery that BUILDS the bloom filter is a
       // global aggregate of per-partition bloom partials — one binary value,
       // the runtime-filter shape itself (BloomJoinSpec)
-      "q_join_bloom")
+      "q_join_bloom",
+      // q_histogram_depth: the quartile BOUNDARIES are a 1-row broadcast
+      // (the q_event_rfm threshold pattern); the binning scan is map-only
+      "q_histogram_depth")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
       val p = plan(q)
       Seq(
