@@ -196,6 +196,7 @@ object SparkEntry {
     "q_join_asof_native"   -> (Joins.asofNative _),
     "q_join_band"          -> (Joins.bandJoin _),
     "q_histogram_depth"    -> (graft.ops.Profile.histogramDepth _),
+    "q_agg_cms_topk"       -> (Aggregates.cmsHeavyHitters _),
   )
 
   /** DECIMAL-staged exact sum, surfaced as DOUBLE (matches Tables.dsum2).
@@ -2085,5 +2086,12 @@ object SparkEntry {
           SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n,
                  min(o_totalprice) AS lo, max(o_totalprice) AS hi
           FROM x GROUP BY 1 ORDER BY 1""",
+    // CMS estimates over a DOMAIN-BOUNDED key set at eps=0.001 (width 2719
+    // vs 5 keys — no collisions), so the estimate EQUALS the exact count
+    // and the exact count is the oracle; CmsSpec pins the one-sided error
+    // property independently
+    "q_agg_cms_topk" ->
+      """SELECT o_orderpriority, count(*) AS approx_n
+         FROM orders GROUP BY 1 ORDER BY 1""",
   )
 }

@@ -651,6 +651,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("top_vals"),
       new ExpressionInfo(classOf[TopVals].getName, "top_vals"),
       (children: Seq[Expression]) => TopVals(children.head, children(1))))
+    // CMS merge + probe — the serve-many half Spark's built-in
+    // count_min_sketch build aggregate lacks (Aggregates.cmsHeavyHitters)
+    e.injectFunction((
+      FunctionIdentifier("count_min_sketch_merge"),
+      new ExpressionInfo(classOf[CmsMerge].getName, "count_min_sketch_merge"),
+      (children: Seq[Expression]) => CmsMerge(children.head)))
+    e.injectFunction((
+      FunctionIdentifier("count_min_sketch_estimate"),
+      new ExpressionInfo(classOf[CmsEstimate].getName, "count_min_sketch_estimate"),
+      (children: Seq[Expression]) => CmsEstimate(children.head, children(1))))
     // Spark's own runtime-filter pair, surfaced as SQL functions so a
     // selective join can prune its fact scan explicitly (Joins.bloomPrunedJoin)
     e.injectFunction((

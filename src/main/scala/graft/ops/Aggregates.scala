@@ -79,6 +79,39 @@ object Aggregates {
       .orderBy("o_orderpriority")
   }
 
+  /** COUNT-MIN-SKETCH heavy hitters — the frequency member of the sketch
+    * family (HLL: distinct, GK: quantiles, CMS: counts): per-year CMS
+    * partials over the join key, merged into one corpus sketch that any
+    * consumer probes without rescanning rows — the skew-detection serving
+    * path at 100 TB, where exact `q_stats_skew` pays a full key shuffle
+    * per question. The sketch binary is engine-specific (rows-only driver
+    * check, like the HLL family); CmsSpec pins every probed estimate
+    * against the exact count (CMS error is one-sided: estimate ≥ truth).
+    * The probe set is the DOMAIN-BOUNDED priority list, so the output is
+    * fixed-size at any corpus. */
+  def cmsHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Cms
+    if (!s.catalog.functionExists("count_min_sketch_merge"))
+      // foreign session: the exact form (same output contract; the sketch
+      // path's value is the serve-many topology, not different numbers —
+      // at this eps the estimates equal the exact counts anyway)
+      return t(s, dir, "orders")
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("approx_n"))
+        .orderBy("o_orderpriority")
+    val partials = t(s, dir, "orders")
+      .groupBy(year(col("o_orderdate")).as("yr"))
+      .agg(expr(s"count_min_sketch(o_orderpriority, ${Cms.Eps}d, ${Cms.Confidence}d, ${Cms.Seed})").as("sk"))
+    // one tiny merged sketch (bytes per partial), probed for each priority
+    val merged = partials.agg(
+      expr("count_min_sketch_merge(sk)").as("sk"))
+    val prios = t(s, dir, "orders").select("o_orderpriority").distinct()
+    prios.crossJoin(broadcast(merged))
+      .select(col("o_orderpriority"),
+        expr("count_min_sketch_estimate(sk, o_orderpriority)").cast("long")
+          .as("approx_n"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Deterministic second-moment statistics. Built-in stddev/variance use
     * Welford merges whose result depends on partition merge order — not
     * reproducible bit-for-bit across engines or even runs. Instead: exact

@@ -234,7 +234,10 @@ class PlanSpec extends SparkSpec {
       "q_join_bloom",
       // q_histogram_depth: the quartile BOUNDARIES are a 1-row broadcast
       // (the q_event_rfm threshold pattern); the binning scan is map-only
-      "q_histogram_depth")
+      "q_histogram_depth",
+      // q_agg_cms_topk: the merged corpus sketch is ONE binary value built
+      // from per-year partial sketches — bytes per partition, never keys
+      "q_agg_cms_topk")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
       val p = plan(q)
       Seq(
