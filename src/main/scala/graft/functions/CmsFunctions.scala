@@ -86,8 +86,14 @@ case class CmsEstimate(left: Expression, right: Expression)
       ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
       ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
     nullSafeCodeGen(ctx, ev, (sk, item) =>
-      s"""${ev.value} = org.apache.spark.util.sketch.CountMinSketch
-            .readFrom($sk).estimateCount($item.toString());""")
+      // readFrom declares IOException — generated Java must catch it or the
+      // whole stage silently falls back to interpreted mode
+      s"""try {
+            ${ev.value} = org.apache.spark.util.sketch.CountMinSketch
+              .readFrom($sk).estimateCount($item.toString());
+          } catch (java.io.IOException e) {
+            throw new RuntimeException(e);
+          }""")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CmsEstimate =
