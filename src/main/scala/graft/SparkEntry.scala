@@ -1342,7 +1342,8 @@ object SparkEntry {
                      for i in generate_series(1, len(embedding))]
                   ELSE [0 for i in generate_series(1, len(embedding))] END AS codes
                 FROM qz)
-          SELECT vec_id, maxabs, codes,
+          SELECT vec_id, maxabs,
+                 array_to_string(codes, ',') AS codes_str,
                  CASE WHEN maxabs > 0 THEN
                    list_sum([(CAST(embedding[i] AS DOUBLE) - CAST(codes[i] AS DOUBLE) * maxabs / 127.0)
                              * (CAST(embedding[i] AS DOUBLE) - CAST(codes[i] AS DOUBLE) * maxabs / 127.0)
@@ -1593,9 +1594,10 @@ object SparkEntry {
                  FROM st),
           ml AS (SELECT list(mu ORDER BY i) AS ml, list(sd ORDER BY i) AS sl FROM ms)
           SELECT e.vec_id,
-                 [(CAST(e.embedding[t] AS DOUBLE) - ml.ml[t]) / ml.sl[t]
-                  for t in generate_series(1, len(e.embedding))] AS w
-          FROM embeddings e, ml ORDER BY e.vec_id""",
+                 CAST(unnest(generate_series(1, len(e.embedding))) - 1 AS BIGINT) AS i,
+                 unnest([(CAST(e.embedding[t] AS DOUBLE) - ml.ml[t]) / ml.sl[t]
+                         for t in generate_series(1, len(e.embedding))]) AS w
+          FROM embeddings e, ml ORDER BY e.vec_id, i""",
     // top-PC projection: the covariance CTEs feed ten unrolled power
     // iterations (list_sum is the left-to-right fold — the dDot-proven
     // order match for Spark's ascending-index loops), then the projection
@@ -1957,7 +1959,7 @@ object SparkEntry {
         val row = cols.mkString("concat_ws('|', ", ", ", ")")
         s"""SELECT '$name' AS table_name, count(*) AS n_rows,
                bit_xor(${dTokHash(row)}) AS xor_sig,
-               CAST(sum(${dTokHash(row)}) AS DECIMAL(38,0)) AS sum_sig
+               CAST(CAST(sum(${dTokHash(row)}) AS DECIMAL(38,0)) AS VARCHAR) AS sum_sig
             FROM $table"""
       }
       Seq(

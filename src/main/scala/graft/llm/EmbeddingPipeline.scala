@@ -43,7 +43,7 @@ class EmbeddingPipeline(s: SparkSession, srcDir: String, root: String) {
     // 1. whiten, back to the serving float format with label carried
     val d1 = write(
       t(s, srcDir, "embeddings").select(col("vec_id"), col("label"))
-        .join(Similarity.whiten(s, srcDir), "vec_id")
+        .join(Similarity.whitenVecs(s, srcDir), "vec_id")
         .select(col("vec_id"),
           expr("transform(w, x -> CAST(x AS FLOAT))").as("embedding"),
           col("label")),
@@ -58,7 +58,7 @@ class EmbeddingPipeline(s: SparkSession, srcDir: String, root: String) {
     // 3. ranking metadata: top-PC coordinate of every kept vector
     write(Similarity.pcaProject(s, d2), "s3_scores", "scores.parquet")
     // 4. int8 serving tier
-    write(Similarity.quantize(s, d2).select("vec_id", "maxabs", "codes"),
+    write(Similarity.quantCodes(s, d2).select("vec_id", "maxabs", "codes"),
       "s4_codes", "codes.parquet")
     // 5. ANN serve from the trained published index over the kept set
     stageRows :+= (("s5_serve", Similarity.ivfTrainedTopK(s, d2).count()))

@@ -351,8 +351,10 @@ object Similarity {
     * fixed left-to-right error accumulation, so DuckDB reproduces the codes
     * AND the error bit-for-bit. Pure map stage, shuffle-free. */
   /** Shared quantization core: per-vector max-abs scale + int8 codes
-    * (vec_id, embedding, maxabs, codes). Pure map stage. */
-  private def quantCodes(s: SparkSession, dir: String): DataFrame =
+    * (vec_id, embedding, maxabs, codes). Pure map stage. Public array form
+    * for composition (EmbeddingPipeline stage 4); the registered query
+    * `quantize` serializes the codes for the driver's row-sort harness. */
+  def quantCodes(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"),
         expr("aggregate(transform(embedding, x -> abs(CAST(x AS DOUBLE))), 0D, (acc, v) -> greatest(acc, v))")
@@ -362,10 +364,15 @@ object Similarity {
                   transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0D / maxabs + 0.5D) AS INT))
                 ELSE transform(embedding, x -> 0) END""").as("codes"))
 
+  /** Registered query form: int8 codes serialized to a comma-joined string
+    * (integer→string render is engine-stable, unlike raw array columns,
+    * which the driver's pandas row-sort cannot hash — the `q_agg_topk`
+    * serialization precedent). */
   def quantize(s: SparkSession, dir: String): DataFrame =
     quantCodes(s, dir)
       .select(
-        col("vec_id"), col("maxabs"), col("codes"),
+        col("vec_id"), col("maxabs"),
+        expr("array_join(transform(codes, c -> CAST(c AS STRING)), ',')").as("codes_str"),
         expr("""CASE WHEN maxabs > 0D THEN
                   aggregate(zip_with(embedding, codes,
                       (x, q) -> (CAST(x AS DOUBLE) - CAST(q AS DOUBLE) * maxabs / 127.0D)
@@ -469,7 +476,7 @@ object Similarity {
     * applied as one codegen'd map stage; μ and σ reuse the meanVector /
     * Gram-diagonal numeric disciplines, so the DuckDB twin matches every
     * whitened coordinate bit-for-bit. */
-  def whiten(s: SparkSession, dir: String): DataFrame = {
+  def whitenVecs(s: SparkSession, dir: String): DataFrame = {
     val S = MeanScale.toDouble
     val st = t(s, dir, "embeddings")
       .select(posexplode(col("embedding")).as(Seq("i", "xi")))
@@ -494,6 +501,17 @@ object Similarity {
           .as("w"))
       .orderBy("vec_id")
   }
+
+  /** Registered query form of `whitenVecs`: one (vec_id, i, w) row per
+    * coordinate. Array columns crash the driver harness's pandas row-sort
+    * (unhashable numpy arrays), and double→string rendering is not
+    * engine-stable — exploding to scalar doubles keeps the compare
+    * numeric and bit-exact. Row count is n·d, still a pure map stage. */
+  def whiten(s: SparkSession, dir: String): DataFrame =
+    whitenVecs(s, dir)
+      .select(col("vec_id"), posexplode(col("w")).as(Seq("i", "w")))
+      .select(col("vec_id"), col("i").cast("long").as("i"), col("w"))
+      .orderBy("vec_id", "i")
 
   /** Power-iteration count for the top principal component. Fixed (not
     * convergence-tested) so the oracle can unroll the identical ten steps. */

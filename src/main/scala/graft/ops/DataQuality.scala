@@ -94,7 +94,10 @@ object DataQuality {
       val withH = df.select(tokHash(concat_ws("|", cols: _*)).as("h"))
       withH.agg(count(lit(1)).as("n_rows"),
           expr("bit_xor(h)").as("xor_sig"),
-          sum(col("h").cast("decimal(38,0)")).as("sum_sig"))
+          // surfaced as a canonical digit string: DECIMAL(38,0) is exact in
+          // both engines but its dtype round-trips differently through the
+          // driver's hasher (Spark parquet decimal vs DuckDB hugeint render)
+          sum(col("h").cast("decimal(38,0)")).cast("string").as("sum_sig"))
         .select(lit(name).as("table_name"), col("n_rows"), col("xor_sig"), col("sum_sig"))
     }
     val orders = sigOf("orders", t(s, dir, "orders"),

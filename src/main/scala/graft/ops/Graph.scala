@@ -145,13 +145,24 @@ object Graph {
         when(fwd, col("src")).otherwise(col("dst")).as("x"),
         when(fwd, col("dst")).otherwise(col("src")).as("y"))
       .localCheckpoint()
+    // The oriented adjacency is DIMENSION-TIER: one row per node of the item
+    // graph (bounded by the part catalog), each holding an O(√E)-bounded
+    // out-neighbor list — ~10 MB at sf0.1 (20 k nodes × ~60 avg). Same
+    // argument as pagerank's rank state: BROADCAST it, never shuffle it.
+    // The r5 plan shuffled both ~60-long arrays onto every edge row through
+    // two SortMergeJoins (~1.2 GB of array payload, 29% of the whole bench);
+    // with both sides broadcast the edge frame streams through one codegen'd
+    // map stage and the only remaining exchange is the narrow-row count per
+    // part_key. (A catalog too large to broadcast would bucket edges and
+    // adjacency on the node key — the shape stays shuffle-free per probe.)
     val adj = o.groupBy(col("x"))
       .agg(sort_array(collect_list(col("y"))).as("nbrs"))
+      .localCheckpoint()
     // inner joins: an edge whose head has no out-neighbors closes nothing
     val tri = o
-      .join(adj.select(col("x").as("xx"), col("nbrs").as("nx")),
+      .join(broadcast(adj.select(col("x").as("xx"), col("nbrs").as("nx"))),
         col("x") === col("xx"))
-      .join(adj.select(col("x").as("yy"), col("nbrs").as("ny")),
+      .join(broadcast(adj.select(col("x").as("yy"), col("nbrs").as("ny"))),
         col("y") === col("yy"))
       .select(col("x").as("a"), col("y").as("b"),
         explode(expr("array_intersect(nx, ny)")).as("c"))

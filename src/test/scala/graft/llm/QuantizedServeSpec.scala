@@ -26,8 +26,10 @@ class QuantizedServeSpec extends SparkSpec {
 
   test("dequantization error respects the analytic bound") {
     // per element |x - q·s/127| <= s/254 + ulp slack, so L2^2 <= d·(s/254)^2
-    val rows = Similarity.quantize(spark, sf)
-      .selectExpr("size(codes) AS d", "maxabs", "l2_err").collect()
+    val rows = Similarity.quantCodes(spark, sf)
+      .selectExpr("vec_id", "size(codes) AS d")
+      .join(Similarity.quantize(spark, sf), "vec_id")
+      .selectExpr("d", "maxabs", "l2_err").collect()
     rows.foreach { r =>
       val d = r.getInt(0); val s = r.getDouble(1); val err = r.getDouble(2)
       val bound = d * math.pow(s / 254.0, 2) * (1.0 + 1e-9)
@@ -36,9 +38,18 @@ class QuantizedServeSpec extends SparkSpec {
   }
 
   test("codes stay within the int8 range") {
-    val bad = Similarity.quantize(spark, sf)
+    val bad = Similarity.quantCodes(spark, sf)
       .selectExpr("vec_id", "filter(codes, c -> c < -127 OR c > 127) AS oob")
       .where("size(oob) > 0").count()
     assert(bad == 0L)
+  }
+
+  test("registered codes_str is exactly the comma-joined int codes") {
+    val mismatch = Similarity.quantCodes(spark, sf)
+      .selectExpr("vec_id",
+        "array_join(transform(codes, c -> CAST(c AS STRING)), ',') AS expect")
+      .join(Similarity.quantize(spark, sf), "vec_id")
+      .where("expect <> codes_str").count()
+    assert(mismatch == 0L)
   }
 }

@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
 class WhitenSpec extends SparkSpec {
 
   private lazy val rows =
-    Similarity.whiten(spark, sf).collect()
+    Similarity.whitenVecs(spark, sf).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
 
   private lazy val vectors =
@@ -28,6 +28,16 @@ class WhitenSpec extends SparkSpec {
       val v = xs.map(x => (x - m) * (x - m)).sum / n
       assert(math.abs(m) < 1e-9, s"dim $i mean $m")
       assert(math.abs(v - 1.0) < 1e-9, s"dim $i var $v")
+    }
+  }
+
+  test("registered exploded form carries exactly whitenVecs' coordinates") {
+    val exploded = Similarity.whiten(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val d = rows.head._2.length
+    assert(exploded.size == rows.length * d)
+    rows.foreach { case (id, w) =>
+      (0 until d).foreach(i => assert(exploded((id, i.toLong)) == w(i)))
     }
   }
 

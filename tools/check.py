@@ -60,7 +60,32 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: rows spark={len(sdf)} oracle={len(odf)}")
             n_fail += 1
             continue
-        sdf, odf = sdf[scols], odf[scols]
+        # Driver-faithful: the driver sorts result rows by ALL columns before
+        # hashing. A cell the sort cannot handle (numpy arrays are unhashable/
+        # uncomparable) crashes the driver harness — so it must FAIL here too,
+        # not be normalized away (the r5 q_embed_quantize/whiten blind spot).
+        try:
+            sdf = sdf[scols].sort_values(by=scols, ignore_index=True)
+            odf = odf[scols].sort_values(by=scols, ignore_index=True)
+        except Exception as e:
+            print(f"FAIL {name}: row-sort crash (driver-fatal): {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        # Representation check: the driver hashes serialized values, so a
+        # dtype that renders differently (Decimal vs float/hugeint) is a
+        # hash mismatch even when values are numerically equal.
+        repbad = None
+        for c in scols:
+            st = next((type(v).__name__ for v in sdf[c].tolist() if v is not None), None)
+            ot = next((type(v).__name__ for v in odf[c].tolist() if v is not None), None)
+            if st is not None and ot is not None and st != ot:
+                repbad = (c, st, ot)
+                break
+        if repbad:
+            c, st, ot = repbad
+            print(f"FAIL {name}: col={c} representation spark={st} oracle={ot}")
+            n_fail += 1
+            continue
         bad = None
         for c in scols:
             sv = [norm(v) for v in sdf[c].tolist()]
