@@ -274,13 +274,22 @@ object Sessions {
     val maxDay = base.agg(max(col("last_day")).as("max_day"))
     val withR = base.crossJoin(broadcast(maxDay))
       .withColumn("recency_days", col("max_day") - col("last_day"))
-    val th = withR.agg(
-      expr("percentile(recency_days, 0.25D)").as("r1"),
-      expr("percentile(recency_days, 0.75D)").as("r2"),
-      expr("percentile(frequency, 0.25D)").as("f1"),
-      expr("percentile(frequency, 0.75D)").as("f2"),
-      expr("percentile(monetary, 0.25D)").as("m1"),
-      expr("percentile(monetary, 0.75D)").as("m2"))
+    // Three domain-bounded histogram passes (ExactPercentile), not six
+    // percentile() calls sharing one all-values buffer: recency and
+    // frequency are small-integer domains, spend is cent-exact — each
+    // boundary set shuffles one row per distinct value. The user-frame
+    // subtree is identical in all three, so runtime stage reuse computes
+    // it once.
+    import graft.ops.ExactPercentile
+    val th = ExactPercentile
+      .bounds(withR, col("recency_days"), Seq("r1" -> 0.25, "r2" -> 0.75))
+      .select("r1", "r2")
+      .crossJoin(ExactPercentile
+        .bounds(withR, col("frequency"), Seq("f1" -> 0.25, "f2" -> 0.75))
+        .select("f1", "f2"))
+      .crossJoin(ExactPercentile
+        .bounds(withR, col("monetary"), Seq("m1" -> 0.25, "m2" -> 0.75))
+        .select("m1", "m2"))
     def seg(v: String, lo: String, hi: String) =
       when(col(v) <= col(lo), 1L).when(col(v) <= col(hi), 2L).otherwise(3L)
     withR.crossJoin(broadcast(th))

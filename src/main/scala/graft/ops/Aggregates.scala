@@ -133,14 +133,14 @@ object Aggregates {
       .orderBy("o_orderstatus")
   }
 
-  /** Exact percentiles (sort-based, interpolated): median and p90. */
+  /** Exact percentiles (interpolated): median and p90 per status, via the
+    * value-histogram discipline (ExactPercentile) — identical doubles to
+    * `percentile()`, but no per-group all-values aggregation buffer. */
   def percentiles(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "orders")
-      .groupBy("o_orderstatus")
-      .agg(
-        expr("percentile(o_totalprice, 0.5D)").as("p50"),
-        expr("percentile(o_totalprice, 0.9D)").as("p90"),
-        count(lit(1)).as("n"))
+    ExactPercentile.bounds(t(s, dir, "orders"), col("o_totalprice"),
+        Seq("p50" -> 0.5, "p90" -> 0.9), Seq("o_orderstatus"))
+      .select(col("o_orderstatus"), col("p50"), col("p90"),
+        col("n_all").as("n"))
       .orderBy("o_orderstatus")
 
   /** Set-collecting aggregation: distinct priorities per status, surfaced as

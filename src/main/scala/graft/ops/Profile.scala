@@ -118,10 +118,12 @@ object Profile {
     * point of checking the exact counts. */
   def histogramDepth(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders")
-    val bounds = o.agg(
-      expr("percentile(o_totalprice, 0.25D)").as("q1"),
-      expr("percentile(o_totalprice, 0.5D)").as("q2"),
-      expr("percentile(o_totalprice, 0.75D)").as("q3"))
+    // ExactPercentile, not percentile(): same interpolated doubles, but the
+    // quartile pass shuffles one row per DISTINCT price (cent-bounded
+    // domain) instead of buffering every value in one aggregation buffer
+    val bounds = ExactPercentile.bounds(o, col("o_totalprice"),
+        Seq("q1" -> 0.25, "q2" -> 0.5, "q3" -> 0.75))
+      .select("q1", "q2", "q3")
     o.select("o_totalprice").crossJoin(broadcast(bounds))
       .select(
         when(col("o_totalprice") <= col("q1"), 0L)

@@ -182,6 +182,17 @@ class PlanSpec extends SparkSpec {
     assert(!pt.contains("CartesianProduct"), pt)
   }
 
+  test("exact percentiles never plan a single-buffer percentile aggregate") {
+    // the value-histogram discipline (ExactPercentile): quartile/median
+    // bounds must come from a domain-bounded histogram + cumulative window,
+    // never from percentile()'s ObjectHashAggregate buffering every value
+    for (q <- Seq("q_agg_percentile", "q_event_rfm", "q_histogram_depth")) {
+      val p = plan(q)
+      assert(!p.contains("percentile("), s"$q plans percentile(): $p")
+      assert(!p.contains("ObjectHashAggregate"), s"$q: $p")
+    }
+  }
+
   test("EVERY registered query plans without scale-killers") {
     // catch-all regression net over the whole surface: no cartesian product,
     // no unbounded per-group array aggregation, no single-partition exchange
