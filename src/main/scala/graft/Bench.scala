@@ -27,10 +27,30 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
+    // Machine-load context recorded INTO the artifact: r5's totals were
+    // contention-contaminated (uniform 1.11× inflation with spike outliers)
+    // and only detectable by hand. loadavg + a fixed single-thread probe
+    // (~1 s quiet-window xorshift loop, timed before and after the run)
+    // make a dirty run machine-detectable from the artifact alone.
+    def loadavg(): String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+      catch { case _: Throwable => "" }
+    def calib(): Double = {
+      val t0 = System.nanoTime()
+      var x = 0x9E3779B97F4A7C15L
+      var i = 0
+      while (i < 600000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+      if (x == 42) print("") // keep the loop observable
+      (System.nanoTime() - t0) / 1e9
+    }
+    val loadBefore = loadavg()
+    val calibBefore = calib()
     val results = wanted.map { case (name, fn) =>
       val ts = (1 to reps).map(_ => timeOnce(fn)).sorted
       name -> ts(ts.length / 2)
     }
+    val calibAfter = calib()
+    val loadAfter = loadavg()
     // per-query values rounded to ms so the stdout line stays small enough
     // for log-tail capture (VERDICT r2 item 2)
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
@@ -38,8 +58,11 @@ object Bench {
       rs.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     spark.stop()
+    val ctx =
+      s""""loadavg_before":"$loadBefore","loadavg_after":"$loadAfter",""" +
+        s""""calib_before_sec":${r3(calibBefore)},"calib_after_sec":${r3(calibAfter)}"""
     val fullLine =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${qsJson(results)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${qsJson(results)},$ctx,"sf":"$sfDir"}"""
     // The complete artifact always goes to a PER-SF file, so a dev sf0.001 or
     // subset run can never clobber the canonical sf0.1 artifact the round is
     // judged on (ADVICE r4: a committed bench_out.json was from a dev run).
@@ -76,17 +99,11 @@ object Bench {
     var k = results.length
     while (k > 0 && lineFor(k).length > budget) k -= 1
     println(lineFor(k))
-    // BENCH_r04 recorded `parsed: null` even though the capped line fit the
-    // tail. The r4 artifact's stored tail both STARTS mid-word and ENDS
-    // mid-line — consistent with a parser window that is a ~2 KB slice of
-    // the last ~4 KB rather than the literal tail. Cover both geometries:
-    // emit the minimal headline line, ~2.2 KB of inert padding, then the
-    // SAME line again at the very end. Whichever slice the parser reads,
-    // one complete copy lands inside it, and both carry the same total.
-    val miniLine =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${qsJson(byCost.take(3).sortBy(_._1))},"n_queries":${results.length},"full":"$artifact","sf":"$sfDir"}"""
-    println(miniLine)
-    (1 to 28).foreach(_ => println("." * 78))
-    println(miniLine)
+    // One minimal headline as the very last stdout line — the totals live in
+    // the per-SF artifact file (the "full" field), so no stdout-geometry
+    // guessing: earlier rounds' padded/duplicated output never parsed anyway
+    // (ADVICE r5) and only cluttered the log.
+    println(
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${qsJson(byCost.take(3).sortBy(_._1))},"n_queries":${results.length},"full":"$artifact","sf":"$sfDir"}""")
   }
 }

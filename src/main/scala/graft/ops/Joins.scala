@@ -235,9 +235,15 @@ object Joins {
     * O(T+Q) after one exchange. */
   def asof2(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
+    // quotes carry their REAL event_id as the window's third sort key:
+    // with it null, equal-(user_id, ts) quotes would order nondeterministically
+    // and the surviving quote could differ run to run — the real id makes the
+    // tie resolve to the max-event_id quote, matching AsOfJoinExec's
+    // rightTieBreak. (Quote rows are filtered out before output, so the id
+    // never leaks into the result contract.)
     val quotes = ev.filter(col("event_type") === "view").select(
       col("user_id"), col("ts"), lit(0).as("side"),
-      lit(null).cast("long").as("event_id"), lit(null).cast("double").as("t_value"),
+      col("event_id"), lit(null).cast("double").as("t_value"),
       col("ts").as("q_ts"), col("value").as("q_value"))
     val trades = ev.filter(col("event_type") === "purchase").select(
       col("user_id"), col("ts"), lit(1).as("side"),
@@ -278,15 +284,21 @@ object Joins {
         expr("q_ts div 1000000").as("quote_ts_ms"),
         col("q_value").as("quote_value"))
       .orderBy("event_id")
-    try {
-      val native = graft.plans.AsOf.join(trades, quotes,
-        "user_id", "ts", "q_user_id", "q_ts", rightTieBreak = Some("q_event_id"))
-      native.queryExecution.executedPlan // force planning: throws w/o strategy
-      finish(native)
-    } catch {
+    // Capability check, not a catch-all: probing by planning and swallowing
+    // Throwable would mask genuine analysis/planner bugs in the native
+    // operator (and even fatals like OOM) as "foreign session". The strategy
+    // is an object, so presence in the session's planner is exact.
+    val hasStrategy =
+      s.sessionState.planner.strategies.contains(graft.plans.AsOfJoinStrategy)
+    if (hasStrategy)
+      finish(graft.plans.AsOf.join(trades, quotes,
+        "user_id", "ts", "q_user_id", "q_ts", rightTieBreak = Some("q_event_id")))
+    else {
       // foreign session (no injected strategy): the window form computes
       // the identical result with the identical column contract
-      case _: Throwable => asof2(s, dir)
+      System.err.println(
+        "[graft] AsOfJoinStrategy not in this session; q_join_asof_native uses the window form")
+      asof2(s, dir)
     }
   }
 
