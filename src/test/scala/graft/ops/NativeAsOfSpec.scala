@@ -26,6 +26,31 @@ class NativeAsOfSpec extends SparkSpec {
     assert(native.nonEmpty && native == window)
   }
 
+  test("timestamp time columns join natively (micros-backed, same merge loop)") {
+    val probes = Seq((1L, 1L, "2024-01-01 10:00:00"), (2L, 1L, "2024-01-01 09:00:00"))
+      .toDF("p_id", "k", "ts_s")
+      .select(col("p_id"), col("k"), col("ts_s").cast("timestamp").as("t"))
+    val quotes = Seq((1L, "2024-01-01 09:30:00", 7.0), (1L, "2024-01-01 11:00:00", 9.0))
+      .toDF("q_key", "q_ts_s", "q_val")
+      .select(col("q_key"), col("q_ts_s").cast("timestamp").as("q_ts"), col("q_val"))
+    val out = graft.plans.AsOf.join(probes, quotes, "k", "t", "q_key", "q_ts")
+      .orderBy("p_id").select("p_id", "q_val").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getDouble(1)))
+    // 10:00 probe sees the 09:30 quote; 09:00 probe predates every quote
+    assert(out.toSeq == Seq((1L, 7.0), (2L, null)))
+  }
+
+  test("mixed time representations are rejected, not silently unit-mismatched") {
+    val probes = Seq((1L, 1L, 100L)).toDF("p_id", "k", "t")
+    val quotes = Seq((1L, "2024-01-01 09:30:00", 7.0))
+      .toDF("q_key", "q_ts_s", "q_val")
+      .select(col("q_key"), col("q_ts_s").cast("timestamp").as("q_ts"), col("q_val"))
+    val e = intercept[IllegalArgumentException] {
+      graft.plans.AsOf.join(probes, quotes, "k", "t", "q_key", "q_ts")
+    }
+    assert(e.getMessage.contains("share one type"))
+  }
+
   test("hand fixture: unmatched probes null, inclusive ties, last tiebreak wins") {
     val probes = Seq(
       (1L, 1L, 100L), // key 1: quote at t=100 exactly (inclusive)
