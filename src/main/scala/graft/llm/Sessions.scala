@@ -236,20 +236,25 @@ object Sessions {
     * be O(purchases × events) per user. Purchases before any touch surface
     * with NULL attribution (they are the unattributable cohort, a real
     * answer — not dropped). */
-  def attribution(s: SparkSession, dir: String): DataFrame = {
+  def attribution(s: SparkSession, dir: String): DataFrame =
+    attributionOf(t(s, dir, "events")).orderBy("event_id")
+
+  /** Core of `attribution` over any events-shaped frame (event_id, user_id,
+    * ts Long-ns, event_type, value) — shared with the streaming twin
+    * (StreamTwins.attribution), whose spec pins drained-stream == this. */
+  def attributionOf(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id")
       .orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val touch = when(col("event_type") =!= "purchase", col("event_type"))
     val touchTs = when(col("event_type") =!= "purchase", col("ts"))
-    t(s, dir, "events")
+    events
       .withColumn("attr_type", last(touch, ignoreNulls = true).over(w))
       .withColumn("attr_ts", last(touchTs, ignoreNulls = true).over(w))
       .filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), nsToMs("ts").as("ts_ms"),
         col("attr_type"), expr("attr_ts div 1000000").as("attr_ms"),
         col("value"))
-      .orderBy("event_id")
   }
 
   /** RFM segmentation: per purchasing user, Recency (days since last

@@ -182,6 +182,47 @@ object StreamTwins {
       }
   }
 
+  /** Streaming twin of last-touch attribution (llm.Sessions.attributionOf):
+    * each purchase is credited to the user's most recent PRECEDING
+    * non-purchase event. State is ONE (type, ts_ms, event_id) per user —
+    * the last touch seen so far — carried across micro-batches with
+    * flatMapGroupsWithState; purchases read it but never write it, and
+    * purchases before any touch emit with None attribution (the
+    * unattributable cohort, same contract as batch). The batch form pays a
+    * per-user ordered window over ALL events; the stream pays O(1) state
+    * per user and emits on arrival — the serving shape for attribution at
+    * event-firehose scale. Within a micro-batch events are ordered by
+    * (ts, event_id) — the batch window's exact tie-break — so drained
+    * stream == batch row-for-row when arrival respects event time
+    * (StreamTwinsSpec pins it, including a tie and a pre-touch purchase). */
+  case class AttrEvent(event_id: Long, user_id: Long, tsc: java.sql.Timestamp,
+                       event_type: String, value: Double)
+  case class LastTouch(attr_type: String, attr_ms: Long)
+  case class Attributed(event_id: Long, user_id: Long, ts_ms: Long,
+                        attr_type: Option[String], attr_ms: Option[Long],
+                        value: Double)
+
+  def attribution(events: org.apache.spark.sql.Dataset[AttrEvent]):
+      org.apache.spark.sql.Dataset[Attributed] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, it: Iterator[AttrEvent], state: GroupState[LastTouch]) =>
+          val sorted = it.toSeq.sortBy(e => (e.tsc.getTime, e.event_id))
+          var st = state.getOption
+          val out = Seq.newBuilder[Attributed]
+          sorted.foreach { e =>
+            if (e.event_type == "purchase")
+              out += Attributed(e.event_id, e.user_id, e.tsc.getTime,
+                st.map(_.attr_type), st.map(_.attr_ms), e.value)
+            else st = Some(LastTouch(e.event_type, e.tsc.getTime))
+          }
+          st.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Stream-static enrichment: the streaming face of the broadcast-dim join
     * (q_join_broadcast). The static side is re-resolved per micro-batch, so
     * a slowly-changing dimension published via Warehouse is picked up on its

@@ -196,6 +196,40 @@ class StreamTwinsSpec extends SparkSpec {
     assert(rows.exists { case (v, m, a) => v == 2.0 && m > 20 && !a }) // mean now includes 100
   }
 
+  test("streaming last-touch attribution equals the batch window form when drained") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    // (event_id, user_id, ts_ms, type, value): user 1 has view→purchase
+    // across a batch boundary, a (ts) TIE between a view and a purchase
+    // (event_id orders the view first → it attributes), and a later cart
+    // touch; user 2's purchase arrives before ANY touch (None cohort).
+    val b1 = Seq((10L, 1L, 1000L, "view", 0.0), (11L, 1L, 2000L, "purchase", 5.0),
+      (12L, 2L, 1000L, "purchase", 7.0))
+    val b2 = Seq((13L, 1L, 3000L, "view", 0.0), (14L, 1L, 3000L, "purchase", 9.0),
+      (15L, 1L, 4000L, "cart", 0.0), (16L, 1L, 5000L, "purchase", 2.0))
+    val mem = MemoryStream[(Long, Long, Long, String, Double)]
+    val events = mem.toDS().map(r =>
+      StreamTwins.AttrEvent(r._1, r._2, new Timestamp(r._3), r._4, r._5))
+    val q = StreamTwins.attribution(events).writeStream
+      .format("memory").queryName("attr_out").outputMode("append").start()
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable(); q.stop()
+    val got = s.table("attr_out").collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2), Option(r.getString(3)), Option(r.get(4)).map(_.asInstanceOf[Long]),
+      r.getDouble(5))).toSet
+    // batch form over the SAME rows (ts scaled ms→ns, the events contract)
+    val batchIn = (b1 ++ b2).toDF("event_id", "user_id", "ts_ms", "event_type", "value")
+      .select(col("event_id"), col("user_id"),
+        (col("ts_ms") * 1000000L).as("ts"), col("event_type"), col("value"))
+    val want = graft.llm.Sessions.attributionOf(batchIn).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), Option(r.getString(3)),
+        Option(r.get(4)).map(_.asInstanceOf[Long]), r.getDouble(5))).toSet
+    assert(got == want)
+    assert(got.contains((12L, 2L, 1000L, None, None, 7.0)))        // pre-touch purchase
+    assert(got.contains((14L, 1L, 3000L, Some("view"), Some(3000L), 9.0))) // tie: view first
+  }
+
   test("streaming dedup keeps the first occurrence across micro-batches") {
     val s = spark
     import s.implicits._
