@@ -115,6 +115,8 @@ object SparkEntry {
     "q_text_tokens_bpe"    -> (TextAnalysis.tokenCounts _),
     "q_text_bpe_apply"     -> (TextAnalysis.bpeApply _),
     "q_multimodal_decode"  -> (graft.multimodal.Multimodal.decodeStats _),
+    "q_multimodal_resize"  -> (graft.multimodal.Multimodal.resizeStats _),
+    "q_multimodal_frames"  -> (graft.multimodal.Multimodal.frameStats _),
     "q_sessionize"         -> (Sessions.sessionize _),
     "q_event_funnel"       -> (Sessions.funnel _),
     "q_event_paths"        -> (Sessions.eventPaths _),
@@ -1148,6 +1150,40 @@ object SparkEntry {
                  CAST(sum(n_frames) AS BIGINT) AS sum_frames,
                  CAST(sum(blen) AS BIGINT) AS sum_bytes
           FROM d GROUP BY kind ORDER BY kind""",
+    // resize scale mirrors Multimodal.resize exactly: least(1.0, 256/m) over
+    // IEEE doubles then floor — both engines produce the identical double,
+    // so the floor is identical (the repo's float discipline)
+    "q_multimodal_resize" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+                           ['image','audio','video'][(doc_id % 3) + 1] AS kind, text
+                    FROM documents),
+          h AS (SELECT media_id, kind,
+                       list_reduce(list_prepend(17::BIGINT,
+                         [ascii(substr(text, i, 1)) for i in generate_series(1, length(text))]),
+                         (acc, x) -> (acc * 31 + x) % 1000000007) AS hv
+                FROM m),
+          d AS (SELECT media_id, kind,
+                       CAST((hv % 640) + 16 AS INT) AS width,
+                       CAST(((hv // 640) % 480) + 16 AS INT) AS height
+                FROM h)
+          SELECT media_id, kind, width, height,
+                 CAST(floor(width * least(1.0, 256.0 / greatest(width, height))) AS INT) AS out_width,
+                 CAST(floor(height * least(1.0, 256.0 / greatest(width, height))) AS INT) AS out_height
+          FROM d ORDER BY media_id""",
+    "q_multimodal_frames" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+                           ['image','audio','video'][(doc_id % 3) + 1] AS kind, text
+                    FROM documents),
+          h AS (SELECT media_id, kind,
+                       list_reduce(list_prepend(17::BIGINT,
+                         [ascii(substr(text, i, 1)) for i in generate_series(1, length(text))]),
+                         (acc, x) -> (acc * 31 + x) % 1000000007) AS hv
+                FROM m),
+          d AS (SELECT media_id, CAST((hv % 120) + 2 AS INT) AS n_frames
+                FROM h WHERE kind = 'video')
+          SELECT media_id, n_frames,
+                 CAST(unnest(generate_series(0, n_frames - 1, 8)) AS INT) AS frame_idx
+          FROM d ORDER BY media_id, frame_idx""",
     "q_sessionize" ->
       s"""WITH x AS (SELECT user_id, event_id, value, epoch_ns(ts) AS ts_ns,
                  lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ns

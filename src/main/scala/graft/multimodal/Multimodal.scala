@@ -114,4 +114,25 @@ object Multimodal {
       .withColumn("frame_idx",
         explode(sequence(lit(0), col("n_frames") - 1, lit(stride))))
       .select("media_id", "n_frames", "frame_idx")
+
+  /** Declared-query form of `resize`: the decode → resize pipeline's
+    * per-media metadata (stub decode, real plumbing). The scale factor is
+    * double arithmetic mirrored EXACTLY in the oracle (least/greatest/
+    * floor over IEEE doubles — both engines compute the identical value,
+    * the repo's float discipline), so the stage is correctness-checked,
+    * not just smoke-run. Narrow plan: scan → map, no shuffle. */
+  def resizeStats(spark: SparkSession, dir: String): DataFrame =
+    resize(decode(mediaTable(spark, dir)), 256)
+      .select(col("media_id"), col("kind"), col("width"), col("height"),
+        col("out_width"), col("out_height"))
+      .orderBy("media_id")
+
+  /** Declared-query form of `sampleFrames`: stride-8 frame plan for every
+    * video. Output is one row per SAMPLED frame — the fan-out a video
+    * training pipeline feeds to the frame decoder; at 100 TB the explode
+    * stays narrow (no shuffle) and the downstream decode is the same
+    * mapPartitions batch shape as `decode`. */
+  def frameStats(spark: SparkSession, dir: String): DataFrame =
+    sampleFrames(decode(mediaTable(spark, dir)), 8)
+      .orderBy("media_id", "frame_idx")
 }
