@@ -152,6 +152,8 @@ object SparkEntry {
     "q_embed_covariance"   -> (Similarity.covariance _),
     "q_join_cust_returns"  -> (Joins.custReturns _),
     "q_join_large_orders"  -> (Joins.largeOrders _),
+    "q_join_blame_supplier" -> (Joins.blameSupplier _),
+    "q_join_dormant_cust"  -> (Joins.dormantCust _),
     "q_window_sliding"     -> (Sessions.sliding _),
     "q_embed_pca_project"  -> (Similarity.pcaProject _),
     "q_timeseries_gapfill" -> (Sessions.gapfill _),
@@ -1661,6 +1663,39 @@ object SparkEntry {
          JOIN orders ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+    // Q21 shape stated declaratively (the engine's window rewrite must
+    // hash-match this): late = shipped > 90 days after a finished order
+    "q_join_blame_supplier" ->
+      """WITH sl AS (SELECT l_orderkey, l_suppkey,
+                            max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                                     THEN 1 ELSE 0 END) AS late
+                     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                     WHERE o_orderstatus = 'F'
+                     GROUP BY 1, 2),
+          w AS (SELECT l_suppkey, late,
+                       count(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+                       sum(late) OVER (PARTITION BY l_orderkey) AS n_late
+                FROM sl)
+         SELECT s_name, count(*) AS numwait
+         FROM w JOIN supplier ON l_suppkey = s_suppkey
+         WHERE late = 1 AND n_supp > 1 AND n_late = 1
+         GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""",
+    // Q22 shape: division-free above-mean compare (bal·n > total in exact
+    // decimal — a decimal quotient would round differently per engine)
+    "q_join_dormant_cust" ->
+      s"""WITH th AS (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS total,
+                            COUNT(*) AS n
+                      FROM customer WHERE c_acctbal > 0.0),
+          cand AS (SELECT c.c_custkey, c.c_nationkey, c.c_acctbal
+                   FROM customer c, th
+                   WHERE c.c_acctbal > 0.0
+                     AND CAST(c.c_acctbal AS DECIMAL(18,2)) * th.n > th.total
+                     AND NOT EXISTS (SELECT 1 FROM orders o
+                                     WHERE o.o_custkey = c.c_custkey
+                                       AND o.o_orderdate >= TIMESTAMP '2000-01-01'))
+          SELECT n_name, count(*) AS numcust, ${dsum("c_acctbal")} AS totacctbal
+          FROM cand JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY 1 ORDER BY 1""",
     // data-calibrated quality gate: the cut is the exact 20th-percentile
     // logit via a value HISTOGRAM (cardinality = logit domain, not corpus);
     // `5·cum ≥ N` is the integer form of cum ≥ ⌈N/5⌉ — no float anywhere

@@ -434,6 +434,72 @@ object Joins {
       .limit(100)
   }
 
+  /** Sole-late-supplier blame report (TPC-H Q21 shape, adapted to this
+    * schema's columns: "late" = shipped > 90 days after the order date on a
+    * finished order). The Q21 topology is a per-row EXISTS (another supplier
+    * on the order) AND NOT EXISTS (another LATE supplier on the order) —
+    * naively two correlated probes per lineitem. The scalable rewrite:
+    * collapse lineitem to one row per (order, supplier) with a max(late)
+    * flag FIRST (map-side partial agg), then both existence tests become
+    * whole-partition window counts over the SAME orderkey exchange —
+    * n_supp > 1 is the EXISTS, n_late = 1 is the NOT EXISTS. One shuffle,
+    * bounded per-order state, no correlated re-scans; the supplier name
+    * joins after blame rows have collapsed to the rare offenders, and the
+    * top-20 is TakeOrderedAndProject. The DuckDB oracle states the same
+    * logic declaratively, so the hash match proves the rewrite. */
+  def blameSupplier(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_orderdate")
+    val sl = t(s, dir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey", "l_suppkey")
+      .agg(max(when(col("l_shipdate") >
+        col("o_orderdate") + expr("INTERVAL 90 DAYS"), 1L).otherwise(0L))
+        .as("late"))
+    val perOrder = Window.partitionBy("l_orderkey")
+    val blamed = sl
+      .withColumn("n_supp", count(lit(1)).over(perOrder))
+      .withColumn("n_late", sum(col("late")).over(perOrder))
+      .filter(col("late") === 1L && col("n_supp") > 1L && col("n_late") === 1L)
+    blamed
+      .join(t(s, dir, "supplier").select("s_suppkey", "s_name"),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+  }
+
+  /** Dormant high-balance customers (TPC-H Q22 shape): customers with an
+    * above-average positive balance and no order since 2000, counted per
+    * nation. The two Q22 structures in scalable form: the global scalar
+    * (mean positive balance) is a one-row broadcast, and the mean compare
+    * is DIVISION-FREE — c_acctbal·n > total in exact decimal, because a
+    * decimal QUOTIENT would round differently per engine while products
+    * and sums are exact in both. The NOT EXISTS is a custkey anti-join
+    * whose probe side carries only the rare above-mean candidates and
+    * whose build side is cut to recent orders AT THE SCAN; nation is a
+    * broadcast. */
+  def dormantCust(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val pos = t(s, dir, "customer").filter(col("c_acctbal") > 0.0)
+    val th = pos.agg(
+      sum(col("c_acctbal").cast(DecimalType(18, 2))).as("total"),
+      count(lit(1)).as("n"))
+    val cand = pos.crossJoin(broadcast(th))
+      .filter(col("c_acctbal").cast(DecimalType(18, 2)) * col("n") > col("total"))
+      .join(t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("2000-01-01")).select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+    cand
+      .join(broadcast(t(s, dir, "nation").select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("numcust"), dsum2(col("c_acctbal")).as("totacctbal"))
+      .orderBy("n_name")
+  }
+
   /** Promotion revenue share (TPC-H Q14 shape): what fraction of a month's
     * discounted revenue came from PROMO-type parts. Both sums ride ONE
     * conditional aggregation over the same join (no second scan for the
