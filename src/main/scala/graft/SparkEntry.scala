@@ -201,6 +201,22 @@ object SparkEntry {
     "q_join_band"          -> (Joins.bandJoin _),
     "q_histogram_depth"    -> (graft.ops.Profile.histogramDepth _),
     "q_agg_cms_topk"       -> (Aggregates.cmsHeavyHitters _),
+    // round 6: the remaining TPC-H report shapes (Q2/Q4/Q8/Q9/Q12/Q13/
+    // Q15/Q16/Q17/Q20 adapted to this schema) — Reports.scala
+    "q_join_order_priority" -> (Reports.orderPriority _),
+    "q_join_market_share"   -> (Reports.marketShare _),
+    "q_join_product_profit" -> (Reports.productProfit _),
+    "q_join_ship_delay"     -> (Reports.shipDelayMix _),
+    "q_join_cust_dist"      -> (Reports.custDistribution _),
+    "q_join_top_supplier"   -> (Reports.topSupplier _),
+    "q_join_parts_supplier" -> (Reports.partsSupplierCount _),
+    "q_join_small_qty"      -> (Reports.smallQtyRevenue _),
+    "q_join_excess_supp"    -> (Reports.excessSupplier _),
+    "q_join_min_bal_supp"   -> (Reports.minBalSupplier _),
+    // round 6: distributed k-means (two deterministic Lloyd rounds,
+    // broadcast centroids) — the clustering stage of the curation pipeline
+    "q_cluster_kmeans"      -> (graft.llm.Clustering.kmeans _),
+    "q_cluster_sizes"       -> (graft.llm.Clustering.kmeansSizes _),
   )
 
   /** DECIMAL-staged exact sum, surfaced as DOUBLE (matches Tables.dsum2).
@@ -2166,5 +2182,227 @@ object SparkEntry {
     "q_agg_cms_topk" ->
       """SELECT o_orderpriority, count(*) AS approx_n
          FROM orders GROUP BY 1 ORDER BY 1""",
+    // ——— round 6: remaining TPC-H report shapes (Reports.scala) ———
+    // Q4 shape: EXISTS stated declaratively; the engine's semi join with the
+    // lateness condition inside must match it exactly
+    "q_join_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+           AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+           AND EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey
+                         AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+         GROUP BY 1 ORDER BY 1""",
+    // Q8 shape: numerator and denominator are exact decimal sums; the share
+    // is one IEEE division of two bit-identical doubles
+    "q_join_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                CAST(CAST(SUM(CAST(CASE WHEN sn.n_name = 'NATION_5'
+                       THEN l_extendedprice*(1-l_discount) ELSE 0.0 END
+                     AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS nation_rev,
+                CAST(CAST(SUM(CAST(l_extendedprice*(1-l_discount)
+                     AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS total_rev,
+                CAST(CAST(SUM(CAST(CASE WHEN sn.n_name = 'NATION_5'
+                       THEN l_extendedprice*(1-l_discount) ELSE 0.0 END
+                     AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
+                / CAST(CAST(SUM(CAST(l_extendedprice*(1-l_discount)
+                     AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS mkt_share
+         FROM lineitem
+         JOIN orders   ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation cn ON c_nationkey = cn.n_nationkey
+         JOIN region   ON cn.n_regionkey = r_regionkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation sn ON s_nationkey = sn.n_nationkey
+         WHERE r_name = 'ASIA'
+         GROUP BY 1 ORDER BY 1""",
+    // Q9 shape (no partsupp: supply cost modeled as 60% of retail price);
+    // the whole per-row profit expression is written identically on both
+    // engines before the decimal-staged sum
+    "q_join_product_profit" ->
+      """SELECT n_name AS nation,
+                CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                CAST(CAST(SUM(CAST(l_extendedprice*(1-l_discount)
+                       - 0.6*p_retailprice*l_quantity
+                     AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS sum_profit
+         FROM lineitem
+         JOIN part     ON l_partkey = p_partkey
+         JOIN orders   ON l_orderkey = o_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation   ON s_nationkey = n_nationkey
+         WHERE p_name LIKE '%bolt%'
+         GROUP BY 1, 2 ORDER BY nation, o_year DESC""",
+    // Q12 shape (no shipmode column: lines bucket by integer ship delay)
+    "q_join_ship_delay" ->
+      """SELECT CASE WHEN d <= 30 THEN '00-30'
+                     WHEN d <= 60 THEN '31-60'
+                     WHEN d <= 90 THEN '61-90'
+                     ELSE '90+' END AS delay_bucket,
+                CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+         FROM (SELECT o_orderpriority,
+                      date_diff('day', CAST(o_orderdate AS DATE),
+                                CAST(l_shipdate AS DATE)) AS d
+               FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+         GROUP BY 1 ORDER BY 1""",
+    // Q13 shape: LEFT join preserves zero-order customers; pure integers
+    "q_join_cust_dist" ->
+      """WITH pc AS (SELECT c_custkey, count(o_custkey) AS c_count
+                     FROM customer
+                     LEFT JOIN (SELECT o_custkey FROM orders
+                                WHERE o_orderpriority <> '4-NOT SPECIFIED') o
+                       ON c_custkey = o.o_custkey
+                     GROUP BY 1)
+         SELECT c_count, count(*) AS custdist
+         FROM pc GROUP BY 1 ORDER BY custdist DESC, c_count DESC""",
+    // Q15 shape: the max is a scalar over the same exact decimal sums, so
+    // the equality join-back is bit-safe
+    "q_join_top_supplier" ->
+      """WITH rev AS (SELECT l_suppkey,
+                             CAST(CAST(SUM(CAST(l_extendedprice*(1-l_discount)
+                                  AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
+                               AS total_revenue
+                      FROM lineitem
+                      WHERE l_shipdate >= TIMESTAMP '1996-07-01 00:00:00'
+                        AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
+                      GROUP BY 1),
+          mx AS (SELECT max(total_revenue) AS mx FROM rev)
+         SELECT s_suppkey, s_name, total_revenue
+         FROM rev
+         CROSS JOIN mx
+         JOIN supplier ON l_suppkey = s_suppkey
+         WHERE total_revenue = mx.mx
+         ORDER BY s_suppkey""",
+    // Q16 shape: part-supplier relation derived from shipments; complaint
+    // suppliers stand in as negative balances
+    "q_join_parts_supplier" ->
+      """WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+         SELECT p_brand, p_type, p_size,
+                count(DISTINCT l_suppkey) AS supplier_cnt
+         FROM pairs
+         JOIN part ON l_partkey = p_partkey
+         WHERE p_brand <> 'Brand#12' AND p_type <> 'PROMO'
+           AND p_size IN (3, 9, 14, 19, 23, 36, 45, 49)
+           AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                 WHERE s_acctbal < 0.0)
+         GROUP BY 1, 2, 3
+         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+    // Q17 shape: 20%-of-mean compare cross-multiplied in exact decimal
+    // (5·qty·n < sum); only the final /7 is IEEE
+    "q_join_small_qty" ->
+      """WITH pq AS (SELECT l_partkey AS pk,
+                            SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+                            count(*) AS n_qty
+                     FROM lineitem GROUP BY 1)
+         SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                  AS VARCHAR) AS DOUBLE) / 7.0 AS avg_yearly,
+                count(*) AS n
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey
+         JOIN pq   ON l_partkey = pk
+         WHERE p_brand = 'Brand#5' AND p_type = 'SMALL'
+           AND CAST(l_quantity AS DECIMAL(18,2)) * n_qty * 5 < sum_qty""",
+    // Q20 shape: half-share compare cross-multiplied in exact decimal
+    "q_join_excess_supp" ->
+      """WITH ps AS (SELECT l_partkey, l_suppkey,
+                            SUM(CAST(l_quantity AS DECIMAL(18,2))) AS supp_qty
+                     FROM lineitem
+                     JOIN part ON l_partkey = p_partkey
+                     WHERE p_name LIKE 'small%'
+                       AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                       AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+                     GROUP BY 1, 2),
+          w AS (SELECT l_suppkey, supp_qty,
+                       SUM(supp_qty) OVER (PARTITION BY l_partkey) AS part_qty
+                FROM ps)
+         SELECT DISTINCT s_name, n_name
+         FROM w
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation   ON s_nationkey = n_nationkey
+         WHERE supp_qty * 2 > part_qty
+         ORDER BY s_name""",
+    // Q2 shape (no partsupp: "cost" is the supplier's balance, relation
+    // from shipments); ties break on suppkey so the argmin is total
+    "q_join_min_bal_supp" ->
+      """WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+          sup AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+                  FROM supplier
+                  JOIN nation ON s_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+                  WHERE r_name = 'EUROPE'),
+          ranked AS (SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+                            row_number() OVER (PARTITION BY p_partkey
+                              ORDER BY s_acctbal, s_suppkey) AS rn
+                     FROM pairs
+                     JOIN part ON l_partkey = p_partkey
+                     JOIN sup  ON l_suppkey = s_suppkey
+                     WHERE p_type = 'STANDARD' AND p_size < 16)
+         SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+         FROM ranked WHERE rn = 1
+         ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+         LIMIT 100""",
+    // euclidean k-means, two deterministic Lloyd rounds: distances are
+    // SEQUENTIAL double folds (the vec_dot/list_sum twin discipline — a
+    // decimal cast of a full-mantissa double is a cross-engine coin flip),
+    // centroid means use the 2^48 integer-scaling trick, argmin ties break
+    // on the lower cluster id, empty clusters keep the previous centroid
+    "q_cluster_kmeans" -> kmeansCtes(
+      """SELECT vec_id, cluster, d2 AS dist2 FROM a2 ORDER BY vec_id"""),
+    // per-cluster mean distance quantizes d2 at 2^-48 (explicit floor =
+    // Spark's positive-double→long truncation) so the cross-member sum is
+    // order-free integer math
+    "q_cluster_sizes" -> kmeansCtes(
+      s"""SELECT cluster, count(*) AS n,
+                 CAST(SUM(CAST(floor(d2 * ${Similarity.MeanScale}) AS BIGINT)) AS DOUBLE)
+                   / CAST(count(*) * ${Similarity.MeanScale} AS DOUBLE) AS mean_dist2
+          FROM a2 GROUP BY 1 ORDER BY 1"""),
   )
+
+  /** Sequential squared-euclidean fold (twin of Clustering.dist2Sql —
+    * list_sum runs the same left-to-right IEEE op order as Spark's
+    * aggregate-over-zip_with). */
+  private def dDist2(x: String, c: String): String =
+    s"list_sum([(CAST($x[i] AS DOUBLE) - $c[i]) * (CAST($x[i] AS DOUBLE) - $c[i]) for i in generate_series(1, len($x))])"
+
+  /** Shared k-means CTE pipeline (DuckDB twin of graft.llm.Clustering):
+    * e/c0 (seed = vec_id 0..K-1) → d1/a1 (round-1 assign) → s1/u1/c1
+    * (integer-scaled recenter, empty clusters coalesce to the previous
+    * centroid) → dd2/a2 (round-2 assign). */
+  private def kmeansCtes(tail: String): String = {
+    val S = Similarity.MeanScale
+    val K = graft.llm.Clustering.K
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        c0 AS (SELECT vec_id AS cluster,
+                      [CAST(embedding[i] AS DOUBLE) for i in generate_series(1, len(embedding))] AS cemb
+               FROM embeddings WHERE vec_id < $K),
+        d1 AS (SELECT e.vec_id, e.embedding, c.cluster,
+                      ${dDist2("e.embedding", "c.cemb")} AS d2
+               FROM e, c0 c),
+        a1 AS (SELECT vec_id, embedding, cluster FROM
+                 (SELECT vec_id, embedding, cluster,
+                         row_number() OVER (PARTITION BY vec_id
+                           ORDER BY d2, cluster) AS rn FROM d1)
+               WHERE rn = 1),
+        s1 AS (SELECT cluster, d,
+                      SUM(CAST(CAST(embedding[d] AS DOUBLE) * $S AS BIGINT)) AS sm,
+                      COUNT(*) AS n
+               FROM a1, generate_series(1, 64) AS g(d) GROUP BY 1, 2),
+        u1 AS (SELECT cluster,
+                      list(CAST(sm AS DOUBLE) / CAST(n * $S AS DOUBLE) ORDER BY d) AS cemb
+               FROM s1 GROUP BY 1),
+        c1 AS (SELECT p.cluster, COALESCE(u.cemb, p.cemb) AS cemb
+               FROM c0 p LEFT JOIN u1 u USING (cluster)),
+        dd2 AS (SELECT e.vec_id, c.cluster,
+                       ${dDist2("e.embedding", "c.cemb")} AS d2
+                FROM e, c1 c),
+        a2 AS (SELECT vec_id, cluster, d2 FROM
+                 (SELECT vec_id, cluster, d2,
+                         row_number() OVER (PARTITION BY vec_id
+                           ORDER BY d2, cluster) AS rn FROM dd2)
+               WHERE rn = 1)
+        $tail"""
+  }
 }

@@ -1,0 +1,126 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Distributed EUCLIDEAN k-means over the embedding corpus — the clustering
+  * stage a training-data pipeline uses for domain discovery and semantic
+  * mix balancing (cluster → inspect → reweight). Complements the spherical
+  * form inside Similarity.trainCentroids (which exists to build an IVF
+  * index) by declaring the assignment itself as the product.
+  *
+  * Shape, built for 100 TB:
+  *   - centroids are DIMENSION-TIER state (k·d doubles — 4 KB here, ~1 MB
+  *     at k=4096·d=1024) and BROADCAST each round, exactly like pagerank's
+  *     rank state and the IVF centroids;
+  *   - each Lloyd round is ONE pass over the corpus: vectors meet the
+  *     broadcast centroid table in a nested-loop broadcast join (k rows per
+  *     vector, never pairwise in N), the argmin is a per-vec window over
+  *     that map-side stream, and the recenter is a (cluster, dim)-keyed
+  *     aggregate whose domain is k·d — work is O(N·d·k), shuffles are
+  *     domain-keyed, nothing is driver-side;
+  *   - iteration count is FIXED (2 Lloyd rounds) so the declared query is
+  *     deterministic and oracle-expressible; production would loop the same
+  *     stages to convergence with a localCheckpoint per round (the
+  *     trainCentroids/pagerank discipline).
+  *
+  * Exactness discipline (everything the DuckDB oracle hash-checks) — the
+  * same three tools the similarity family proved out:
+  *   - squared distances are SEQUENTIAL left-to-right double folds over the
+  *     dims (the vec_dot/list_sum twin pair) — both engines run the
+  *     identical IEEE op sequence, so the argmin is bit-safe; never a
+  *     decimal cast of a full-mantissa double (scale-10 rounding of an
+  *     irrational-ish value is a cross-engine coin flip, measured: 1 flip
+  *     in ~500k casts);
+  *   - centroid means use the 2^48 integer-scaling trick
+  *     (Similarity.MeanScale): float-backed inputs times a power of two are
+  *     EXACT integers, so the per-dim sum is integer-exact and the mean is
+  *     one IEEE division;
+  *   - per-cluster mean distance quantizes d2 at 2^-48 by an explicit
+  *     floor — Spark's double→long truncation and DuckDB's
+  *     CAST(floor(...)) are then the same exact integer;
+  *   - argmin ties break on the lower cluster id (row_number, total order);
+  *   - empty clusters keep their previous centroid (left-join coalesce,
+  *     the trainCentroids rule).
+  *
+  * Init is deterministic: centroid j = the embedding of vec_id j (stable
+  * fixture ids). k-means++ would sample — fine in production, unverifiable
+  * against a SQL oracle.
+  */
+object Clustering {
+
+  val K = 8
+  val Iters = 2
+  private val S = Similarity.MeanScale // 2^48: float×S is an exact integer
+
+  /** Sequential (left-to-right) squared-euclidean fold — the dist² twin of
+    * Similarity.hofDotSql; DuckDB's list_sum comprehension runs the same
+    * op order. */
+  private def dist2Sql(x: String, c: String): String =
+    s"aggregate(zip_with($x, $c, (a, b) -> (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b)), 0D, (acc, v) -> acc + v)"
+
+  /** One Lloyd assignment pass: k broadcast centroid rows per vector,
+    * argmin by a per-vec window (ties → lower cluster id). */
+  private def assign(e: DataFrame, cents: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cents))
+      .withColumn("d2", expr(dist2Sql("embedding", "c_emb")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("d2"), col("cluster"))))
+      .filter(col("rn") === 1)
+      .select("vec_id", "embedding", "cluster", "d2")
+
+  /** Element-wise mean per surviving cluster (integer-scaled exact sums;
+    * k·d-bounded reassembly), empty clusters keeping `prev`'s centroid. */
+  private def recenter(assigned: DataFrame, prev: DataFrame): DataFrame = {
+    val upd = assigned
+      .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("cluster", "pos")
+      .agg(sum((col("x").cast("double") * S).cast("long")).as("sm"),
+        count(lit(1)).as("n"))
+      .withColumn("mean",
+        col("sm").cast("double") / (col("n") * S).cast("double"))
+      .groupBy("cluster")
+      .agg(collect_list(struct(col("pos"), col("mean"))).as("pm"))
+      .select(col("cluster"),
+        expr("transform(array_sort(pm), p -> p.mean)").as("c_emb"))
+    prev.alias("p").join(upd.alias("u"), Seq("cluster"), "left")
+      .select(col("cluster"),
+        coalesce(col("u.c_emb"), col("p.c_emb")).as("c_emb"))
+  }
+
+  /** `Iters` fixed Lloyd rounds from the deterministic seed centroids;
+    * returns (vec_id, cluster, d2) — shared by both declared queries. */
+  private def rounds(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+    var cents = e.filter(col("vec_id") < K)
+      .select(col("vec_id").as("cluster"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("c_emb"))
+    var assigned = assign(e, cents)
+    for (_ <- 2 to Iters) {
+      cents = recenter(assigned, cents)
+      assigned = assign(e, cents)
+    }
+    assigned
+  }
+
+  /** q_cluster_kmeans: the per-vector cluster assignment after two Lloyd
+    * rounds, with the squared distance to the winning centroid. */
+  def kmeans(s: SparkSession, dir: String): DataFrame =
+    rounds(s, dir)
+      .select(col("vec_id"), col("cluster"), col("d2").as("dist2"))
+      .orderBy("vec_id")
+
+  /** q_cluster_sizes: per-cluster population + mean squared distance
+    * (inertia/n, quantized at 2^-48 so the cross-member sum is
+    * order-free integer math) — the balance report a curation pipeline
+    * reads before reweighting the semantic mix. */
+  def kmeansSizes(s: SparkSession, dir: String): DataFrame =
+    rounds(s, dir)
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n"),
+        (sum((col("d2") * S).cast("long")).cast("double") /
+          (count(lit(1)) * S).cast("double")).as("mean_dist2"))
+      .orderBy("cluster")
+}

@@ -207,8 +207,10 @@ class PlanSpec extends SparkSpec {
     // by the degree-orientation out-degree (O(√E), the compact-forward bound),
     // never a hub's raw degree; it is the standard distributed
     // triangle-counting representation (adjacency intersection).
+    // q_cluster_kmeans / q_cluster_sizes: the same d=64-bounded centroid
+    // reassembly as q_sim_ivf_trained (Clustering.recenter).
     val boundedArrays = Set("q_sim_ivf_trained", "q_stats_drift",
-      "q_graph_triangles")
+      "q_graph_triangles", "q_cluster_kmeans", "q_cluster_sizes")
     // allowlisted: global SCALAR aggregates (3 labeled counts / one stats
     // row) — the final agg is one row per upstream partition into a 1-row
     // result, after map-side partial aggregation; the single partition
@@ -248,7 +250,16 @@ class PlanSpec extends SparkSpec {
       "q_histogram_depth",
       // q_agg_cms_topk: the merged corpus sketch is ONE binary value built
       // from per-year partial sketches — bytes per partition, never keys
-      "q_agg_cms_topk")
+      "q_agg_cms_topk",
+      // q_join_dormant_cust: the above-mean threshold (total, n) is a 1-row
+      // broadcast — the q_event_rfm pattern (Joins.dormantCust)
+      "q_join_dormant_cust",
+      // q_join_top_supplier: the global max revenue is a 1-row broadcast
+      // joined back into the per-supplier rollup (Reports.topSupplier)
+      "q_join_top_supplier",
+      // q_join_small_qty: the TPC-H Q17 contract is a single-row report —
+      // the final agg receives one partial per partition (Reports.smallQtyRevenue)
+      "q_join_small_qty")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
       val p = plan(q)
       Seq(
