@@ -217,6 +217,10 @@ object SparkEntry {
     // broadcast centroids) — the clustering stage of the curation pipeline
     "q_cluster_kmeans"      -> (graft.llm.Clustering.kmeans _),
     "q_cluster_sizes"       -> (graft.llm.Clustering.kmeansSizes _),
+    // round 6: Q11 completes the full 22-shape TPC-H report family, and
+    // the ANN recall audit closes the similarity-serving loop
+    "q_join_important_stock" -> (Reports.importantStock _),
+    "q_sim_recall"          -> (Similarity.recallIvf _),
   )
 
   /** DECIMAL-staged exact sum, surfaced as DOUBLE (matches Tables.dsum2).
@@ -332,6 +336,18 @@ object SparkEntry {
     * assign (cosine argmax) → exact BIGINT element sums scaled by 2^48 →
     * one double division → empty-cell coalesce. The fixture dimension is 64
     * (q_array_funcs pins it). */
+  /** Exact brute-force cosine top-10 (twin of Similarity.bruteTopK) —
+    * standalone for q_sim_topk and reused as the ground-truth side of the
+    * q_sim_recall audit. */
+  private def simTopkSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding, ${dNorm("embedding")} AS nrm FROM embeddings),
+        q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm FROM e WHERE vec_id < 8),
+        c AS (SELECT q_id, e.vec_id AS n_id,
+                     ${dDot("q_emb", "embedding")} / (q_nrm * nrm) AS cos
+              FROM e, q WHERE e.vec_id <> q.q_id),
+        r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS "rank" FROM c)
+        SELECT q_id, n_id, cos, "rank" FROM r WHERE "rank" <= 10 ORDER BY q_id, "rank""""
+
   private def ivfTrainedSql: String = {
     val S = Similarity.MeanScale
     val T = Similarity.TrainIters
@@ -1022,14 +1038,7 @@ object SparkEntry {
                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS tok_before
                 FROM documents)
           ORDER BY doc_id""",
-    "q_sim_topk" ->
-      s"""WITH e AS (SELECT vec_id, embedding, ${dNorm("embedding")} AS nrm FROM embeddings),
-          q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm FROM e WHERE vec_id < 8),
-          c AS (SELECT q_id, e.vec_id AS n_id,
-                       ${dDot("q_emb", "embedding")} / (q_nrm * nrm) AS cos
-                FROM e, q WHERE e.vec_id <> q.q_id),
-          r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS "rank" FROM c)
-          SELECT q_id, n_id, cos, "rank" FROM r WHERE "rank" <= 10 ORDER BY q_id, "rank"""",
+    "q_sim_topk" -> simTopkSql,
     "q_sim_lsh" ->
       s"""WITH e AS (SELECT vec_id, embedding, ${dNorm("embedding")} AS nrm,
                             ${dBucket("embedding")} AS bucket FROM embeddings),
@@ -2359,6 +2368,34 @@ object SparkEntry {
                  CAST(SUM(CAST(floor(d2 * ${Similarity.MeanScale}) AS BIGINT)) AS DOUBLE)
                    / CAST(count(*) * ${Similarity.MeanScale} AS DOUBLE) AS mean_dist2
           FROM a2 GROUP BY 1 ORDER BY 1"""),
+    // Q11 shape (no partsupp: supply value from shipments); the 2×-mean
+    // compare is cross-multiplied in exact decimal (value·n > 2·total)
+    "q_join_important_stock" ->
+      """WITH pp AS (SELECT l_partkey,
+                            SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS v
+                     FROM lineitem
+                     WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+                                         JOIN nation ON s_nationkey = n_nationkey
+                                         WHERE n_name = 'NATION_3')
+                     GROUP BY 1),
+          tot AS (SELECT SUM(v) AS total, count(*) AS n FROM pp)
+         SELECT l_partkey AS p_partkey,
+                CAST(CAST(v AS VARCHAR) AS DOUBLE) AS supply_value
+         FROM pp, tot WHERE v * n > total * 2
+         ORDER BY supply_value DESC, p_partkey""",
+    // recall@10 audit: both sides are the already-oracle-checked exact and
+    // trained-IVF queries; hit counts are integers, recall one IEEE division
+    "q_sim_recall" ->
+      s"""WITH exact AS (SELECT q_id, n_id FROM ($simTopkSql)),
+          approx AS (SELECT q_id, n_id FROM ($ivfTrainedSql)),
+          h AS (SELECT e.q_id, count(*) AS n_exact,
+                       CAST(SUM(CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+                FROM exact e LEFT JOIN approx a
+                  ON e.q_id = a.q_id AND e.n_id = a.n_id
+                GROUP BY 1)
+          SELECT q_id, n_exact, n_hit,
+                 CAST(n_hit AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall
+          FROM h ORDER BY q_id""",
   )
 
   /** Sequential squared-euclidean fold (twin of Clustering.dist2Sql —

@@ -613,4 +613,27 @@ object Similarity {
       .select(col("src").as("vec_id"), col("rnk"), col("dst").as("n_id"), col("cos"))
       .orderBy("vec_id", "rnk")
   }
+
+  /** q_sim_recall: the recall@10 audit every real ANN deployment runs —
+    * trained-IVF results measured against the exact brute-force top-10 per
+    * query. Both sides are the already-declared deterministic queries, so
+    * the audit itself is exactly reproducible (and oracle-checkable): the
+    * left join keys on (query, neighbor), hit counts are integers, and the
+    * recall is one IEEE division of two exact counts. At scale this runs on
+    * a SAMPLE of queries (here: the 8 fixture queries) against a
+    * brute-forced slice — recall estimation never needs the full corpus
+    * brute-forced. */
+  def recallIvf(s: SparkSession, dir: String): DataFrame = {
+    val exact = bruteTopK(s, dir).select(col("q_id"), col("n_id"))
+    val approx = ivfTrainedTopK(s, dir)
+      .select(col("q_id").as("a_q"), col("n_id").as("a_n"), lit(1L).as("hit"))
+    exact.join(approx,
+        col("q_id") === col("a_q") && col("n_id") === col("a_n"), "left")
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall",
+        col("n_hit").cast("double") / col("n_exact").cast("double"))
+      .orderBy("q_id")
+  }
 }

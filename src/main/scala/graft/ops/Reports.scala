@@ -247,6 +247,36 @@ object Reports {
       .orderBy("s_name")
   }
 
+  /** Important stock (TPC-H Q11 shape, adapted: no partsupp, so a part's
+    * supply value from one nation's suppliers derives from shipment value).
+    * Parts whose NATION_3-supplied value exceeds 2× the mean per-part value
+    * — relative to the part-count mean rather than a fixed corpus fraction,
+    * because Q11's absolute threshold degenerates as the domain grows (the
+    * original benchmark scales its fraction by 1/SF for the same reason).
+    * Both structures in scalable form: the global (total, n) is a 1-row
+    * broadcast over the SAME partkey rollup (no second scan), and the
+    * mean compare is DIVISION-FREE — value·n > 2·total in exact decimal.
+    * The nation's supplier set is a broadcast semi join cut at the
+    * dimension scan. */
+  def importantStock(s: SparkSession, dir: String): DataFrame = {
+    val sup = t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .filter(col("n_name") === "NATION_3")
+      .select("s_suppkey")
+    val perPart = t(s, dir, "lineitem")
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy("l_partkey")
+      .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2))).as("v"))
+    val tot = perPart.agg(sum(col("v")).as("total"),
+      count(lit(1)).as("n_parts"))
+    perPart.crossJoin(broadcast(tot))
+      .filter(col("v") * col("n_parts") > col("total") * lit(2))
+      .select(col("l_partkey").as("p_partkey"),
+        col("v").cast("string").cast("double").as("supply_value"))
+      .orderBy(col("supply_value").desc, col("p_partkey"))
+  }
+
   /** Min-balance supplier per part (TPC-H Q2 shape, adapted: no partsupp,
     * so "cost" is the supplier's account balance and the part-supplier
     * relation derives from shipments). For STANDARD parts under size 16

@@ -259,7 +259,10 @@ class PlanSpec extends SparkSpec {
       "q_join_top_supplier",
       // q_join_small_qty: the TPC-H Q17 contract is a single-row report —
       // the final agg receives one partial per partition (Reports.smallQtyRevenue)
-      "q_join_small_qty")
+      "q_join_small_qty",
+      // q_join_important_stock: the Q11 (total, n) threshold is a 1-row
+      // broadcast over the partkey rollup (Reports.importantStock)
+      "q_join_important_stock")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
       val p = plan(q)
       Seq(

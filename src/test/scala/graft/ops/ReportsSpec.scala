@@ -135,6 +135,48 @@ class ReportsSpec extends SparkSpec {
     assert(hasMajority)
   }
 
+  test("importantStock: every reported part really exceeds 2x the mean share") {
+    val rows = Reports.importantStock(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // recount the per-part values and the mean from the raw fixture
+    val sup = spark.read.parquet(s"$sf/supplier.parquet")
+      .join(spark.read.parquet(s"$sf/nation.parquet"),
+        col("s_nationkey") === col("n_nationkey"))
+      .filter(col("n_name") === "NATION_3").select("s_suppkey")
+    val pp = spark.read.parquet(s"$sf/lineitem.parquet")
+      .join(sup, col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy("l_partkey").agg(sum("l_extendedprice").as("v"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val mean = pp.values.sum / pp.size
+    // doubles here are a recount, not the exact decimal compare — leave
+    // slack only for values hugging the threshold
+    rows.foreach { r =>
+      val v = pp(r.getAs[Long]("p_partkey"))
+      assert(v > 2.0 * mean - 1e-6, s"part ${r.getAs[Long]("p_partkey")}")
+    }
+    // fewer than half the parts can exceed twice the mean
+    assert(rows.length * 2 < pp.size)
+  }
+
+  test("recallIvf: 8 audited queries, recall consistent with the two served results") {
+    val rows = Similarity_recall()
+    assert(rows.length == 8)
+    val exact = graft.llm.Similarity.bruteTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = graft.llm.Similarity.ivfTrainedTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    rows.foreach { r =>
+      val q = r.getAs[Long]("q_id")
+      assert(r.getAs[Long]("n_exact") == 10L)
+      val hits = exact.count { case (qq, nn) => qq == q && approx((qq, nn)) }
+      assert(r.getAs[Long]("n_hit") == hits.toLong)
+      assert(r.getAs[Double]("recall") == hits.toDouble / 10.0)
+    }
+  }
+
+  private def Similarity_recall() =
+    graft.llm.Similarity.recallIvf(spark, sf).collect()
+
   test("minBalSupplier: per-part argmin verified for the top row") {
     val rows = Reports.minBalSupplier(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 100)
