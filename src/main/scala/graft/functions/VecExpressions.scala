@@ -86,6 +86,79 @@ case class VecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `vec_dist2(a, b)`: double-precision squared euclidean distance of two
+  * numeric arrays (each side independently `array<float>` or
+  * `array<double>` — k-means scores float embeddings against double
+  * centroids). Exists for the same reason as VecDot: the HOF form
+  * (`aggregate(zip_with(...))`) dispatches a lambda per element, a real
+  * cost when every Lloyd round scores N×k candidate pairs × d dims.
+  *
+  * Semantics are EXACTLY the HOF form's: left-to-right accumulation of
+  * `((double)a[i] - (double)b[i])²` — bit-identical to the DuckDB oracle's
+  * list-comprehension sum (the q_cluster oracles). */
+case class VecDist2(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  private def elemType(e: Expression): Option[DataType] = e.dataType match {
+    case ArrayType(FloatType, _) => Some(FloatType)
+    case ArrayType(DoubleType, _) => Some(DoubleType)
+    case _ => None
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemType(left).isDefined && elemType(right).isDefined)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"vec_dist2 expects array<float|double> on each side, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_dist2"
+
+  @inline private def get(arr: ArrayData, t: DataType, i: Int): Double =
+    if (t == FloatType) arr.getFloat(i).toDouble else arr.getDouble(i)
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val lt = elemType(left).get
+    val rt = elemType(right).get
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = get(x, lt, i) - get(y, rt, i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      def g(arr: String, side: Expression) =
+        if (elemType(side).get == FloatType) s"((double) $arr.getFloat($i))"
+        else s"$arr.getDouble($i)"
+      s"""
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = ${g(a, left)} - ${g(b, right)};
+         |  $s += $d * $d;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecDist2 =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `minhash_sig(th)`: the K=16 MinHash minima of a hashed-feature array in
   * ONE pass — `array<long>` in, `array<long>` (length K) out.
   *
@@ -647,6 +720,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (children: Seq[Expression]) => VecDot(children.head, children(1))))
+    e.injectFunction((
+      FunctionIdentifier("vec_dist2"),
+      new ExpressionInfo(classOf[VecDist2].getName, "vec_dist2"),
+      (children: Seq[Expression]) => VecDist2(children.head, children(1))))
     e.injectFunction((
       FunctionIdentifier("top_vals"),
       new ExpressionInfo(classOf[TopVals].getName, "top_vals"),

@@ -57,15 +57,22 @@ object Clustering {
 
   /** Sequential (left-to-right) squared-euclidean fold — the dist² twin of
     * Similarity.hofDotSql; DuckDB's list_sum comprehension runs the same
-    * op order. */
+    * op order. The codegen'd vec_dist2 (graft.functions.VecDist2) emits the
+    * identical op sequence in a tight primitive loop; the HOF form is the
+    * bit-identical fallback on foreign sessions (FallbackSpec). */
   private def dist2Sql(x: String, c: String): String =
     s"aggregate(zip_with($x, $c, (a, b) -> (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b)), 0D, (acc, v) -> acc + v)"
+
+  private def dist2For(s: SparkSession)(x: String, c: String): String =
+    if (s.catalog.functionExists("vec_dist2")) s"vec_dist2($x, $c)"
+    else dist2Sql(x, c)
 
   /** One Lloyd assignment pass: k broadcast centroid rows per vector,
     * argmin by a per-vec window (ties → lower cluster id). */
   private def assign(e: DataFrame, cents: DataFrame): DataFrame =
     e.crossJoin(broadcast(cents))
-      .withColumn("d2", expr(dist2Sql("embedding", "c_emb")))
+      .withColumn("d2",
+        expr(dist2For(e.sparkSession)("embedding", "c_emb")))
       .withColumn("rn", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("d2"), col("cluster"))))
       .filter(col("rn") === 1)

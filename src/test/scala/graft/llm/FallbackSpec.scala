@@ -13,7 +13,7 @@ class FallbackSpec extends SparkSpec {
 
   private lazy val plain = {
     val p = spark.newSession()
-    Seq("vec_dot", "minhash_sig", "simhash_sig", "shingle_hashes",
+    Seq("vec_dot", "vec_dist2", "minhash_sig", "simhash_sig", "shingle_hashes",
         "token_hashes", "token_hashes_distinct", "hyperplane_bucket",
         "long_array_md5", "winnow_fps").foreach { f =>
       p.sessionState.functionRegistry.dropFunction(FunctionIdentifier(f))
@@ -26,7 +26,8 @@ class FallbackSpec extends SparkSpec {
     "q_dedup_embed", "q_dedup_minhash", "q_dedup_jaccard", "q_dedup_shingle",
     "q_dedup_simhash", "q_dedup_simhash_pairs", "q_dedup_clusters",
     "q_sim_lsh", "q_dedup_embed_lsh", "q_dedup_components",
-    "q_dedup_incremental", "q_dedup_winnow"))
+    "q_dedup_incremental", "q_dedup_winnow", "q_cluster_kmeans",
+    "q_cluster_sizes"))
     test(s"$q is bit-identical without the custom expressions") {
       val fn = SparkEntry.queries(q)
       val want = fn(spark, sf).collect().map(_.toString).toSeq
