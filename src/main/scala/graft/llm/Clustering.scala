@@ -63,7 +63,7 @@ object Clustering {
   private def dist2Sql(x: String, c: String): String =
     s"aggregate(zip_with($x, $c, (a, b) -> (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b)), 0D, (acc, v) -> acc + v)"
 
-  private def dist2For(s: SparkSession)(x: String, c: String): String =
+  private[graft] def dist2For(s: SparkSession)(x: String, c: String): String =
     if (s.catalog.functionExists("vec_dist2")) s"vec_dist2($x, $c)"
     else dist2Sql(x, c)
 

@@ -20,8 +20,12 @@ import graft.Tables._
   *   - threshold compares against means/shares are DIVISION-FREE (cross-
   *     multiplied in exact decimal) — a quotient would round differently
   *     per engine while products and sums are exact;
-  *   - dimension tables broadcast, facts cut at the scan, tops are
-  *     TakeOrderedAndProject.
+  *   - broadcast hints only on BOUNDED-FOREVER dims (region/nation) and
+  *     1-row scalars; supplier/part slices GROW with SF and carry no hint —
+  *     the planner broadcasts them while they fit and degrades to a shuffle
+  *     join past autoBroadcastJoinThreshold (the Joins.multi customer
+  *     discipline) instead of dying at the 8 GB broadcast limit;
+  *   - facts cut at the scan, tops are TakeOrderedAndProject.
   */
 object Reports {
 
@@ -69,7 +73,7 @@ object Reports {
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .filter(col("r_name") === "ASIA")
-      .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+      .join(supN, col("l_suppkey") === col("s_suppkey"))
       .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
       .agg(
         dsum10(when(col("supp_nation") === "NATION_5", rev).otherwise(lit(0.0)))
@@ -82,9 +86,10 @@ object Reports {
   /** Product-type profit (TPC-H Q9 shape, adapted: no partsupp table, so
     * supply cost is modeled as 60% of the part's retail price). Profit per
     * supplier nation per order year over 'bolt' parts. The part filter cuts
-    * the partkey join's build side to a broadcastable slice, the whole
-    * profit expression is one decimal-staged exact sum, and the only wide
-    * shuffle is the final (nation, year) aggregate. */
+    * the partkey join's build side to a slice the planner broadcasts while
+    * it fits (no hint — part grows with SF); the whole profit expression is
+    * one decimal-staged exact sum, and the only wide shuffle is the final
+    * (nation, year) aggregate. */
   def productProfit(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
     val p = t(s, dir, "part").filter(col("p_name").contains("bolt"))
@@ -94,9 +99,9 @@ object Reports {
     val n = t(s, dir, "nation")
     val profit = col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
       lit(0.6) * col("p_retailprice") * col("l_quantity")
-    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    li.join(p, col("l_partkey") === col("p_partkey"))
       .join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name").as("nation"),
         year(col("o_orderdate")).cast("long").as("o_year"))
@@ -189,8 +194,8 @@ object Reports {
     val badSup = t(s, dir, "supplier").filter(col("s_acctbal") < 0.0)
       .select("s_suppkey")
     pairs
-      .join(broadcast(badSup), col("l_suppkey") === col("s_suppkey"), "left_anti")
-      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(badSup, col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(p, col("l_partkey") === col("p_partkey"))
       .groupBy("p_brand", "p_type", "p_size")
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
       .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
@@ -211,7 +216,7 @@ object Reports {
     val perPart = li.groupBy(col("l_partkey").as("pk"))
       .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("sum_qty"),
         count(lit(1)).as("n_qty"))
-    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    li.join(p, col("l_partkey") === col("p_partkey"))
       .join(perPart, col("l_partkey") === col("pk"))
       .filter(col("l_quantity").cast(DecimalType(18, 2)) * col("n_qty") * lit(5)
         < col("sum_qty"))
@@ -231,7 +236,7 @@ object Reports {
     val perPS = t(s, dir, "lineitem")
       .filter(col("l_shipdate") >= lit("1996-01-01") &&
         col("l_shipdate") < lit("1997-01-01"))
-      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(p, col("l_partkey") === col("p_partkey"))
       .groupBy("l_partkey", "l_suppkey")
       .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("supp_qty"))
     val excess = perPS
@@ -256,8 +261,9 @@ object Reports {
     * Both structures in scalable form: the global (total, n) is a 1-row
     * broadcast over the SAME partkey rollup (no second scan), and the
     * mean compare is DIVISION-FREE — value·n > 2·total in exact decimal.
-    * The nation's supplier set is a broadcast semi join cut at the
-    * dimension scan. */
+    * The nation's supplier set is a semi join cut at the dimension scan
+    * (unhinted — supplier grows with SF; the planner broadcasts it while
+    * it fits). */
   def importantStock(s: SparkSession, dir: String): DataFrame = {
     val sup = t(s, dir, "supplier")
       .join(broadcast(t(s, dir, "nation")),
@@ -265,7 +271,7 @@ object Reports {
       .filter(col("n_name") === "NATION_3")
       .select("s_suppkey")
     val perPart = t(s, dir, "lineitem")
-      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .join(sup, col("l_suppkey") === col("s_suppkey"), "left_semi")
       .groupBy("l_partkey")
       .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2))).as("v"))
     val tot = perPart.agg(sum(col("v")).as("total"),
@@ -299,7 +305,7 @@ object Reports {
     val w = Window.partitionBy("p_partkey")
       .orderBy(col("s_acctbal"), col("s_suppkey"))
     pairs
-      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(p, col("l_partkey") === col("p_partkey"))
       .join(sup, col("l_suppkey") === col("s_suppkey"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)

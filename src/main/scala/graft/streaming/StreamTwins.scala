@@ -230,6 +230,33 @@ object StreamTwins {
   def enrich(events: DataFrame, dim: DataFrame): DataFrame =
     events.join(broadcast(dim), "user_id")
 
+  /** Streaming semantic routing — the serve face of llm.Clustering: each
+    * incoming embedding is assigned to its nearest published centroid
+    * in-flight. Centroids are DIMENSION-TIER metadata (k·d doubles — the
+    * same tier as broadcast centroids in the batch Lloyd rounds), inlined
+    * as a literal so the whole assignment is ONE STATELESS map expression:
+    * no streaming aggregation, no state store, watermark-free, and the
+    * micro-batch never shuffles. The fold scans centroids in ascending
+    * cluster order with a strict `<`, so ties keep the LOWER cluster id —
+    * the batch argmin's exact tie-break (Clustering.assign). Distances go
+    * through the same codegen'd vec_dist2 / HOF-fallback pair as batch. */
+  def clusterAssign(embs: DataFrame,
+                    centroids: Seq[(Long, Seq[Double])]): DataFrame = {
+    val cents = typedlit(centroids.sortBy(_._1))
+    val d2 = graft.llm.Clustering.dist2For(embs.sparkSession) _
+    embs.withColumn("cents", cents)
+      .withColumn("best", expr(
+        s"""aggregate(cents,
+              struct(CAST(-1 AS BIGINT) AS cluster,
+                     CAST('Infinity' AS DOUBLE) AS d2),
+              (acc, c) -> CASE WHEN ${d2("embedding", "c._2")} < acc.d2
+                               THEN struct(c._1 AS cluster,
+                                           ${d2("embedding", "c._2")} AS d2)
+                               ELSE acc END)"""))
+      .select(col("vec_id"), col("best.cluster").as("cluster"),
+        col("best.d2").as("dist2"))
+  }
+
   /** Stream-stream interval join — the streaming twin of the as-of family:
     * each purchase matches the same user's views within the preceding hour.
     * Watermarks on BOTH sides bound the join state (views older than the

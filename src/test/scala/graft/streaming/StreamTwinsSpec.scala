@@ -265,6 +265,49 @@ class StreamTwinsSpec extends SparkSpec {
     assert(got.sameElements(Array((1L, 10.0, "gold"), (2L, 20.0, "silver"))))
   }
 
+  test("streaming cluster routing assigns each embedding to its nearest centroid") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    // centroids DELIBERATELY added out of id order — clusterAssign must
+    // sort them so the fold's tie-break is the batch argmin's (lower id)
+    val cents: Seq[(Long, Seq[Double])] = Seq(
+      (2L, Seq(10.0, 0.0)),
+      (0L, Seq(0.0, 0.0)),
+      (1L, Seq(0.0, 10.0)))
+    val mem = MemoryStream[(Long, Array[Float])]
+    mem.addData(
+      (100L, Array(1.0f, 1.0f)),   // nearest: cluster 0
+      (101L, Array(1.0f, 9.0f)),   // nearest: cluster 1
+      (102L, Array(9.0f, 1.0f)),   // nearest: cluster 2
+      (103L, Array(6.0f, 6.0f)))   // d2: 72 / 52 / 52 → ties 1,2 → lower id 1
+    val embs = mem.toDF().toDF("vec_id", "embedding")
+    val q = StreamTwins.clusterAssign(embs, cents).writeStream
+      .format("memory").queryName("route_out").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = s.table("route_out").orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // independent recount: sequential-fold d2 against each centroid
+    def d2(x: Array[Float], c: Seq[Double]): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < x.length) {
+        val d = x(i).toDouble - c(i); acc += d * d; i += 1
+      }
+      acc
+    }
+    val inputs = Map(
+      100L -> Array(1.0f, 1.0f), 101L -> Array(1.0f, 9.0f),
+      102L -> Array(9.0f, 1.0f), 103L -> Array(6.0f, 6.0f))
+    assert(got.length == 4)
+    got.foreach { case (v, cl, dist) =>
+      val want = cents.sortBy(_._1).minBy { case (cid, c) => (d2(inputs(v), c), cid) }
+      assert(cl == want._1, s"vec $v")
+      assert(dist == d2(inputs(v), want._2))
+    }
+    assert(got.find(_._1 == 103L).get._2 == 1L) // the tie lands on the lower id
+  }
+
   test("stream-stream interval join matches views within the preceding hour") {
     val s = spark
     import s.implicits._
