@@ -221,6 +221,9 @@ object SparkEntry {
     // the ANN recall audit closes the similarity-serving loop
     "q_join_important_stock" -> (Reports.importantStock _),
     "q_sim_recall"          -> (Similarity.recallIvf _),
+    // serve face of k-means (published centroids, zero training in the
+    // plan) — same oracle as q_cluster_kmeans proves serve ≡ train
+    "q_cluster_assign"      -> (graft.llm.Clustering.assignPublished _),
   )
 
   /** DECIMAL-staged exact sum, surfaced as DOUBLE (matches Tables.dsum2).
@@ -2359,6 +2362,10 @@ object SparkEntry {
     // centroid means use the 2^48 integer-scaling trick, argmin ties break
     // on the lower cluster id, empty clusters keep the previous centroid
     "q_cluster_kmeans" -> kmeansCtes(
+      """SELECT vec_id, cluster, d2 AS dist2 FROM a2 ORDER BY vec_id"""),
+    // serve ≡ train: assigning against the PUBLISHED round-2 centroids must
+    // reproduce the training run's final assignment exactly
+    "q_cluster_assign" -> kmeansCtes(
       """SELECT vec_id, cluster, d2 AS dist2 FROM a2 ORDER BY vec_id"""),
     // per-cluster mean distance quantizes d2 at 2^-48 (explicit floor =
     // Spark's positive-double→long truncation) so the cross-member sum is

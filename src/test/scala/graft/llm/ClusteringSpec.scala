@@ -93,6 +93,18 @@ class ClusteringSpec extends SparkSpec {
     assert(inertia2 <= inertia1 + 1e-9)
   }
 
+  test("published-centroid serve reproduces the training assignment exactly") {
+    val train = Clustering.kmeans(spark, sf).collect().map(_.toString)
+    val serve = Clustering.assignPublished(spark, sf).collect().map(_.toString)
+    assert(serve.sameElements(train))
+    // the serve plan reads the published version and contains no Lloyd
+    // training stages (no recenter explode/reassembly)
+    val plan = Clustering.assignPublished(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_kmeans"), "serve must scan the published centroids")
+    assert(!plan.contains("posexplode"), "no recenter stage in the serve plan")
+  }
+
   test("plan: centroids broadcast; no corpus-sized collect or cartesian blowup") {
     val plan = Clustering.kmeans(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastNestedLoopJoin") ||

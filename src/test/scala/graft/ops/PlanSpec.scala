@@ -158,6 +158,32 @@ class PlanSpec extends SparkSpec {
     assert(!p5.contains("CartesianProduct"), p5)
   }
 
+  test("round-6 TPC-H shapes: semi-join EXISTS, pushdown, top-k, no cartesian") {
+    // Q4: the EXISTS is a LEFT SEMI join with the quarter pushed to the scan
+    val p4 = plan("q_join_order_priority")
+    assert(p4.contains("LeftSemi"), p4)
+    assert(p4.contains("GreaterThanOrEqual(o_orderdate"), p4)
+    // Q15: the revenue rollup's quarter predicate reaches the lineitem scan
+    val p15 = plan("q_join_top_supplier")
+    assert(p15.contains("GreaterThanOrEqual(l_shipdate"), p15)
+    assert(!p15.contains("CartesianProduct"), p15)
+    // Q2: top-100 is TakeOrderedAndProject, never a global sort
+    val p2 = plan("q_join_min_bal_supp")
+    assert(p2.contains("TakeOrderedAndProject"), p2)
+    // Q17: the per-part rollup and the probe share the partkey — the
+    // correlated mean costs ONE extra exchange, not a re-scan per row
+    val p17 = plan("q_join_small_qty")
+    assert(p17.contains("hashpartitioning(l_partkey") ||
+      p17.contains("hashpartitioning(pk"), p17)
+    // Q20: per-part total rides a window over the SAME partkey exchange
+    val p20 = plan("q_join_excess_supp")
+    assert(p20.contains("hashpartitioning(l_partkey"), p20)
+    for (q <- Seq("q_join_market_share", "q_join_product_profit",
+      "q_join_ship_delay", "q_join_cust_dist", "q_join_parts_supplier",
+      "q_join_important_stock"))
+      assert(!plan(q).contains("CartesianProduct"), q)
+  }
+
   test("round-5 chunk/quality/attribution shuffle posture") {
     // chunking + quality logit: pure map stages before the output sort
     for (q <- Seq("q_chunk_tokens", "q_quality_logit")) {
