@@ -224,6 +224,8 @@ object SparkEntry {
     // serve face of k-means (published centroids, zero training in the
     // plan) — same oracle as q_cluster_kmeans proves serve ≡ train
     "q_cluster_assign"      -> (graft.llm.Clustering.assignPublished _),
+    // BPE merge-table TRAINING (the operator q_text_bpe_apply consumes)
+    "q_text_bpe_train"      -> (TextAnalysis.bpeTrain _),
   )
 
   /** DECIMAL-staged exact sum, surfaced as DOUBLE (matches Tables.dsum2).
@@ -2367,6 +2369,38 @@ object SparkEntry {
     // reproduce the training run's final assignment exactly
     "q_cluster_assign" -> kmeansCtes(
       """SELECT vec_id, cluster, d2 AS dist2 FROM a2 ORDER BY vec_id"""),
+    // BPE training, rounds unrolled (pagerank discipline): same |sym|
+    // encoding and literal-replace merge as the q_text_bpe_apply twin;
+    // winner per round = (count desc, a, b) — a total order
+    "q_text_bpe_train" -> {
+      val pat = TextAnalysis.BpePattern.replace("'", "''")
+      val encD = """regexp_replace(replace(piece, ' ', '_'), '(.)', '|\1|', 'g')"""
+      val rounds = (1 to TextAnalysis.BpeTrainRounds).map { r =>
+        val prev = s"w${r - 1}"
+        s"""sy$r AS (SELECT string_split(trim(w, '|'), '||') AS s, cnt FROM $prev),
+            p$r AS (SELECT s[i] AS a, s[i+1] AS b,
+                           CAST(SUM(cnt) AS BIGINT) AS pair_count
+                    FROM (SELECT s, cnt,
+                                 unnest(generate_series(1, len(s) - 1)) AS i
+                          FROM sy$r)
+                    GROUP BY 1, 2),
+            m$r AS (SELECT CAST($r AS BIGINT) AS merge_rank, a, b, pair_count
+                    FROM p$r ORDER BY pair_count DESC, a, b LIMIT 1),
+            w$r AS (SELECT replace(w, '|' || m.a || '||' || m.b || '|',
+                                   '|' || m.a || m.b || '|') AS w, cnt
+                    FROM $prev, m$r m)"""
+      }.mkString(",\n")
+      val union = (1 to TextAnalysis.BpeTrainRounds)
+        .map(r => s"SELECT * FROM m$r").mkString(" UNION ALL ")
+      s"""WITH vocab AS (SELECT piece, count(*) AS cnt FROM
+                           (SELECT unnest(regexp_extract_all(text, '$pat')) AS piece
+                            FROM documents)
+                         GROUP BY 1),
+          w0 AS (SELECT $encD AS w, cnt FROM vocab),
+          $rounds
+          SELECT merge_rank, a AS lhs, b AS rhs, pair_count
+          FROM ($union) ORDER BY merge_rank"""
+    },
     // per-cluster mean distance quantizes d2 at 2^-48 (explicit floor =
     // Spark's positive-double→long truncation) so the cross-member sum is
     // order-free integer math

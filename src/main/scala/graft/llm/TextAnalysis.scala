@@ -199,6 +199,64 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** BPE TRAINING — learn the merge table itself from the corpus (the
+    * operator `bpeApply` consumes; real pipelines train ~50k rules, the
+    * declared query learns `BpeTrainRounds` so the DuckDB oracle can unroll
+    * the rounds). Classic word-frequency BPE in its distributed shape:
+    *
+    *   - ONE corpus pass collapses pieces to a (piece, count) VOCABULARY —
+    *     every later round works over the vocabulary domain, never the
+    *     corpus (the shuffle is keyed on distinct pieces, then on the
+    *     symbol-pair domain);
+    *   - per round: adjacent-pair counts weighted by word frequency
+    *     (map-side partial agg), the winning pair is a TakeOrdered 1-row
+    *     broadcast (count desc, then lexicographic — a total order), and
+    *     the merge applies as ONE literal `replace` over the same `|sym|`
+    *     encoding bpeApply uses (leftmost non-overlapping, match can never
+    *     start mid-symbol);
+    *   - vocabulary and winner localCheckpoint per round (the pagerank
+    *     discipline) so round r+1's plan does not replay rounds 1..r.
+    *
+    * Space maps to the sentencepiece-style '_' marker before encoding, so
+    * learned merges live in the SAME symbol alphabet as `BpeMerges`. */
+  val BpeTrainRounds = 4
+
+  def bpeTrain(s: SparkSession, dir: String): DataFrame = {
+    var vocab = t(s, dir, "documents")
+      .select(explode(regexp_extract_all(col("text"), lit(BpePattern), lit(0)))
+        .as("piece"))
+      .groupBy("piece").agg(count(lit(1)).as("cnt"))
+      .select(expr("regexp_replace(replace(piece, ' ', '_'), '(.)', '|$1|')")
+        .as("w"), col("cnt"))
+    var merges: Seq[DataFrame] = Nil
+    for (r <- 1 to BpeTrainRounds) {
+      val pairs = vocab
+        .select(split(expr("trim(BOTH '|' FROM w)"), "\\|\\|").as("syms"),
+          col("cnt"))
+        .filter(size(col("syms")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(syms) - 1), i -> struct(syms[i-1] AS a, syms[i] AS b))"))
+          .as("p"), col("cnt"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("cnt")).as("pair_count"))
+      val best = pairs
+        .orderBy(col("pair_count").desc, col("a"), col("b")).limit(1)
+        .withColumn("merge_rank", lit(r.toLong))
+        .localCheckpoint()
+      merges = merges :+ best
+      vocab = vocab
+        .crossJoin(broadcast(best.select(col("a").as("ma"), col("b").as("mb"))))
+        .withColumn("w", expr(
+          "replace(w, concat('|', ma, '||', mb, '|'), concat('|', ma, mb, '|'))"))
+        .select("w", "cnt")
+        .localCheckpoint()
+    }
+    merges.reduce(_ unionByName _)
+      .select(col("merge_rank"), col("a").as("lhs"), col("b").as("rhs"),
+        col("pair_count"))
+      .orderBy("merge_rank")
+  }
+
   /** Rolling polynomial hash (base 31 mod 1e9+7) over the document's chars —
     * a content fingerprint computable identically in any engine. */
   def fingerprint(s: SparkSession, dir: String): DataFrame =

@@ -59,4 +59,46 @@ class BpeSpec extends SparkSpec {
       assert(s == toks.mkString(" "), s"doc $id tokens")
     }
   }
+
+  test("training learns the true top pair per round (recomputed first-principles)") {
+    val rows = TextAnalysis.bpeTrain(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == (1L to TextAnalysis.BpeTrainRounds.toLong))
+    // merging the winner can only create pairs bounded by its count —
+    // winners are non-increasing
+    assert(rows.map(_._4).sliding(2).forall(w => w.head >= w.last))
+    // reference trainer: word-frequency BPE over the same pre-tokenizer
+    val pat = java.util.regex.Pattern.compile(TextAnalysis.BpePattern)
+    val words = scala.collection.mutable.Map[Vector[String], Long]()
+    spark.read.parquet(s"$sf/documents.parquet").select("text").collect()
+      .foreach { r =>
+        val m = pat.matcher(Option(r.getString(0)).getOrElse(""))
+        Iterator.continually(m).takeWhile(_.find()).map(_.group()).foreach { p =>
+          val syms = p.replace(' ', '_').map(_.toString).toVector
+          words(syms) = words.getOrElse(syms, 0L) + 1L
+        }
+      }
+    var vocab = words.toMap
+    rows.foreach { case (r, lhs, rhs, cnt) =>
+      val pairCounts = scala.collection.mutable.Map[(String, String), Long]()
+      vocab.foreach { case (syms, c) =>
+        syms.zip(syms.drop(1)).foreach(p =>
+          pairCounts(p) = pairCounts.getOrElse(p, 0L) + c)
+      }
+      val best = pairCounts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+      assert((lhs, rhs) == best._1, s"round $r winner")
+      assert(cnt == best._2, s"round $r count")
+      // apply the merge (leftmost non-overlapping) to every word
+      vocab = vocab.toSeq.map { case (syms, c) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == lhs && syms(i + 1) == rhs) {
+            out += (lhs + rhs); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        out.result() -> c
+      }.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+    }
+  }
 }
