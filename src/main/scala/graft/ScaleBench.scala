@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Dev scaling probe (AsOfBench pattern) for the round-6 operators at
+  * BEYOND-fixture scale: replicates the corpus `mult`× under distinct id
+  * offsets and times the units of work that dominate at 100 TB.
+  *
+  *   - k-means: one Lloyd ASSIGN pass (the O(N·k·d) map unit — should be
+  *     linear in N with a constant broadcast) and one RECENTER (the
+  *     (cluster, dim)-domain aggregate — near-flat in N after the scan).
+  *   - BPE training: the one CORPUS pass (vocabulary build — linear) vs
+  *     one PAIR-COUNT round (vocabulary-domain work — the replicated
+  *     corpus keeps the same distinct pieces, so round cost must stay
+  *     FLAT as the corpus grows; that flatness IS the 100 TB argument).
+  *
+  * Usage: runMain graft.ScaleBench [sfDir] [mults-csv] [reps]
+  */
+object ScaleBench {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val mults = if (args.length > 1) args(1).split(",").map(_.toInt)
+      else Array(1, 4, 16)
+    val reps = if (args.length > 2) args(2).toInt else 3
+    val spark = Verify.session("local[32]", "32")
+    def med(f: => Long): Double =
+      (1 to reps).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }.sorted.apply(reps / 2)
+
+    // ——— k-means passes ———
+    val e0 = Tables.t(spark, dir, "embeddings").select("vec_id", "embedding")
+    val maxId = e0.agg(max("vec_id")).collect()(0).getLong(0) + 1L
+    val cents = e0.filter(col("vec_id") < graft.llm.Clustering.K)
+      .select(col("vec_id").as("cluster"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("c_emb"))
+      .localCheckpoint()
+    for (m <- mults) {
+      val e = (0 until m).map(i =>
+        e0.select((col("vec_id") + lit(i * maxId)).as("vec_id"),
+          col("embedding"))).reduce(_ unionByName _).localCheckpoint()
+      val n = e.count()
+      val tAssign = med(graft.llm.Clustering.assign(e, cents).count())
+      // the recenter consumer must READ c_emb: a bare count() lets the
+      // optimizer ELIMINATE the aggregated right side of recenter's outer
+      // join (unique keys, no referenced columns) and times an 8-row scan
+      val tRecenter = med(graft.llm.Clustering
+        .recenter(graft.llm.Clustering.assign(e, cents), cents)
+        .select(expr("aggregate(c_emb, 0D, (a, x) -> a + x)").as("s"))
+        .agg(sum(col("s"))).collect().length.toLong)
+      println(f"[scalebench] kmeans m=$m%-3d n=$n%-8d assign=$tAssign%.2f s assign+recenter=$tRecenter%.2f s")
+    }
+
+    // ——— BPE corpus pass vs round cost ———
+    // (mirrors TextAnalysis.bpeTrain's vocabulary build and round 1)
+    val d0 = Tables.t(spark, dir, "documents").select("doc_id", "text")
+    val maxDoc = d0.agg(max("doc_id")).collect()(0).getLong(0) + 1L
+    val pat = graft.llm.TextAnalysis.BpePattern
+    for (m <- mults) {
+      val docs = (0 until m).map(i =>
+        d0.select((col("doc_id") + lit(i * maxDoc)).as("doc_id"), col("text")))
+        .reduce(_ unionByName _).localCheckpoint()
+      def vocab(): DataFrame = docs
+        .select(explode(regexp_extract_all(col("text"), lit(pat), lit(0)))
+          .as("piece"))
+        .groupBy("piece").agg(count(lit(1)).as("cnt"))
+        .select(expr("regexp_replace(replace(piece, ' ', '_'), '(.)', '|$1|')")
+          .as("w"), col("cnt"))
+      val tVocab = med(vocab().count())
+      val v = vocab().localCheckpoint()
+      val nVocab = v.count()
+      def round(): DataFrame = v
+        .select(split(expr("trim(BOTH '|' FROM w)"), "\\|\\|").as("syms"),
+          col("cnt"))
+        .filter(size(col("syms")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(syms) - 1), i -> struct(syms[i-1] AS a, syms[i] AS b))"))
+          .as("p"), col("cnt"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("cnt")).as("pair_count"))
+        .orderBy(col("pair_count").desc, col("a"), col("b")).limit(1)
+      val tRound = med(round().count())
+      println(f"[scalebench] bpe    m=$m%-3d vocab=$nVocab%-6d corpus_pass=$tVocab%.2f s pair_round=$tRound%.2f s")
+    }
+    spark.stop()
+  }
+}

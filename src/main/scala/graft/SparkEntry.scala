@@ -368,7 +368,8 @@ object SparkEntry {
           s$i AS (SELECT cent_id, d, SUM(CAST(CAST(embedding[d] AS DOUBLE) * $S AS BIGINT)) AS sm,
                          COUNT(*) AS n
                   FROM a$i, generate_series(1, 64) AS g(d) GROUP BY 1, 2),
-          u$i AS (SELECT cent_id, list(CAST(sm AS DOUBLE) / CAST(n * $S AS DOUBLE) ORDER BY d) AS cemb
+          u$i AS (SELECT cent_id, list(CAST(CAST(sm AS VARCHAR) AS DOUBLE)
+                         / (CAST(n AS DOUBLE) * $S) ORDER BY d) AS cemb
                   FROM s$i GROUP BY 1),
           c$i AS (SELECT p.cent_id, COALESCE(u.cemb, p.cemb) AS cemb
                   FROM $prev p LEFT JOIN u$i u USING (cent_id))"""
@@ -2406,8 +2407,8 @@ object SparkEntry {
     // order-free integer math
     "q_cluster_sizes" -> kmeansCtes(
       s"""SELECT cluster, count(*) AS n,
-                 CAST(SUM(CAST(floor(d2 * ${Similarity.MeanScale}) AS BIGINT)) AS DOUBLE)
-                   / CAST(count(*) * ${Similarity.MeanScale} AS DOUBLE) AS mean_dist2
+                 CAST(CAST(SUM(CAST(floor(d2 * ${Similarity.MeanScale}) AS BIGINT)) AS VARCHAR) AS DOUBLE)
+                   / (CAST(count(*) AS DOUBLE) * ${Similarity.MeanScale}) AS mean_dist2
           FROM a2 GROUP BY 1 ORDER BY 1"""),
     // Q11 shape (no partsupp: supply value from shipments); the 2×-mean
     // compare is cross-multiplied in exact decimal (value·n > 2·total)
@@ -2469,7 +2470,8 @@ object SparkEntry {
                       COUNT(*) AS n
                FROM a1, generate_series(1, 64) AS g(d) GROUP BY 1, 2),
         u1 AS (SELECT cluster,
-                      list(CAST(sm AS DOUBLE) / CAST(n * $S AS DOUBLE) ORDER BY d) AS cemb
+                      list(CAST(CAST(sm AS VARCHAR) AS DOUBLE)
+                        / (CAST(n AS DOUBLE) * $S) ORDER BY d) AS cemb
                FROM s1 GROUP BY 1),
         c1 AS (SELECT p.cluster, COALESCE(u.cemb, p.cemb) AS cemb
                FROM c0 p LEFT JOIN u1 u USING (cluster)),

@@ -68,8 +68,9 @@ object Clustering {
     else dist2Sql(x, c)
 
   /** One Lloyd assignment pass: k broadcast centroid rows per vector,
-    * argmin by a per-vec window (ties → lower cluster id). */
-  private def assign(e: DataFrame, cents: DataFrame): DataFrame =
+    * argmin by a per-vec window (ties → lower cluster id).
+    * `private[graft]` so ScaleBench can time the pass at synthetic N×. */
+  private[graft] def assign(e: DataFrame, cents: DataFrame): DataFrame =
     e.crossJoin(broadcast(cents))
       .withColumn("d2",
         expr(dist2For(e.sparkSession)("embedding", "c_emb")))
@@ -79,15 +80,27 @@ object Clustering {
       .select("vec_id", "embedding", "cluster", "d2")
 
   /** Element-wise mean per surviving cluster (integer-scaled exact sums;
-    * k·d-bounded reassembly), empty clusters keeping `prev`'s centroid. */
-  private def recenter(assigned: DataFrame, prev: DataFrame): DataFrame = {
+    * k·d-bounded reassembly), empty clusters keeping `prev`'s centroid.
+    *
+    * Overflow posture (found by ScaleBench at 512 k synthetic vectors, NOT
+    * by the fixture): the per-row scaled long is exact, but a LONG sum of
+    * them overflows at ~4 M rows/cluster and a LONG `n·2^48` denominator
+    * at just 32 768 — so the sum stages into DECIMAL(38,0) (exact at any
+    * n) and the denominator multiplies in DOUBLE (n·2^48 is exactly
+    * representable for any n < 2^53). Values are bit-identical to the
+    * long forms wherever those didn't overflow: both numerator paths are
+    * correctly-rounded to double, and the denominator is exact either
+    * way. */
+  private[graft] def recenter(assigned: DataFrame, prev: DataFrame): DataFrame = {
     val upd = assigned
       .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "x")))
       .groupBy("cluster", "pos")
-      .agg(sum((col("x").cast("double") * S).cast("long")).as("sm"),
+      .agg(sum((col("x").cast("double") * S).cast("long")
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("sm"),
         count(lit(1)).as("n"))
       .withColumn("mean",
-        col("sm").cast("double") / (col("n") * S).cast("double"))
+        col("sm").cast("string").cast("double") /
+          (col("n").cast("double") * lit(S.toDouble)))
       .groupBy("cluster")
       .agg(collect_list(struct(col("pos"), col("mean"))).as("pm"))
       .select(col("cluster"),
@@ -160,7 +173,9 @@ object Clustering {
     rounds(s, dir)
       .groupBy("cluster")
       .agg(count(lit(1)).as("n"),
-        (sum((col("d2") * S).cast("long")).cast("double") /
-          (count(lit(1)) * S).cast("double")).as("mean_dist2"))
+        (sum((col("d2") * S).cast("long")
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .cast("string").cast("double") /
+          (count(lit(1)).cast("double") * lit(S.toDouble))).as("mean_dist2"))
       .orderBy("cluster")
 }

@@ -249,12 +249,18 @@ object Similarity {
     for (_ <- 1 to TrainIters) {
       val assigned = rankAgainst(e, cents).filter(col("crn") === 1)
         .select("vec_id", "embedding", "cent_id")
+      // overflow posture (ScaleBench finding, see Clustering.recenter): the
+      // LONG sum overflows at ~4M rows/cell and the LONG n·2^48 at 32 768 —
+      // decimal-staged sum + double denominator, bit-identical where the
+      // long forms didn't overflow
       val sums = assigned
         .select(col("cent_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
         .groupBy("cent_id", "pos")
-        .agg(sum((col("x").cast("double") * MeanScale).cast("long")).as("s"),
+        .agg(sum((col("x").cast("double") * MeanScale).cast("long")
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("s"),
           count(lit(1)).as("n"))
-        .withColumn("mean", col("s").cast("double") / (col("n") * MeanScale).cast("double"))
+        .withColumn("mean", col("s").cast("string").cast("double") /
+          (col("n").cast("double") * lit(MeanScale.toDouble)))
       val upd = sums.groupBy("cent_id")
         .agg(collect_list(struct(col("pos"), col("mean"))).as("pm"))
         .select(col("cent_id"),

@@ -105,6 +105,24 @@ class ClusteringSpec extends SparkSpec {
     assert(!plan.contains("posexplode"), "no recenter stage in the serve plan")
   }
 
+  test("recenter survives 40k-member clusters (long n*2^48 would overflow)") {
+    // regression for the ScaleBench finding: the old LONG denominator
+    // n·2^48 overflowed at n >= 32768 members; the decimal-staged sum +
+    // double denominator must stay exact well past it
+    val s = spark
+    import s.implicits._
+    val e = s.range(40000).select(col("id").as("vec_id"),
+      expr("array(CAST(0.25 AS FLOAT), CAST(-0.5 AS FLOAT))").as("embedding"))
+    val cents = Seq((0L, Seq(0.25d, -0.5d)), (1L, Seq(100d, 100d)))
+      .toDF("cluster", "c_emb")
+    val out = Clustering.recenter(Clustering.assign(e, cents), cents)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // all 40k vectors are identical and land in cluster 0: its mean is
+    // EXACTLY the vector; cluster 1 is empty and keeps its previous centroid
+    assert(out(0L) == Seq(0.25, -0.5))
+    assert(out(1L) == Seq(100.0, 100.0))
+  }
+
   test("plan: centroids broadcast; no corpus-sized collect or cartesian blowup") {
     val plan = Clustering.kmeans(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastNestedLoopJoin") ||
