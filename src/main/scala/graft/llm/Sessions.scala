@@ -202,10 +202,17 @@ object Sessions {
       sum("n").as("sx"),
       sum(col("n") * col("n")).as("sxx"),
       count(lit(1)).as("cnt"))
+    // the variance discriminant stages into DECIMAL(38,0): in LONG, sx²
+    // overflows once a type's total count passes ~3·10⁹ events (the
+    // ScaleBench overflow class) — exact and bit-identical at any scale
+    // a 38-digit integer can hold
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
     g.join(broadcast(st), "event_type")
       .withColumn("z",
         (col("n") * col("cnt") - col("sx")).cast("double") /
-          sqrt((col("cnt") * col("sxx") - col("sx") * col("sx")).cast("double")))
+          sqrt((col("cnt").cast(d38) * col("sxx").cast(d38) -
+            col("sx").cast(d38) * col("sx").cast(d38))
+            .cast("string").cast("double")))
       .select(col("event_type"), col("hour_ms"), col("n"), col("z"),
         (abs(col("z")) > lit(3.0)).as("is_anomaly"))
       .orderBy("event_type", "hour_ms")

@@ -437,16 +437,22 @@ object Similarity {
     * single correctly-rounded int64→double conversions and divisions. */
   def meanVector(s: SparkSession, dir: String): DataFrame = {
     val S = MeanScale.toDouble
+    // the scaled per-row longs are exact; their SUM stages into
+    // DECIMAL(38,0) so no corpus size can overflow it (the ScaleBench
+    // class — a LONG sum dies at ~4M rows). decimal→string→double is the
+    // same correctly-rounded value the old long→double path produced.
     t(s, dir, "embeddings")
       .select(posexplode(col("embedding")).as(Seq("i", "xi")))
       .select(col("i").cast("long").as("i"),
         (col("xi").cast("double") * S).cast("long").as("sx"))
       .groupBy("i")
-      .agg(sum("sx").as("ssx"), count(lit(1)).as("n"))
+      .agg(sum(col("sx").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+        .as("ssx"), count(lit(1)).as("n"))
       .select(col("i"),
-        (col("ssx").cast("double") / S).as("sum_x"),
+        (col("ssx").cast("string").cast("double") / S).as("sum_x"),
         col("n"),
-        (col("ssx").cast("double") / (col("n").cast("double") * S)).as("mean_x"))
+        (col("ssx").cast("string").cast("double") /
+          (col("n").cast("double") * S)).as("mean_x"))
       .orderBy("i")
   }
 
@@ -484,19 +490,24 @@ object Similarity {
     * whitened coordinate bit-for-bit. */
   def whitenVecs(s: SparkSession, dir: String): DataFrame = {
     val S = MeanScale.toDouble
+    // overflow-free sum (ScaleBench class): decimal-staged scaled longs;
+    // BigDecimal.doubleValue is the same correctly-rounded double the old
+    // long→double path produced
     val st = t(s, dir, "embeddings")
       .select(posexplode(col("embedding")).as(Seq("i", "xi")))
       .select(col("i").cast("long").as("i"), col("xi").cast("double").as("xi"))
       .groupBy("i")
-      .agg(sum((col("xi") * S).cast("long")).as("ssx"),
+      .agg(sum((col("xi") * S).cast("long")
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("ssx"),
         graft.Tables.dsum10(col("xi") * col("xi")).as("gii"),
         count(lit(1)).as("n"))
       .collect()
-      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2), r.getLong(3))))
+      .map(r => (r.getLong(0),
+        (r.getDecimal(1).doubleValue, r.getDouble(2), r.getLong(3))))
       .sortBy(_._1).map(_._2)
-    val mu = st.map { case (ssx, _, n) => ssx.toDouble / (n.toDouble * S) }
+    val mu = st.map { case (ssx, _, n) => ssx / (n.toDouble * S) }
     val sd = st.map { case (ssx, gii, n) =>
-      val m = ssx.toDouble / (n.toDouble * S)
+      val m = ssx / (n.toDouble * S)
       math.sqrt(gii / n.toDouble - m * m)
     }
     t(s, dir, "embeddings")
