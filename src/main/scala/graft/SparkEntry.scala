@@ -226,6 +226,9 @@ object SparkEntry {
     "q_cluster_assign"      -> (graft.llm.Clustering.assignPublished _),
     // BPE merge-table TRAINING (the operator q_text_bpe_apply consumes)
     "q_text_bpe_train"      -> (TextAnalysis.bpeTrain _),
+    // conditional/boolean aggregates + LATERAL correlated subquery
+    "q_agg_flags"           -> (Aggregates.flagAggs _),
+    "q_join_lateral"        -> (Joins.lateralTop _),
   )
 
   /** DECIMAL-staged exact sum, surfaced as DOUBLE (matches Tables.dsum2).
@@ -2359,6 +2362,22 @@ object SparkEntry {
          FROM ranked WHERE rn = 1
          ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
          LIMIT 100""",
+    "q_agg_flags" ->
+      """SELECT o_orderpriority,
+                CAST(count(*) FILTER (WHERE o_totalprice > 100000.0) AS BIGINT) AS n_big,
+                bool_or(o_orderstatus = 'F') AS any_finished,
+                bool_and(o_totalprice > 0.0) AS all_positive,
+                max(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END) AS max_finished_price
+         FROM orders GROUP BY 1 ORDER BY 1""",
+    "q_join_lateral" ->
+      """SELECT n_name, c.c_custkey, c.c_name, c.c_acctbal
+         FROM nation,
+         LATERAL (SELECT c_custkey, c_name, c_acctbal
+                  FROM customer
+                  WHERE c_nationkey = n_nationkey
+                  ORDER BY c_acctbal DESC, c_custkey
+                  LIMIT 2) c
+         ORDER BY n_name, c_acctbal DESC, c_custkey""",
     // euclidean k-means, two deterministic Lloyd rounds: distances are
     // SEQUENTIAL double folds (the vec_dot/list_sum twin discipline — a
     // decimal cast of a full-mantissa double is a cross-engine coin flip),

@@ -347,4 +347,20 @@ object Aggregates {
         col("n"))
       .orderBy("o_orderpriority")
   }
+
+  /** Conditional/boolean aggregate family (count_if / bool_or / bool_and /
+    * conditional max) — the last scalar-aggregate surface gap. All four
+    * ride ONE conditional aggregation pass (adding a flag adds no scan);
+    * the conditional max takes raw values (no arithmetic → no float
+    * hazard). */
+  def flagAggs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        count_if(col("o_totalprice") > lit(100000.0)).as("n_big"),
+        bool_or(col("o_orderstatus") === "F").as("any_finished"),
+        bool_and(col("o_totalprice") > lit(0.0)).as("all_positive"),
+        max(when(col("o_orderstatus") === "F", col("o_totalprice")))
+          .as("max_finished_price"))
+      .orderBy("o_orderpriority")
 }

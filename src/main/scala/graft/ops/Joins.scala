@@ -651,4 +651,25 @@ object Joins {
           $bloomPred
           GROUP BY 1 ORDER BY 1""")
   }
+
+  /** LATERAL correlated-subquery join: top-2 richest customers PER nation,
+    * stated declaratively (the SQL form users port from warehouses that
+    * lack window functions in the FROM clause). Catalyst decorrelates the
+    * per-row subquery into a set-based plan — the engine never executes
+    * one probe per outer row — and the (acctbal desc, custkey) ORDER makes
+    * the LIMIT 2 cut total. Same semantics class as q_topk's window form;
+    * declared separately because LATERAL is its own operator surface. */
+  def lateralTop(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "nation").createOrReplaceTempView("nation_lat")
+    t(s, dir, "customer").createOrReplaceTempView("customer_lat")
+    s.sql(
+      """SELECT n_name, c.c_custkey, c.c_name, c.c_acctbal
+         FROM nation_lat,
+         LATERAL (SELECT c_custkey, c_name, c_acctbal
+                  FROM customer_lat
+                  WHERE c_nationkey = n_nationkey
+                  ORDER BY c_acctbal DESC, c_custkey
+                  LIMIT 2) c
+         ORDER BY n_name, c_acctbal DESC, c_custkey""")
+  }
 }

@@ -177,6 +177,43 @@ class ReportsSpec extends SparkSpec {
   private def Similarity_recall() =
     graft.llm.Similarity.recallIvf(spark, sf).collect()
 
+  test("lateralTop: exactly the window top-2 per nation, decorrelated plan") {
+    val rows = Joins.lateralTop(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getAs[Double]("c_acctbal")))
+    val perNation = rows.groupBy(_._1)
+    assert(perNation.values.forall(_.length <= 2))
+    // recount one nation's true top-2 via the window form
+    val (n0, got) = perNation.head
+    val nk = spark.read.parquet(s"$sf/nation.parquet")
+      .filter(col("n_name") === n0).collect()(0).getAs[Int]("n_nationkey")
+    val truth = spark.read.parquet(s"$sf/customer.parquet")
+      .filter(col("c_nationkey") === nk)
+      .orderBy(col("c_acctbal").desc, col("c_custkey")).limit(2)
+      .collect().map(r => (r.getLong(0), r.getAs[Double]("c_acctbal")))
+    assert(got.map(t => (t._2, t._3)).sortBy(_._1).toSeq ==
+      truth.sortBy(_._1).toSeq)
+    // decorrelated: a set-based window plan, not a per-outer-row probe
+    val plan = Joins.lateralTop(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.linesIterator.take(6).mkString("\n"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("flagAggs: every flag recounted from the raw orders") {
+    val rows = Aggregates.flagAggs(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val o = spark.read.parquet(s"$sf/orders.parquet").collect()
+      .groupBy(_.getAs[String]("o_orderpriority"))
+    rows.foreach { r =>
+      val grp = o(r.getString(0))
+      assert(r.getAs[Long]("n_big") ==
+        grp.count(_.getAs[Double]("o_totalprice") > 100000.0).toLong)
+      assert(r.getAs[Boolean]("any_finished") ==
+        grp.exists(_.getAs[String]("o_orderstatus") == "F"))
+      assert(r.getAs[Boolean]("all_positive") ==
+        grp.forall(_.getAs[Double]("o_totalprice") > 0.0))
+    }
+  }
+
   test("minBalSupplier: per-part argmin verified for the top row") {
     val rows = Reports.minBalSupplier(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 100)
