@@ -43,9 +43,14 @@ object Sessions {
     * every exchange hashes the same key, so the chain is one co-partitioned
     * shuffle family, linear at any scale. Times surface as epoch ms (the
     * ns fixture values are whole µs, so div is exact in both engines). */
-  def funnel(s: SparkSession, dir: String): DataFrame = {
-    val e = t(s, dir, "events").select(
-      col("user_id"), col("event_type"), nsToMs("ts").as("ms"))
+  def funnel(s: SparkSession, dir: String): DataFrame =
+    funnelOf(t(s, dir, "events").select(
+      col("user_id"), col("event_type"), nsToMs("ts").as("ms")))
+
+  /** The funnel over a caller-supplied (user_id, event_type, ms) frame —
+    * split out so the streaming twin's spec can compare against the batch
+    * form on identical synthetic rows (the attributionOf pattern). */
+  private[graft] def funnelOf(e: DataFrame): DataFrame = {
     def stage(typ: String, prev: DataFrame, prevT: String, out: String) =
       e.filter(col("event_type") === typ).join(prev, "user_id")
         .filter(col("ms") >= col(prevT))

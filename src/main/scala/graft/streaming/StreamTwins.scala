@@ -223,6 +223,66 @@ object StreamTwins {
       }
   }
 
+  /** Streaming twin of the conversion funnel (llm.Sessions.funnel):
+    * first-touch stage chain signup → view → click → purchase carried as
+    * ONE 4-slot state per user. Each slot fills at most once, with the
+    * batch form's exact qualification rule (stage time ≥ previous stage's
+    * time — so a same-millisecond later stage counts); within a
+    * micro-batch events process in (time, stage-rank) order, which is the
+    * order the batch min()-chain resolves ties in. Emits one SNAPSHOT row
+    * per user per micro-batch in which the funnel advanced — the serving
+    * shape for live funnel dashboards — so the drained stream's LAST row
+    * per user equals the batch row when arrival respects event time
+    * (StreamTwinsSpec). Users who never sign up hold no state and emit
+    * nothing, matching the batch form's signup-anchored output. */
+  case class FunnelEvent(user_id: Long, tsc: java.sql.Timestamp,
+                         event_type: String)
+  case class FunnelState(tSignup: Option[Long], tView: Option[Long],
+                         tClick: Option[Long], tPurchase: Option[Long])
+  case class FunnelRow(user_id: Long, t_signup: Long, t_view: Option[Long],
+                       t_click: Option[Long], t_purchase: Option[Long],
+                       stage_reached: Long)
+
+  def funnel(events: org.apache.spark.sql.Dataset[FunnelEvent]):
+      org.apache.spark.sql.Dataset[FunnelRow] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val stageRank = Map("signup" -> 0, "view" -> 1, "click" -> 2, "purchase" -> 3)
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+          val sorted = it.toSeq
+            .sortBy(e => (e.tsc.getTime, stageRank.getOrElse(e.event_type, 9)))
+          var st = state.getOption.getOrElse(FunnelState(None, None, None, None))
+          val before = st
+          sorted.foreach { e =>
+            val ms = e.tsc.getTime
+            e.event_type match {
+              case "signup" if st.tSignup.isEmpty =>
+                st = st.copy(tSignup = Some(ms))
+              case "view" if st.tSignup.exists(ms >= _) && st.tView.isEmpty =>
+                st = st.copy(tView = Some(ms))
+              case "click" if st.tView.exists(ms >= _) && st.tClick.isEmpty =>
+                st = st.copy(tClick = Some(ms))
+              case "purchase" if st.tClick.exists(ms >= _) && st.tPurchase.isEmpty =>
+                st = st.copy(tPurchase = Some(ms))
+              case _ => ()
+            }
+          }
+          if (st == before) Iterator.empty
+          else {
+            state.update(st)
+            val reached =
+              if (st.tPurchase.nonEmpty) 4L
+              else if (st.tClick.nonEmpty) 3L
+              else if (st.tView.nonEmpty) 2L
+              else 1L
+            Iterator.single(FunnelRow(uid, st.tSignup.get, st.tView,
+              st.tClick, st.tPurchase, reached))
+          }
+      }
+  }
+
   /** Stream-static enrichment: the streaming face of the broadcast-dim join
     * (q_join_broadcast). The static side is re-resolved per micro-batch, so
     * a slowly-changing dimension published via Warehouse is picked up on its

@@ -230,6 +230,50 @@ class StreamTwinsSpec extends SparkSpec {
     assert(got.contains((14L, 1L, 3000L, Some("view"), Some(3000L), 9.0))) // tie: view first
   }
 
+  test("streaming funnel: last snapshot per user equals the batch funnel when drained") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    // user 1: full conversion across a batch boundary, with a pre-signup
+    //   view (must NOT count) and a same-ms signup+view tie (view counts:
+    //   the batch rule is stage time >= previous stage's time)
+    // user 2: purchase before any click (stalls at stage 2)
+    // user 3: never signs up (no output at all)
+    val b1 = Seq((1L, 500L, "view"), (1L, 1000L, "signup"), (1L, 1000L, "view"),
+      (2L, 1000L, "signup"), (2L, 2000L, "view"), (2L, 2500L, "purchase"),
+      (3L, 1000L, "view"))
+    val b2 = Seq((1L, 2000L, "click"), (1L, 3000L, "purchase"),
+      (3L, 2000L, "click"))
+    val mem = MemoryStream[(Long, Long, String)]
+    val events = mem.toDS().map(r =>
+      StreamTwins.FunnelEvent(r._1, new Timestamp(r._2), r._3))
+    val q = StreamTwins.funnel(events).writeStream
+      .format("memory").queryName("funnel_out").outputMode("append").start()
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable(); q.stop()
+    val batchIn = (b1 ++ b2).toDF("user_id", "ms", "event_type")
+    val wantUsers = graft.llm.Sessions.funnelOf(batchIn).collect()
+      .map(_.getLong(0)).toSet
+    // the LAST snapshot per user (memory-sink rows arrive in batch order)
+    val gotRows = s.table("funnel_out").collect()
+      .groupBy(_.getLong(0)).map { case (u, rs) => u -> rs.last }
+    assert(gotRows.keySet == wantUsers)
+    wantUsers.foreach { u =>
+      val g = gotRows(u)
+      val w = graft.llm.Sessions.funnelOf(batchIn)
+        .filter(col("user_id") === u).collect()(0)
+      assert(g.getLong(0) == w.getLong(0))
+      assert(g.getLong(1) == w.getAs[Long]("t_signup"), s"user $u signup")
+      assert(Option(g.get(2)) == Option(w.get(2)), s"user $u view")
+      assert(Option(g.get(3)) == Option(w.get(3)), s"user $u click")
+      assert(Option(g.get(4)) == Option(w.get(4)), s"user $u purchase")
+      assert(g.getAs[Long]("stage_reached") == w.getAs[Long]("stage_reached"))
+    }
+    // the tie: user 1's view at the signup millisecond counted
+    assert(gotRows(1L).getAs[Long]("stage_reached") == 4L)
+    assert(gotRows(2L).getAs[Long]("stage_reached") == 2L)
+  }
+
   test("streaming dedup keeps the first occurrence across micro-batches") {
     val s = spark
     import s.implicits._
