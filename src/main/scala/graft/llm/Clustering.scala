@@ -128,6 +128,37 @@ object Clustering {
   private def rounds(s: SparkSession, dir: String): DataFrame =
     trained(s, dir)._2
 
+  /** The same two Lloyd rounds over a caller-supplied (vec_id, embedding)
+    * frame, seeded by the K SMALLEST ids present — the deployment-real
+    * seed rule for corpora whose id space has holes (post-dedup kept
+    * sets); on the full fixture it picks ids 0..K-1, identical to the
+    * declared queries' literal filter. Used by EmbeddingPipeline's
+    * semantic-balance stage. */
+  private[graft] def roundsOf(e0: DataFrame): DataFrame = {
+    val e = e0.select("vec_id", "embedding")
+    var cents = e.orderBy("vec_id").limit(K)
+      .select(col("vec_id").as("cluster"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("c_emb"))
+    var assigned = assign(e, cents)
+    for (_ <- 2 to Iters) {
+      cents = recenter(assigned, cents)
+      assigned = assign(e, cents)
+    }
+    assigned
+  }
+
+  /** The per-cluster balance aggregation over an assignment frame (shared
+    * by q_cluster_sizes and the pipeline stage). */
+  private[graft] def sizesOf(assigned: DataFrame): DataFrame =
+    assigned
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n"),
+        (sum((col("d2") * S).cast("long")
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .cast("string").cast("double") /
+          (count(lit(1)).cast("double") * lit(S.toDouble))).as("mean_dist2"))
+      .orderBy("cluster")
+
   /** Published-centroid location for a corpus dir, keyed by every training
     * constant (the Similarity.centroidTarget discipline — a parameter
     * change can never serve a stale index). */
@@ -170,12 +201,5 @@ object Clustering {
     * order-free integer math) — the balance report a curation pipeline
     * reads before reweighting the semantic mix. */
   def kmeansSizes(s: SparkSession, dir: String): DataFrame =
-    rounds(s, dir)
-      .groupBy("cluster")
-      .agg(count(lit(1)).as("n"),
-        (sum((col("d2") * S).cast("long")
-          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
-          .cast("string").cast("double") /
-          (count(lit(1)).cast("double") * lit(S.toDouble))).as("mean_dist2"))
-      .orderBy("cluster")
+    sizesOf(rounds(s, dir))
 }

@@ -62,6 +62,11 @@ class EmbeddingPipeline(s: SparkSession, srcDir: String, root: String) {
       "s4_codes", "codes.parquet")
     // 5. ANN serve from the trained published index over the kept set
     stageRows :+= (("s5_serve", Similarity.ivfTrainedTopK(s, d2).count()))
+    // 6. semantic-balance report: k-means over the KEPT set (seeded by its
+    //    K smallest ids — the kept id space has holes), rolled to the
+    //    per-cluster population the mix-reweighting step reads
+    write(Clustering.sizesOf(Clustering.roundsOf(t(s, d2, "embeddings"))),
+      "s6_balance", "clusters.parquet")
     d2
   }
 }

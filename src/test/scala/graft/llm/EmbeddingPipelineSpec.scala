@@ -24,6 +24,18 @@ class EmbeddingPipelineSpec extends SparkSpec {
     assert(rows("s3_scores") == rows("s2_semdedup"))
     assert(rows("s4_codes") == rows("s2_semdedup"))
     assert(rows("s5_serve") > 0)
+    assert(rows("s6_balance") <= Clustering.K.toLong && rows("s6_balance") > 0)
+  }
+
+  test("balance report conserves the kept set across clusters") {
+    pipe // force run
+    val sizes = spark.read.parquet(s"$root/s6_balance/clusters.parquet")
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("n")))
+    assert(sizes.map(_._2).sum == pipe.stageRows.toMap.apply("s2_semdedup"))
+    // seeds are the K smallest KEPT ids, so every cluster id is a kept id
+    val kept = spark.read.parquet(s"$root/s2_semdedup/embeddings.parquet")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(sizes.map(_._1).forall(kept))
   }
 
   test("kept set is a subset of the input ids with no duplicates") {
