@@ -69,6 +69,14 @@ class CurationPipeline(s: SparkSession, srcDir: String, root: String) {
     val d3 = writeDocs(
       train.join(contaminatedIds, Seq("doc_id"), "left_anti"),
       "s3_decontam")
+    // 3b. tokenizer training on the CLEANED corpus — real pipelines learn
+    // the merge table after curation so boilerplate and benchmark text
+    // never shape the vocabulary; the merges artifact is a restart point
+    // like every other stage
+    val merges = TextAnalysis.bpeTrain(s, d3)
+    merges.write.mode("overwrite").parquet(s"$root/s3b_tokenizer/merges.parquet")
+    stageRows :+= (("s3b_tokenizer",
+      s.read.parquet(s"$root/s3b_tokenizer/merges.parquet").count()))
     // 4. chunk, then dedup AT CHUNK GRANULARITY: the first occurrence
     // (smallest doc_id, then position) of each chunk_hash survives
     val firstWins = Window.partitionBy("chunk_hash").orderBy("doc_id", "chunk_idx")

@@ -25,6 +25,7 @@ class CurationPipelineSpec extends SparkSpec {
     assert(rows("s1_quality") <= n0 && rows("s1_quality") > 0)
     assert(rows("s2_dedup") <= rows("s1_quality") && rows("s2_dedup") > 0)
     assert(rows("s3_decontam") <= rows("s2_dedup") && rows("s3_decontam") > 0)
+    assert(rows("s3b_tokenizer") == TextAnalysis.BpeTrainRounds.toLong)
     assert(rows("packed") > 0)
     // the gate keeps at least 1 - 1/ThresholdDen of the corpus
     assert(rows("s1_quality") >= n0 - n0 / Curation.ThresholdDen)
