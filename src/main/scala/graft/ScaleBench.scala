@@ -52,6 +52,27 @@ object ScaleBench {
       println(f"[scalebench] kmeans m=$m%-3d n=$n%-8d assign=$tAssign%.2f s assign+recenter=$tRecenter%.2f s")
     }
 
+    // ——— graph family at m× edges (disconnected copies under node
+    //     offsets — per-copy results identical, cost must be linear) ———
+    val canon0 = graft.ops.Graph.edges(spark, dir).localCheckpoint()
+    val maxNode = canon0
+      .agg(max(greatest(col("src"), col("dst")))).collect()(0).getLong(0) + 1L
+    for (m <- mults) {
+      val canon = (0 until m).map(i =>
+        canon0.select((col("src") + lit(i * maxNode)).as("src"),
+          (col("dst") + lit(i * maxNode)).as("dst")))
+        .reduce(_ unionByName _).localCheckpoint()
+      val nE = canon.count()
+      // single rep: a 16× triangle pass is ~a minute; the curve, not the
+      // variance, is the signal here
+      def t1(f: => Long): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val tTri = t1(graft.ops.Graph.trianglesOf(canon).count())
+      val tPr = t1(graft.ops.Graph.pagerankOf(canon).count())
+      println(f"[scalebench] graph  m=$m%-3d edges=$nE%-9d triangles=$tTri%.2f s pagerank=$tPr%.2f s")
+    }
+
     // ——— BPE corpus pass vs round cost ———
     // (mirrors TextAnalysis.bpeTrain's vocabulary build and round 1)
     val d0 = Tables.t(spark, dir, "documents").select("doc_id", "text")

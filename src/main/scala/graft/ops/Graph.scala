@@ -37,7 +37,7 @@ object Graph {
     * per analytic); PageRank, triangles, and the degree profile all serve
     * from the same published table. Content-fingerprinted target: a
     * rewritten fixture can never serve a stale graph. */
-  private def edges(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def edges(s: SparkSession, dir: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/lineitem.parquet")
     val hfs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     val parts = hfs.listStatus(p).map(st =>
@@ -87,9 +87,14 @@ object Graph {
     * frame checkpoints once before the loop so iterations never rebuild the
     * pair join. Every node of this graph has in-edges (undirected), so no
     * dangling-mass term is needed. */
-  def pagerank(s: SparkSession, dir: String): DataFrame = {
+  def pagerank(s: SparkSession, dir: String): DataFrame =
+    pagerankOf(edges(s, dir))
+
+  /** The same five rounds over a caller-supplied canonical edge frame —
+    * ScaleBench replays it at m× replicated edges. */
+  private[graft] def pagerankOf(canon: DataFrame): DataFrame = {
     val S = 1000000000000L
-    val e = bothDirections(edges(s, dir)).localCheckpoint()
+    val e = bothDirections(canon).localCheckpoint()
     val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
       .localCheckpoint()
     val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
@@ -132,8 +137,10 @@ object Graph {
     * on a dense graph. The per-node adjacency array is bounded by the
     * orientation OUT-degree (O(√E) for any graph — the compact-forward
     * bound), not by a hub's raw degree. */
-  def triangles(s: SparkSession, dir: String): DataFrame = {
-    val canon = edges(s, dir)
+  def triangles(s: SparkSession, dir: String): DataFrame =
+    trianglesOf(edges(s, dir))
+
+  private[graft] def trianglesOf(canon: DataFrame): DataFrame = {
     val degT = degrees(canon)
     val du = degT.select(col("node").as("src"), col("d").as("du"))
     val dv = degT.select(col("node").as("dst"), col("d").as("dv"))
