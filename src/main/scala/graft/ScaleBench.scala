@@ -73,6 +73,27 @@ object ScaleBench {
       println(f"[scalebench] graph  m=$m%-3d edges=$nE%-9d triangles=$tTri%.2f s pagerank=$tPr%.2f s")
     }
 
+    // ——— dedup family at m× DUPLICATED docs: replication multiplies every
+    //     duplicate class by m, the worst case for LSH banding (bucket
+    //     sizes scale with m). The distinct-content collapse before
+    //     banding must keep pair generation bounded by the CONTENT domain
+    //     (constant here), so the banding cost must stay near-flat — that
+    //     flatness is the duplicate-heavy-corpus argument. Components adds
+    //     the m-sized duplicate cliques to the closure. ———
+    val dAll = Tables.t(spark, dir, "documents")
+    val maxDoc0 = dAll.agg(max("doc_id")).collect()(0).getLong(0) + 1L
+    for (m <- mults) {
+      val dirM = s"${sys.props("java.io.tmpdir")}/graft_scalebench/docs_$m"
+      (0 until m).map(i =>
+        dAll.withColumn("doc_id", col("doc_id") + lit(i * maxDoc0)))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$dirM/documents.parquet")
+      val nD = spark.read.parquet(s"$dirM/documents.parquet").count()
+      val tMinhash = med(graft.llm.Dedup.minhashPairs(spark, dirM).count())
+      val tComp = med(graft.llm.Dedup.components(spark, dirM).count())
+      println(f"[scalebench] dedup  m=$m%-3d docs=$nD%-7d minhash_pairs=$tMinhash%.2f s components=$tComp%.2f s")
+    }
+
     // ——— BPE corpus pass vs round cost ———
     // (mirrors TextAnalysis.bpeTrain's vocabulary build and round 1)
     val d0 = Tables.t(spark, dir, "documents").select("doc_id", "text")
