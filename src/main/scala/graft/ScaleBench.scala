@@ -94,6 +94,34 @@ object ScaleBench {
       println(f"[scalebench] dedup  m=$m%-3d docs=$nD%-7d minhash_pairs=$tMinhash%.2f s components=$tComp%.2f s")
     }
 
+    // ——— events family at m× events (distinct user offsets — keys scale
+    //     with rows, per-key runs stay fixture-length, the realistic
+    //     growth direction; the AsOfBench convention). Sessionize is the
+    //     user-keyed window unit; the band join is the binned θ-join whose
+    //     fan-out is bounded by bucket occupancy. ———
+    val ev0 = Tables.t(spark, dir, "events")
+    val maxUser = ev0.agg(max("user_id")).collect()(0).getLong(0) + 1L
+    val maxEvt = ev0.agg(max("event_id")).collect()(0).getLong(0) + 1L
+    // offset each copy's TIME RANGE too: replicating at identical
+    // timestamps would multiply time-bucket density, making the band
+    // join's TRUE answer quadratic in m — the realistic growth is more
+    // users over more time at fixture density
+    val spanNs = ev0.agg((max("ts") - min("ts") + lit(7200L * 1000000000L))
+      .as("s")).collect()(0).getLong(0)
+    for (m <- mults) {
+      val dirM = s"${sys.props("java.io.tmpdir")}/graft_scalebench/events_$m"
+      (0 until m).map(i =>
+        ev0.withColumn("user_id", col("user_id") + lit(i * maxUser))
+          .withColumn("event_id", col("event_id") + lit(i * maxEvt))
+          .withColumn("ts", col("ts") + lit(i * spanNs)))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$dirM/events.parquet")
+      val nEv = spark.read.parquet(s"$dirM/events.parquet").count()
+      val tSess = med(graft.llm.Sessions.sessionize(spark, dirM).count())
+      val tBand = med(graft.ops.Joins.bandJoin(spark, dirM).count())
+      println(f"[scalebench] events m=$m%-3d events=$nEv%-8d sessionize=$tSess%.2f s band_join=$tBand%.2f s")
+    }
+
     // ——— BPE corpus pass vs round cost ———
     // (mirrors TextAnalysis.bpeTrain's vocabulary build and round 1)
     val d0 = Tables.t(spark, dir, "documents").select("doc_id", "text")
