@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The forked run's stdout inherits sbt's stdout DIRECTLY instead of going
+// through the logger, which prefixes every line with "[info] " — that prefix
+// is what kept the bench headline JSON unparseable from the captured tail
+// (BENCH_r03..r06 "parsed": null: the line was complete in the tail but
+// every copy carried the prefix). With StdoutOutput the JSON lines land
+// verbatim.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

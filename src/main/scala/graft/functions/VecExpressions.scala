@@ -24,10 +24,17 @@ import org.apache.spark.sql.types._
   * `(double)a[i] * (double)b[i]` — bit-identical to the DuckDB oracle's
   * list-comprehension sum (verified by the q_sim and q_dedup_embed oracles).
   * Null elements are not supported (embedding arrays are dense); a null
-  * array yields null via the standard null-safe path.
+  * array yields null via the standard null-safe path. MISMATCHED lengths
+  * also yield null, again matching the HOF form (`zip_with` null-pads the
+  * shorter side, the padded products are null, and `+ null` nulls the
+  * aggregate) — a dimension-mismatch bug upstream must surface as NULL,
+  * never as a plausible wrong score from silent truncation (ADVICE r6).
   */
 case class VecDot(left: Expression, right: Expression)
   extends BinaryExpression {
+
+  // ragged inputs return null even when both children are non-nullable
+  override def nullable: Boolean = true
 
   private def elemType(e: Expression): Option[DataType] = e.dataType match {
     case ArrayType(FloatType, _) => Some(FloatType)
@@ -53,7 +60,8 @@ case class VecDot(left: Expression, right: Expression)
     val rt = elemType(right).get
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -72,12 +80,16 @@ case class VecDot(left: Expression, right: Expression)
         if (elemType(side).get == FloatType) s"((double) $arr.getFloat($i))"
         else s"$arr.getDouble($i)"
       s"""
-         |int $n = Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += ${g(a, left)} * ${g(b, right)};
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += ${g(a, left)} * ${g(b, right)};
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 
@@ -95,9 +107,14 @@ case class VecDot(left: Expression, right: Expression)
   *
   * Semantics are EXACTLY the HOF form's: left-to-right accumulation of
   * `((double)a[i] - (double)b[i])²` — bit-identical to the DuckDB oracle's
-  * list-comprehension sum (the q_cluster oracles). */
+  * list-comprehension sum (the q_cluster oracles). Mismatched lengths yield
+  * null like the HOF form (see VecDot): a ragged pair is an upstream bug
+  * that must surface, not a plausible truncated distance (ADVICE r6). */
 case class VecDist2(left: Expression, right: Expression)
   extends BinaryExpression {
+
+  // ragged inputs return null even when both children are non-nullable
+  override def nullable: Boolean = true
 
   private def elemType(e: Expression): Option[DataType] = e.dataType match {
     case ArrayType(FloatType, _) => Some(FloatType)
@@ -123,7 +140,8 @@ case class VecDist2(left: Expression, right: Expression)
     val rt = elemType(right).get
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -144,13 +162,17 @@ case class VecDist2(left: Expression, right: Expression)
         if (elemType(side).get == FloatType) s"((double) $arr.getFloat($i))"
         else s"$arr.getDouble($i)"
       s"""
-         |int $n = Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $d = ${g(a, left)} - ${g(b, right)};
-         |  $s += $d * $d;
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $d = ${g(a, left)} - ${g(b, right)};
+         |    $s += $d * $d;
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

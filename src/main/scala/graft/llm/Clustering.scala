@@ -160,12 +160,12 @@ object Clustering {
       .orderBy("cluster")
 
   /** Published-centroid location for a corpus dir, keyed by every training
-    * constant (the Similarity.centroidTarget discipline — a parameter
-    * change can never serve a stale index). */
-  private[graft] def clusterTarget(dir: String): String = {
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir|$K|$Iters|$S".getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString.take(16)
+    * constant AND the fixture-file fingerprint (Tables.fixtureKey — a
+    * parameter change or a rewritten fixture can never serve stale
+    * centroids, which would silently break the serve-equals-train
+    * equivalence the oracle check depends on). */
+  private[graft] def clusterTarget(s: SparkSession, dir: String): String = {
+    val key = graft.Tables.fixtureKey(s, dir, "embeddings", s"$K|$Iters|$S")
     s"${sys.props("java.io.tmpdir")}/graft_kmeans/centroids_$key"
   }
 
@@ -179,7 +179,7 @@ object Clustering {
     * q_cluster_kmeans (same centroids, same argmin), which is exactly the
     * point: the oracle hash-matching both queries proves serve ≡ train. */
   def assignPublished(s: SparkSession, dir: String): DataFrame = {
-    val target = clusterTarget(dir)
+    val target = clusterTarget(s, dir)
     if (!graft.etl.Warehouse.exists(s, target))
       graft.etl.Warehouse.publish(s, target, trained(s, dir)._1)
     val cents = graft.etl.Warehouse.read(s, target).select("cluster", "c_emb")

@@ -498,17 +498,9 @@ object Dedup {
     * (name/size/mtime of every part), not just the dir path — a rewritten
     * fixture dir (the stress specs do this) must never serve a stale
     * graph. Metadata-only: one driver-side listing, no data read. */
-  private[graft] def componentsTarget(s: SparkSession, dir: String): String = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
-    val hfs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val parts = hfs.listStatus(p).map(st =>
-      s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
-      .sorted.mkString("|")
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir|$parts".getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString.take(16)
-    s"${sys.props("java.io.tmpdir")}/graft_dedup/graph_$key"
-  }
+  private[graft] def componentsTarget(s: SparkSession, dir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_dedup/graph_" +
+      graft.Tables.fixtureKey(s, dir, "documents")
 
   /** Build + publish the near-dup graph: `members` (doc → its set's rep)
     * and `edges` (jaccard-verified rep pairs). Edges are LINEAR in the
@@ -633,17 +625,9 @@ object Dedup {
 
   /** Published-graph location for the EMBEDDING near-dup graph (mirrors
     * componentsTarget, fingerprinting the embeddings files). */
-  private[graft] def embedGraphTarget(s: SparkSession, dir: String): String = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
-    val hfs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val parts = hfs.listStatus(p).map(st =>
-      s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
-      .sorted.mkString("|")
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir|$parts".getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString.take(16)
-    s"${sys.props("java.io.tmpdir")}/graft_dedup/embedgraph_$key"
-  }
+  private[graft] def embedGraphTarget(s: SparkSession, dir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_dedup/embedgraph_" +
+      graft.Tables.fixtureKey(s, dir, "embeddings")
 
   /** Semantic-dedup clusters (the embedding analog of `components`, the
     * SemDeDup-shaped operator a training-data pipeline runs after embedding
@@ -745,12 +729,10 @@ object Dedup {
   /** Batch split modulus: doc_id % DeltaMod == DeltaMod-1 → incoming batch. */
   val DeltaMod = 10
 
-  /** Published-index location, keyed by corpus dir + the hash design point
-    * (mirrors Similarity.centroidTarget). */
-  private[graft] def dedupIndexTarget(dir: String): String = {
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir|$DeltaMod|$K|$Bands".getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString.take(16)
+  /** Published-index location, keyed by the fixture fingerprint + the hash
+    * design point (mirrors Similarity.centroidTarget). */
+  private[graft] def dedupIndexTarget(s: SparkSession, dir: String): String = {
+    val key = graft.Tables.fixtureKey(s, dir, "documents", s"$DeltaMod|$K|$Bands")
     s"${sys.props("java.io.tmpdir")}/graft_dedup/index_$key"
   }
 
@@ -821,7 +803,7 @@ object Dedup {
     * other sessions on the same machine, every subsequent batch — probes the
     * published version directly. */
   def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
-    val target = dedupIndexTarget(dir)
+    val target = dedupIndexTarget(s, dir)
     if (!graft.etl.Warehouse.exists(s, target)) publishDedupIndex(s, dir, target)
     dedupDeltaServe(s, dir, target)
   }

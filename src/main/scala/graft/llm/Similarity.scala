@@ -278,14 +278,14 @@ object Similarity {
     cents
   }
 
-  /** Published-index location for a corpus dir: keyed by the corpus path and
-    * every training constant, so a parameter change can never serve a stale
-    * index (the analog of an index build id). Lives under the JVM tmpdir —
-    * the warehouse root on a real deployment. */
-  private[graft] def centroidTarget(dir: String): String = {
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir|$Cells|$TrainIters|$MeanScale".getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString.take(16)
+  /** Published-index location for a corpus dir: keyed by the fixture-file
+    * fingerprint and every training constant (Tables.fixtureKey), so neither
+    * a parameter change nor a rewritten fixture can serve a stale index (the
+    * analog of an index build id). Lives under the JVM tmpdir — the
+    * warehouse root on a real deployment. */
+  private[graft] def centroidTarget(s: SparkSession, dir: String): String = {
+    val key = graft.Tables.fixtureKey(s, dir, "embeddings",
+      s"$Cells|$TrainIters|$MeanScale")
     s"${sys.props("java.io.tmpdir")}/graft_ivf/centroids_$key"
   }
 
@@ -311,7 +311,7 @@ object Similarity {
     * later call, including bench reps 2+ and any other session on the same
     * machine, serves straight from the published version. */
   def ivfTrainedTopK(s: SparkSession, dir: String): DataFrame = {
-    val target = centroidTarget(dir)
+    val target = centroidTarget(s, dir)
     if (!graft.etl.Warehouse.exists(s, target)) publishCentroids(s, dir, target)
     ivfServeTopK(s, dir, target)
   }
@@ -567,12 +567,12 @@ object Similarity {
   }
 
   /** Published-PC location for a corpus dir (the centroidTarget discipline:
-    * keyed by corpus path and every training constant, so a parameter
-    * change never serves a stale component). */
-  private[graft] def pcTarget(dir: String): String = {
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir|pca1|$PcaIters|$MeanScale".getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString.take(16)
+    * keyed by the fixture fingerprint and every training constant, so
+    * neither a parameter change nor a fixture rewrite serves a stale
+    * component). */
+  private[graft] def pcTarget(s: SparkSession, dir: String): String = {
+    val key = graft.Tables.fixtureKey(s, dir, "embeddings",
+      s"pca1|$PcaIters|$MeanScale")
     s"${sys.props("java.io.tmpdir")}/graft_ivf/pc_$key"
   }
 
@@ -588,7 +588,7 @@ object Similarity {
     * DuckDB twin unrolls the same ten iterations and matches every score
     * bit-for-bit. */
   def pcaProject(s: SparkSession, dir: String): DataFrame = {
-    val target = pcTarget(dir)
+    val target = pcTarget(s, dir)
     if (!graft.etl.Warehouse.exists(s, target))
       graft.etl.Warehouse.publish(s, target, trainPc(s, dir))
     val v = graft.etl.Warehouse.read(s, target)

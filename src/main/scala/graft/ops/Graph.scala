@@ -38,14 +38,7 @@ object Graph {
     * from the same published table. Content-fingerprinted target: a
     * rewritten fixture can never serve a stale graph. */
   private[graft] def edges(s: SparkSession, dir: String): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/lineitem.parquet")
-    val hfs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val parts = hfs.listStatus(p).map(st =>
-      s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
-      .sorted.mkString("|")
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir|$parts".getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString.take(16)
+    val key = graft.Tables.fixtureKey(s, dir, "lineitem")
     val target = s"${sys.props("java.io.tmpdir")}/graft_graph/edges_$key"
     if (!graft.etl.Warehouse.exists(s, target)) {
       val pp = t(s, dir, "lineitem")

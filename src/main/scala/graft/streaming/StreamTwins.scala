@@ -304,15 +304,18 @@ object StreamTwins {
                     centroids: Seq[(Long, Seq[Double])]): DataFrame = {
     val cents = typedlit(centroids.sortBy(_._1))
     val d2 = graft.llm.Clustering.dist2For(embs.sparkSession) _
+    // distances materialize ONCE per centroid (transform), then the fold
+    // only compares — the CASE form evaluated the d2 expression twice per
+    // centroid (predicate + winning branch), doubling the per-event
+    // distance compute in this stateless hot path (ADVICE r6)
     embs.withColumn("cents", cents)
       .withColumn("best", expr(
-        s"""aggregate(cents,
+        s"""aggregate(
+              transform(cents, c -> struct(c._1 AS cluster,
+                                           ${d2("embedding", "c._2")} AS d2)),
               struct(CAST(-1 AS BIGINT) AS cluster,
                      CAST('Infinity' AS DOUBLE) AS d2),
-              (acc, c) -> CASE WHEN ${d2("embedding", "c._2")} < acc.d2
-                               THEN struct(c._1 AS cluster,
-                                           ${d2("embedding", "c._2")} AS d2)
-                               ELSE acc END)"""))
+              (acc, c) -> CASE WHEN c.d2 < acc.d2 THEN c ELSE acc END)"""))
       .select(col("vec_id"), col("best.cluster").as("cluster"),
         col("best.d2").as("dist2"))
   }

@@ -56,7 +56,9 @@ class ClusteringSpec extends SparkSpec {
           val dims = members.head.length
           Array.tabulate(dims) { i =>
             val sm = members.map(x => (x(i).toDouble * S).toLong).sum
-            sm.toDouble / (members.size * S).toDouble
+            // Int * Long overflows at >= 32768 members (the exact class the
+            // r6 production recenter fix removed) — divide in double space
+            sm.toDouble / (members.size.toDouble * S.toDouble)
           }
         }
       j -> c

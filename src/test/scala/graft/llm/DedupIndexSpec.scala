@@ -45,7 +45,7 @@ class DedupIndexSpec extends SparkSpec {
   }
 
   test("incrementalDedup publishes on first call and reuses the version after") {
-    val t = Dedup.dedupIndexTarget(sf)
+    val t = Dedup.dedupIndexTarget(spark, sf)
     val d = new java.io.File(t)
     if (d.exists()) rmAll(d)
     assert(!Warehouse.exists(spark, t))

@@ -34,4 +34,28 @@ class FallbackSpec extends SparkSpec {
       val got = fn(plain, sf).collect().map(_.toString).toSeq
       assert(got == want)
     }
+
+  test("vec_dot / vec_dist2 return NULL on ragged inputs, matching the HOF form") {
+    // ADVICE r6: the codegen path used to min-truncate mismatched lengths —
+    // a dimension-mismatch bug upstream yielded a plausible wrong score and
+    // the codegen/fallback paths diverged. Both now agree on NULL: zip_with
+    // null-pads the shorter side and `+ null` nulls the HOF aggregate.
+    import org.apache.spark.sql.functions.expr
+    val df = spark.range(1).select(
+      expr("array(1.0D, 2.0D)").as("a"),
+      expr("array(1.0D, 2.0D, 3.0D)").as("b"))
+    val custom = df.select(
+      expr("vec_dot(a, b)"), expr("vec_dist2(a, b)")).collect()(0)
+    assert(custom.isNullAt(0) && custom.isNullAt(1))
+    val hof = df.select(
+      expr("aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"),
+      expr("aggregate(zip_with(a, b, (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), 0D, (acc, v) -> acc + v)"))
+      .collect()(0)
+    assert(hof.isNullAt(0) && hof.isNullAt(1))
+    // equal lengths keep producing identical non-null values on both paths
+    val ok = spark.range(1).select(
+      expr("vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D))"),
+      expr("vec_dist2(array(1.0D, 2.0D), array(3.0D, 4.0D))")).collect()(0)
+    assert(ok.getDouble(0) == 11.0 && ok.getDouble(1) == 8.0)
+  }
 }

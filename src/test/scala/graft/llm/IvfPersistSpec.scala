@@ -47,7 +47,7 @@ class IvfPersistSpec extends SparkSpec {
   }
 
   test("ivfTrainedTopK publishes on first call and reuses the version after") {
-    val t = Similarity.centroidTarget(sf)
+    val t = Similarity.centroidTarget(spark, sf)
     val d = new java.io.File(t)
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rm)
