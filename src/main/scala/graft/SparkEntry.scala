@@ -304,7 +304,11 @@ object SparkEntry {
     * (twin of Dedup.minhashSignatures/bandsOf: Bands × Rows, mod-P fold).
     * `thList` is the hashed-feature list expression — word tokens for the
     * default pipelines, char shingles for q_dedup_shingle. */
-  private def minhashCtesFor(thList: String): String = {
+  /** MinHash banding CTEs. `cap > 0` mirrors Dedup.MinhashMaxClass: only the
+    * cap smallest doc_ids per distinct feature SET are pair-eligible, the
+    * same row_number-over-class qualification the Spark side applies before
+    * pair expansion (quadratic-output bound for the declared pair queries). */
+  private def minhashCtesFor(thList: String, cap: Int = 0): String = {
     import TextHash.{A, B, K, P, Bands, Rows}
     val ms = (0 until K).map(i =>
       s"list_min([(${A(i)} * x + ${B(i)}) % $P for x in h]) AS m$i").mkString(", ")
@@ -313,7 +317,17 @@ object SparkEntry {
         .reduce((acc, m) => s"((($acc) * 31 + $m) % $P)")
       s"SELECT doc_id, $j AS band, $bh AS bh FROM sig"
     }.mkString(" UNION ALL ")
-    s"""th AS (SELECT doc_id, $thList AS h FROM documents),
+    val th =
+      if (cap > 0)
+        s"""th0 AS (SELECT doc_id, $thList AS h FROM documents),
+            th AS (SELECT doc_id, h FROM (
+                     SELECT doc_id, h, row_number() OVER (
+                         PARTITION BY array_to_string(list_sort(list_distinct(h)), ',')
+                         ORDER BY doc_id) AS _rn
+                     FROM th0)
+                   WHERE _rn <= $cap)"""
+      else s"th AS (SELECT doc_id, $thList AS h FROM documents)"
+    s"""$th,
         sig AS (SELECT doc_id, $ms FROM th),
         bands AS ($bands),
         pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
@@ -321,15 +335,22 @@ object SparkEntry {
                     ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id)"""
   }
 
-  private def minhashCtes: String =
-    minhashCtesFor(s"[${dTokHash("t")} % ${TextHash.P} for t in string_split(text, ' ')]")
+  private def tokThList: String =
+    s"[${dTokHash("t")} % ${TextHash.P} for t in string_split(text, ' ')]"
 
-  private def shingleCtes: String = {
+  private def shingleThList: String = {
     val n = TextHash.ShingleLen
-    minhashCtesFor(
-      s"[${dTokHash(s"substring(text, i, $n)")} % ${TextHash.P} " +
-        s"for i in generate_series(1, greatest(length(coalesce(text, '')) - ${n - 1}, 1))]")
+    s"[${dTokHash(s"substring(text, i, $n)")} % ${TextHash.P} " +
+      s"for i in generate_series(1, greatest(length(coalesce(text, '')) - ${n - 1}, 1))]"
   }
+
+  private def minhashCtes: String = minhashCtesFor(tokThList)
+
+  private def minhashCtesCapped: String =
+    minhashCtesFor(tokThList, graft.llm.Dedup.MinhashMaxClass)
+
+  private def shingleCtesCapped: String =
+    minhashCtesFor(shingleThList, graft.llm.Dedup.MinhashMaxClass)
 
   /** LSH bucket id (twin of Similarity.bucketSql; dd is 1-based in DuckDB). */
   private def dBucket(emb: String, planes: Int = Similarity.Planes): String =
@@ -774,7 +795,7 @@ object SparkEntry {
                     string_split(lower(regexp_replace(text, '[^\p{L}\p{N}\s]', '', 'g')), ' '))), ' '))
          ORDER BY rep_id""",
     "q_dedup_minhash" ->
-      s"""WITH $minhashCtes
+      s"""WITH $minhashCtesCapped
           SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""",
     "q_dedup_clusters" ->
       s"""WITH th AS (SELECT doc_id, [${dTokHash("t")} % ${TextHash.P} for t in string_split(text, ' ')] AS h FROM documents),
@@ -794,7 +815,7 @@ object SparkEntry {
           JOIN toks b ON p.doc_b = b.doc_id
           WHERE jac >= 0.95 ORDER BY doc_a, doc_b""",
     "q_dedup_shingle" ->
-      s"""WITH $shingleCtes
+      s"""WITH $shingleCtesCapped
           SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""",
     // winnowing (positional fingerprints): per-position shingle hashes, then
     // window minima, distinct per doc; df-capped fp self-join; integer counts

@@ -1,0 +1,38 @@
+package graft
+
+/** Parallelism invariance as EVIDENCE, not argument (VERDICT r6 item 3):
+  * the engine's numeric discipline — scaled-BIGINT accumulators, decimal-
+  * staged sums, integer-only iteration — claims results are independent of
+  * how rows land in partitions. This spec re-runs the queries whose answers
+  * would drift first under float reassociation (the iterative/scaled-
+  * accumulator family) on a sibling session with `spark.sql.shuffle
+  * .partitions = 197` (co-prime to the pinned 4/32, so every exchange
+  * rehashes differently and partial aggregates combine in a different
+  * order) and asserts BYTE-IDENTICAL collected output. Each tested query
+  * ends in a total ordering, so row order cannot mask or fake a diff. */
+class ParallelismInvarianceSpec extends SparkSpec {
+
+  private lazy val wide = {
+    val p = spark.newSession()
+    p.conf.set("spark.sql.shuffle.partitions", "197")
+    assert(p.sessionState.conf.numShufflePartitions == 197)
+    p
+  }
+
+  for (q <- Seq(
+    "q_graph_pagerank",   // 5 integer fixed-point rounds over re-keyed state
+    "q_graph_triangles",  // orientation + adjacency intersection counts
+    "q_cluster_kmeans",   // Lloyd rounds with 2^48-scaled centroid sums
+    "q_cluster_sizes",    // decimal-staged inertia sum / exact counts
+    "q_embed_gram",       // d² scaled-BIGINT accumulators over all vectors
+    "q_table_checksum",   // order-free xor/sum digests per table
+    "q_agg_weighted_avg", // decimal-staged numerator/denominator
+    "q_agg_corr",         // scaled moments
+    "q_text_bpe_train"))  // iterative vocabulary-domain merge rounds
+    test(s"$q is byte-identical at shuffle.partitions=197") {
+      val fn = SparkEntry.queries(q)
+      val want = fn(spark, sf).collect().map(_.toString).toSeq
+      val got = fn(wide, sf).collect().map(_.toString).toSeq
+      assert(got == want)
+    }
+}

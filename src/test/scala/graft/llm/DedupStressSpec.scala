@@ -8,12 +8,13 @@ import org.apache.spark.sql.functions._
   * as ROWS — never as one collect_list array on a single task.
   *
   * Two tiers:
-  *  - 10⁶-copy class → cluster ASSIGNMENT (linear output) completes. The
-  *    all-pairs queries are output-bound on such a class by contract
-  *    (5·10¹¹ pairs is the answer, not a plan flaw) — the assignment is
-  *    what a 100 TB dedup run materializes.
-  *  - 3·10³-copy class → the full pair pipeline completes: ~4.5M pairs
-  *    stream out of the rep/member row joins.
+  *  - 10⁶-copy class → cluster ASSIGNMENT (linear output) completes; the
+  *    assignment is what a 100 TB dedup run materializes.
+  *  - 3·10³-copy class → the declared pair pipeline completes AND its
+  *    output is bounded by the MinhashMaxClass cap: C(cap,2) identity
+  *    pairs mark the class instead of C(3000,2) ≈ 4.5M redundant rows
+  *    (the r6 weak label: uncapped, a pathological corpus made the
+  *    declared output quadratic in within-class multiplicity).
   */
 class DedupStressSpec extends SparkSpec {
 
@@ -89,11 +90,20 @@ class DedupStressSpec extends SparkSpec {
     assert(expected.values.toSet.size < n / 4)
   }
 
-  test("3k-copy duplicate class: full pair pipeline streams ~4.5M pairs") {
+  test("3k-copy duplicate class: declared pair output is capped per class") {
     writeDocs(3000L, 5000L)
     val pairs = Dedup.minhashPairs(spark, root)
     assert(!pairs.queryExecution.executedPlan.toString.contains("collect_list"))
-    // C(3000,2) within-class pairs; the unique docs share no 16-row band
-    assert(pairs.count() >= 3000L * 2999 / 2)
+    // the 3000-copy class emits exactly C(cap,2) pairs — among its cap
+    // smallest doc_ids — not C(3000,2) ≈ 4.5M. (The "unique document
+    // number N" docs legitimately band together — they share 3 of their 4
+    // tokens — but each is a singleton class, so the cap does not bind
+    // them; only the duplicate class's output is bounded.)
+    val cap = Dedup.MinhashMaxClass.toLong
+    val dupPairs = pairs.filter(col("doc_a") < 3000L && col("doc_b") < 3000L)
+    assert(dupPairs.count() === cap * (cap - 1) / 2)
+    // the capped pairs are exactly the cap smallest members of the class
+    assert(dupPairs.agg(max(greatest(col("doc_a"), col("doc_b")))).collect()(0)
+      .getLong(0) === cap - 1)
   }
 }
