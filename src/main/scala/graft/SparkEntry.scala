@@ -53,6 +53,12 @@ object SparkEntry {
     "q_agg_groupby"        -> (Aggregates.groupBy _),
     "q_agg_distinct"       -> (Aggregates.distinctAgg _),
     "q_agg_approx_distinct" -> (Aggregates.approxDistinct _),
+    // oracle-visible accuracy gates for the 4 sketch queries (VERDICT r6
+    // item 7): the boolean within-tolerance verdict IS hash-checkable
+    "q_agg_approx_distinct_bound" -> (Aggregates.approxDistinctBound _),
+    "q_agg_sketch_merge_bound" -> (Aggregates.sketchMergeBound _),
+    "q_agg_percentile_approx_bound" -> (Aggregates.approxPercentilesBound _),
+    "q_active_users_sketch_bound" -> (Sessions.activeUsersSketchBound _),
     "q_agg_stats"          -> (Aggregates.stats _),
     "q_agg_percentile"     -> (Aggregates.percentiles _),
     "q_rollup"             -> (Aggregates.rollupAgg _),
@@ -1303,6 +1309,29 @@ object SparkEntry {
           SELECT CAST(t.day * 86400000 AS BIGINT) AS day_ms,
                  count(DISTINCT t.user_id) AS wau
           FROM t, mx WHERE t.day <= mx.mxd GROUP BY 1 ORDER BY 1""",
+    // sketch accuracy gates: the Spark side computes the within-tolerance
+    // verdict against the exact value; the oracle is the same group grid
+    // with literal TRUE — a drifting sketch now fails the hash compare
+    "q_agg_approx_distinct_bound" ->
+      """SELECT l_returnflag, true AS within_tol
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_agg_sketch_merge_bound" ->
+      """SELECT o_orderpriority, true AS within_tol
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_agg_percentile_approx_bound" ->
+      """SELECT o_orderstatus, true AS p50_within_rank_tol,
+                true AS p90_within_rank_tol
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q_active_users_sketch_bound" ->
+      """WITH du AS (SELECT DISTINCT user_id,
+                            CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day
+                     FROM events),
+          mx AS (SELECT max(day) AS mxd FROM du),
+          t AS (SELECT du.user_id, du.day + k.k AS day
+                FROM du, (SELECT unnest([0, 1, 2, 3, 4, 5, 6]) AS k) k)
+          SELECT DISTINCT CAST(t.day * 86400000 AS BIGINT) AS day_ms,
+                 true AS within_tol
+          FROM t, mx WHERE t.day <= mx.mxd ORDER BY day_ms""",
     // z-score over the gap-filled series: exact-BIGINT numerator and
     // radicand, then one cast each + one sqrt + one division — the
     // minimal float tail, same expression tree both engines

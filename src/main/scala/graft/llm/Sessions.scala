@@ -192,6 +192,18 @@ object Sessions {
       .orderBy("day_ms")
   }
 
+  /** Accuracy gate for `activeUsersSketch` (the q_agg_approx_distinct_bound
+    * pattern): per trailing window, the HLL union estimate vs the exact WAU
+    * within 5% (lgK=12 → rsd ≈1.6%; measured fixture error <1%). The oracle
+    * emits the same day grid with literal TRUE, so a drifting sketch fails
+    * the driver's hash gate mechanically. */
+  def activeUsersSketchBound(s: SparkSession, dir: String): DataFrame =
+    activeUsersSketch(s, dir).join(activeUsers(s, dir), "day_ms")
+      .select(col("day_ms"),
+        (abs(col("wau_est") - col("wau")).cast("double") <=
+          col("wau").cast("double") * 0.05).as("within_tol"))
+      .orderBy("day_ms")
+
   /** Hourly VOLUME ANOMALIES per event_type: z-score of each hour's count
     * against the type's own distribution, over the GAP-FILLED series
     * (silent hours are real zero observations — scoring only non-empty
