@@ -182,6 +182,63 @@ object StreamTwins {
       }
   }
 
+  /** Streaming twin of the hourly GAP-FILL (llm.Sessions.gapfill): per
+    * event_type, one row per hour — zero for silent hours — emitted as the
+    * watermark CLOSES each hour. A pure windowed aggregate cannot produce
+    * the zero rows (no input rows → no group), so the filler is a keyed
+    * flatMapGroupsWithState: state carries the next hour to emit plus the
+    * pending counts of still-open hours — BOUNDED by watermark-delay/hour
+    * + 1 entries per type, never corpus-sized — and each invocation (data
+    * or event-time timeout) drains every hour whose end the watermark has
+    * passed, in order. The timeout is what keeps a SILENT type emitting
+    * zeros as the watermark advances — the outage-visibility property the
+    * batch form only gets retrospectively (it truncates at the type's max
+    * hour; the stream keeps filling until the type is dropped, which is
+    * the correct live semantics). Drained ≡ batch on the batch's
+    * [min, max] hour domain, extras beyond it all-zero (StreamTwinsSpec).
+    * Counts are exact integers; emission order per type is by hour. */
+  case class GapEvent(event_type: String, tsc: java.sql.Timestamp)
+  case class GapState(nextHour: Long, pending: Map[Long, Long])
+  case class GapRow(event_type: String, hour_ms: Long, n: Long)
+
+  def gapfill(events: org.apache.spark.sql.Dataset[GapEvent]):
+      org.apache.spark.sql.Dataset[GapRow] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val Hour = 3600000L
+    events.withWatermark("tsc", "2 hours")
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (typ: String, it: Iterator[GapEvent], state: GroupState[GapState]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val st = state.getOption.getOrElse(GapState(-1L, Map.empty))
+          var pending = st.pending
+          it.foreach { e =>
+            val h = (e.tsc.getTime / Hour) * Hour
+            // h < nextHour would be a beyond-watermark late row — the
+            // watermark filter drops those before the operator; guard so a
+            // straggler can never resurrect an already-emitted hour
+            if (st.nextHour < 0L || h >= st.nextHour)
+              pending = pending.updated(h, pending.getOrElse(h, 0L) + 1L)
+          }
+          var next =
+            if (st.nextHour >= 0L) st.nextHour
+            else if (pending.nonEmpty) pending.keys.min
+            else -1L
+          val out = Seq.newBuilder[GapRow]
+          while (next >= 0L && next + Hour <= wm) {
+            out += GapRow(typ, next, pending.getOrElse(next, 0L))
+            pending -= next
+            next += Hour
+          }
+          state.update(GapState(next, pending))
+          // fire again when the next hour closes (loop exit guarantees
+          // next + Hour > wm, the EventTimeTimeout precondition)
+          if (next >= 0L) state.setTimeoutTimestamp(next + Hour)
+          out.result().iterator
+      }
+  }
+
   /** Streaming twin of last-touch attribution (llm.Sessions.attributionOf):
     * each purchase is credited to the user's most recent PRECEDING
     * non-purchase event. State is ONE (type, ts_ms, event_id) per user —

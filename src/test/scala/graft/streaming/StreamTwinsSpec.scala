@@ -196,6 +196,47 @@ class StreamTwinsSpec extends SparkSpec {
     assert(rows.exists { case (v, m, a) => v == 2.0 && m > 20 && !a }) // mean now includes 100
   }
 
+  test("streaming gap-fill emits zero rows for silent closed hours") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[(String, Timestamp)]
+    val events = mem.toDS().map(r => StreamTwins.GapEvent(r._1, r._2))
+    val q = StreamTwins.gapfill(events).writeStream
+      .format("memory").queryName("gap_out").outputMode("append").start()
+    // click: hours 00 (×2) and 03 — a two-hour silence between; view: 01
+    mem.addData(("click", ts("2024-01-01 00:10:00")),
+      ("click", ts("2024-01-01 00:40:00")),
+      ("view", ts("2024-01-01 01:20:00")),
+      ("click", ts("2024-01-01 03:30:00")))
+    q.processAllAvailable()
+    // flush batches: the sentinel advances the watermark to 04:00 (closing
+    // hours 00–03), then a second batch lets the EVENT-TIME TIMEOUTS fire
+    // for the silent click/view groups under that watermark
+    mem.addData(("zz_flush", ts("2024-01-01 06:00:00")))
+    q.processAllAvailable()
+    mem.addData(("zz_flush", ts("2024-01-01 06:30:00")))
+    q.processAllAvailable(); q.stop()
+    val base = ts("2024-01-01 00:00:00").getTime
+    def hr(k: Int): Long = base + k * 3600000L
+    val got = s.table("gap_out").filter(col("event_type") =!= "zz_flush")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // the batch form's domain: per type, [min, max] hour with zero fill
+    val want = Set(
+      ("click", hr(0), 2L), ("click", hr(1), 0L), ("click", hr(2), 0L),
+      ("click", hr(3), 1L), ("view", hr(1), 1L))
+    assert(want.subsetOf(got), s"missing batch-domain rows: ${want.diff(got)}")
+    // beyond each type's last event the stream keeps zero-filling until
+    // the watermark — the live outage signal the batch form cannot give;
+    // every extra row must be a zero for a CLOSED hour (wm = 04:30)
+    val extras = got.diff(want)
+    assert(extras.forall { case (_, h, n) => n == 0L && h < hr(4) },
+      s"unexpected non-zero or unclosed extras: $extras")
+    // view's silence after 01 is visible as explicit zeros
+    assert(extras.contains(("view", hr(2), 0L)) &&
+      extras.contains(("view", hr(3), 0L)))
+  }
+
   test("streaming last-touch attribution equals the batch window form when drained") {
     val s = spark
     import s.implicits._
