@@ -122,6 +122,35 @@ object ScaleBench {
       println(f"[scalebench] events m=$m%-3d events=$nEv%-8d sessionize=$tSess%.2f s band_join=$tBand%.2f s")
     }
 
+    // ——— report family at m× FACT rows (orderkey offsets; dimensions
+    //     fixed — the realistic 100 TB growth direction). The two shapes
+    //     that carry whole-partition windows: blame_supplier (Q21) runs
+    //     BOTH existence tests as window counts over ONE orderkey
+    //     exchange; excess_supp (Q20) runs a per-(part,supp) rollup plus
+    //     one partkey window. Orderkey offsets keep per-order group sizes
+    //     fixture-bounded, so both must be LINEAR in lineitem. ———
+    val li0 = Tables.t(spark, dir, "lineitem")
+    val or0 = Tables.t(spark, dir, "orders")
+    val maxOrd = or0.agg(max("o_orderkey")).collect()(0).getLong(0) + 1L
+    for (m <- mults) {
+      val dirM = s"${sys.props("java.io.tmpdir")}/graft_scalebench/reports_$m"
+      (0 until m).map(i =>
+        li0.withColumn("l_orderkey", col("l_orderkey") + lit(i * maxOrd)))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$dirM/lineitem.parquet")
+      (0 until m).map(i =>
+        or0.withColumn("o_orderkey", col("o_orderkey") + lit(i * maxOrd)))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$dirM/orders.parquet")
+      for (tb <- Seq("part", "supplier", "nation"))
+        Tables.t(spark, dir, tb)
+          .write.mode("overwrite").parquet(s"$dirM/$tb.parquet")
+      val nL = spark.read.parquet(s"$dirM/lineitem.parquet").count()
+      val tBlame = med(graft.ops.Joins.blameSupplier(spark, dirM).count())
+      val tExcess = med(graft.ops.Reports.excessSupplier(spark, dirM).count())
+      println(f"[scalebench] report m=$m%-3d lineitem=$nL%-9d blame_supplier=$tBlame%.2f s excess_supp=$tExcess%.2f s")
+    }
+
     // ——— BPE corpus pass vs round cost ———
     // (mirrors TextAnalysis.bpeTrain's vocabulary build and round 1)
     val d0 = Tables.t(spark, dir, "documents").select("doc_id", "text")
