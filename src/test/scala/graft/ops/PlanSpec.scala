@@ -259,6 +259,9 @@ class PlanSpec extends SparkSpec {
     val scalarAggs = Set("q_join_anti_null", "q_stats_profile", "q_stats_skew",
       "q_text_tfidf", "q_sample_temperature", "q_quality_threshold",
       "q_active_users", "q_active_users_sketch", "q_stats_drift", "q_dq_audit",
+      // q_active_users_sketch_bound composes the two queries above — same
+      // 1-row global max(day) broadcast on each side
+      "q_active_users_sketch_bound",
       "q_agg_revenue_slice", "q_join_promo_share", "q_event_rfm",
       // q_sample_target_mix: the corpus total is the same 1-row broadcast
       // as q_sample_temperature's min
