@@ -112,6 +112,11 @@ object SparkEntry {
     "q_sim_lsh_multiprobe" -> (Similarity.lshMultiProbeTopK _),
     "q_sim_ivf"            -> (Similarity.ivfTopK _),
     "q_sim_ivf_trained"    -> (Similarity.ivfTrainedTopK _),
+    // product quantization: trained 4-bit codebooks + ADC lookup scoring —
+    // the 64x-compressed serve path of the ANN family (llm/Pq)
+    "q_sim_pq_codes"       -> (graft.llm.Pq.codes _),
+    "q_sim_pq_topk"        -> (graft.llm.Pq.adcTopK _),
+    "q_sim_pq_rerank"      -> (graft.llm.Pq.rerankTopK _),
     "q_array_funcs"        -> (Similarity.arrayFuncs _),
     "q_text_tokens"        -> (TextAnalysis.termFreq _),
     "q_text_stats"         -> (TextAnalysis.stats _),
@@ -426,6 +431,45 @@ object SparkEntry {
               JOIN q ON q.q_id = p.q_id),
         r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS "rank" FROM c)
         SELECT q_id, n_id, cos, "rank" FROM r WHERE "rank" <= 10 ORDER BY q_id, "rank""""
+  }
+
+  /** Shared PQ CTEs (DuckDB twin of graft.llm.Pq): psv (all M subvectors)
+    * → pc0 (seed = first K vectors' subvectors) → per-iteration
+    * assign/scaled-recenter/coalesce → pcf (final codebooks) → pcd (codes).
+    * Same unrolled-Lloyd structure as ivfTrainedSql, euclidean on
+    * subvectors, ties to the lower code. */
+  private def pqCtes: String = {
+    import graft.llm.Pq.{M, SubDim => D, K, Iters}
+    val S = Similarity.MeanScale
+    val iters = (1 to Iters).map { i =>
+      val prev = s"pc${i - 1}"
+      s"""pr$i AS (SELECT s.vec_id, s.m, s.sv, c.code,
+                 row_number() OVER (PARTITION BY s.vec_id, s.m
+                   ORDER BY ${dDist2("s.sv", "c.csv")}, c.code) AS rn
+          FROM psv s JOIN $prev c ON c.m = s.m),
+          pa$i AS (SELECT vec_id, m, sv, code FROM pr$i WHERE rn = 1),
+          ps$i AS (SELECT m, code, d, SUM(CAST(sv[d] * $S AS BIGINT)) AS sm,
+                          COUNT(*) AS n
+                   FROM pa$i, generate_series(1, $D) AS g(d) GROUP BY 1, 2, 3),
+          pu$i AS (SELECT m, code, list(CAST(CAST(sm AS VARCHAR) AS DOUBLE)
+                          / (CAST(n AS DOUBLE) * $S) ORDER BY d) AS csv
+                   FROM ps$i GROUP BY 1, 2),
+          pc$i AS (SELECT p.m, p.code, COALESCE(u.csv, p.csv) AS csv
+                   FROM $prev p LEFT JOIN pu$i u USING (m, code))"""
+    }.mkString(",\n")
+    s"""psv AS (SELECT vec_id, m,
+                 [CAST(embedding[m * $D + j] AS DOUBLE)
+                  for j in generate_series(1, $D)] AS sv
+               FROM embeddings, generate_series(0, ${M - 1}) AS gm(m)),
+        pc0 AS (SELECT m, vec_id AS code, sv AS csv FROM psv WHERE vec_id < $K),
+        $iters,
+        pcf AS (SELECT m, code, csv FROM pc$Iters),
+        pcd AS (SELECT vec_id, m, code FROM (
+                  SELECT s.vec_id, s.m, c.code,
+                         row_number() OVER (PARTITION BY s.vec_id, s.m
+                           ORDER BY ${dDist2("s.sv", "c.csv")}, c.code) AS rn
+                  FROM psv s JOIN pcf c ON c.m = s.m)
+                WHERE rn = 1)"""
   }
 
   private def lexList(l: String): String =
@@ -1122,6 +1166,49 @@ object SparkEntry {
           r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS "rank" FROM c)
           SELECT q_id, n_id, cos, "rank" FROM r WHERE "rank" <= 10 ORDER BY q_id, "rank"""",
     "q_sim_ivf_trained" -> ivfTrainedSql,
+    "q_sim_pq_codes" ->
+      s"""WITH $pqCtes
+          SELECT vec_id, array_to_string(list(code ORDER BY m), ',') AS codes
+          FROM pcd GROUP BY vec_id ORDER BY vec_id""",
+    "q_sim_pq_topk" ->
+      s"""WITH $pqCtes,
+          pqq AS (SELECT vec_id AS q_id, m, sv AS qsv FROM psv
+                  WHERE vec_id < ${graft.llm.Pq.NQueries}),
+          plut AS (SELECT q.q_id, c.m, c.code, ${dDist2("q.qsv", "c.csv")} AS pd
+                   FROM pqq q JOIN pcf c ON c.m = q.m),
+          pe AS (SELECT l.q_id, cd.vec_id AS n_id,
+                        list_sum(list(l.pd ORDER BY l.m)) AS est_d2
+                 FROM pcd cd JOIN plut l ON l.m = cd.m AND l.code = cd.code
+                 WHERE l.q_id <> cd.vec_id
+                 GROUP BY 1, 2),
+          prk AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+                    ORDER BY est_d2, n_id) AS BIGINT) AS "rank" FROM pe)
+          SELECT q_id, n_id, est_d2, "rank" FROM prk
+          WHERE "rank" <= 10 ORDER BY q_id, "rank"""",
+    "q_sim_pq_rerank" ->
+      s"""WITH $pqCtes,
+          pqq AS (SELECT vec_id AS q_id, m, sv AS qsv FROM psv
+                  WHERE vec_id < ${graft.llm.Pq.NQueries}),
+          plut AS (SELECT q.q_id, c.m, c.code, ${dDist2("q.qsv", "c.csv")} AS pd
+                   FROM pqq q JOIN pcf c ON c.m = q.m),
+          pe AS (SELECT l.q_id, cd.vec_id AS n_id,
+                        list_sum(list(l.pd ORDER BY l.m)) AS est_d2
+                 FROM pcd cd JOIN plut l ON l.m = cd.m AND l.code = cd.code
+                 WHERE l.q_id <> cd.vec_id
+                 GROUP BY 1, 2),
+          psl AS (SELECT q_id, n_id FROM (
+                    SELECT *, row_number() OVER (PARTITION BY q_id
+                      ORDER BY est_d2, n_id) AS rn FROM pe)
+                  WHERE rn <= ${graft.llm.Pq.Shortlist}),
+          pre AS (SELECT s.q_id, s.n_id,
+                         ${dDist2("qq.embedding", "nn.embedding")} AS d2
+                  FROM psl s
+                  JOIN embeddings qq ON qq.vec_id = s.q_id
+                  JOIN embeddings nn ON nn.vec_id = s.n_id),
+          prr AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+                    ORDER BY d2, n_id) AS BIGINT) AS "rank" FROM pre)
+          SELECT q_id, n_id, d2, "rank" FROM prr
+          WHERE "rank" <= 10 ORDER BY q_id, "rank"""",
     "q_array_funcs" ->
       """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS n,
                 CAST(embedding[1] AS DOUBLE) AS e0,

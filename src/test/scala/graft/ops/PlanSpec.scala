@@ -236,7 +236,10 @@ class PlanSpec extends SparkSpec {
     // q_cluster_kmeans / q_cluster_sizes: the same d=64-bounded centroid
     // reassembly as q_sim_ivf_trained (Clustering.recenter).
     val boundedArrays = Set("q_sim_ivf_trained", "q_stats_drift",
-      "q_graph_triangles", "q_cluster_kmeans", "q_cluster_sizes")
+      "q_graph_triangles", "q_cluster_kmeans", "q_cluster_sizes",
+      // PQ: every collect_list is bounded by the constant M (8 subspace
+      // codes / partial distances) or SubDim (8 recenter means)
+      "q_sim_pq_codes", "q_sim_pq_topk", "q_sim_pq_rerank")
     // allowlisted: global SCALAR aggregates (3 labeled counts / one stats
     // row) — the final agg is one row per upstream partition into a 1-row
     // result, after map-side partial aggregation; the single partition
