@@ -128,6 +128,9 @@ object SparkEntry {
     "q_multimodal_decode"  -> (graft.multimodal.Multimodal.decodeStats _),
     "q_multimodal_resize"  -> (graft.multimodal.Multimodal.resizeStats _),
     "q_multimodal_frames"  -> (graft.multimodal.Multimodal.frameStats _),
+    // image-modality near-dup: perceptual hash + banded hamming pairs
+    "q_multimodal_phash"   -> (graft.multimodal.Multimodal.phashStats _),
+    "q_multimodal_dedup"   -> (graft.multimodal.Multimodal.phashPairs _),
     "q_sessionize"         -> (Sessions.sessionize _),
     "q_event_funnel"       -> (Sessions.funnel _),
     "q_event_paths"        -> (Sessions.eventPaths _),
@@ -431,6 +434,33 @@ object SparkEntry {
               JOIN q ON q.q_id = p.q_id),
         r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS "rank" FROM c)
         SELECT q_id, n_id, cos, "rank" FROM r WHERE "rank" <= 10 ORDER BY q_id, "rank""""
+  }
+
+  /** Shared perceptual-hash CTEs (twin of Multimodal.phashOf): per media
+    * row, 60 window-mean-vs-global-mean bits over the ASCII byte plane —
+    * all-integer, division-free (ws·n > total·wl), so every bit matches.
+    * DuckDB list slices are 1-based inclusive-end: window [st, en) maps to
+    * bs[st+1 : en]; `//` keeps the bound arithmetic integral; the final
+    * sum casts HUGEINT → BIGINT for the dtype-representation check. */
+  private def phashCtes: String = {
+    val B = graft.multimodal.Multimodal.PhashBits
+    s"""m AS (SELECT doc_id AS media_id,
+                     ['image','audio','video'][(doc_id % 3) + 1] AS kind, text
+              FROM documents),
+        bb AS (SELECT media_id, kind,
+                      [ascii(substr(text, i, 1))
+                       for i in generate_series(1, length(text))] AS bs
+               FROM m),
+        ph AS (SELECT media_id, kind,
+                 CAST(list_sum([CASE WHEN
+                     COALESCE(list_sum(bs[CAST(i * len(bs) // $B AS BIGINT) + 1
+                                          : CAST((i + 1) * len(bs) // $B AS BIGINT)]), 0)
+                       * len(bs)
+                     > COALESCE(list_sum(bs), 0)
+                       * ((i + 1) * len(bs) // $B - i * len(bs) // $B)
+                   THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END
+                   for i in generate_series(0, ${B - 1})]) AS BIGINT) AS phash
+               FROM bb)"""
   }
 
   /** Shared PQ CTEs (DuckDB twin of graft.llm.Pq): psv (all M subvectors)
@@ -1277,6 +1307,25 @@ object SparkEntry {
                  CAST(COALESCE(list_sum([$cntD for p in pieces]), 0) AS BIGINT) AS n_bpe_tokens,
                  array_to_string([$tokD for p in pieces], ' ') AS bpe_text
           FROM x ORDER BY doc_id"""
+    },
+    "q_multimodal_phash" ->
+      s"""WITH $phashCtes
+          SELECT media_id, kind, phash FROM ph ORDER BY media_id""",
+    "q_multimodal_dedup" -> {
+      import graft.multimodal.Multimodal.{PhashBands, PhashBits, PhashHamMax}
+      val bandBits = PhashBits / PhashBands
+      val mask = (1L << bandBits) - 1
+      s"""WITH $phashCtes,
+          bands AS (SELECT media_id, phash, g.b AS band,
+                           (phash >> (g.b * $bandBits)) & $mask AS bh
+                    FROM ph, generate_series(0, ${PhashBands - 1}) AS g(b)),
+          pr AS (SELECT DISTINCT x.media_id AS media_a, y.media_id AS media_b,
+                        CAST(bit_count(xor(x.phash, y.phash)) AS BIGINT) AS dist
+                 FROM bands x JOIN bands y
+                   ON x.band = y.band AND x.bh = y.bh
+                      AND x.media_id < y.media_id)
+          SELECT media_a, media_b, dist FROM pr
+          WHERE dist <= $PhashHamMax ORDER BY media_a, media_b"""
     },
     "q_multimodal_decode" ->
       """WITH m AS (SELECT doc_id AS media_id,

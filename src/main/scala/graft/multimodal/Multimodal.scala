@@ -135,4 +135,80 @@ object Multimodal {
   def frameStats(spark: SparkSession, dir: String): DataFrame =
     sampleFrames(decode(mediaTable(spark, dir)), 8)
       .orderBy("media_id", "frame_idx")
+
+  /** Perceptual-hash bits (60, the SimHash width — bit 63 would need
+    * two's-complement shift agreement across engines; 60 avoids it). */
+  val PhashBits = 60
+  /** LSH bands over the hash for the near-dup pair join: 4 × 15 bits. */
+  val PhashBands = 4
+  /** Max hamming distance for a reported near-dup pair. */
+  val PhashHamMax = 3
+
+  /** Average-hash (aHash) over the payload — the classic image
+    * perceptual fingerprint (per-block mean vs global mean), on the stub's
+    * byte plane: bit i covers window [i·n/60, (i+1)·n/60) and is set iff
+    * the window's byte mean exceeds the global mean. INTEGER-ONLY compare
+    * (ws·n > total·wl — division-free, exact at any payload size), so the
+    * DuckDB twin reproduces every bit. A real codec would feed the decoded
+    * luma plane through the same windowing; only this function changes. */
+  def phashOf(payload: Array[Byte]): Long = {
+    val n = payload.length
+    var total = 0L
+    var j = 0
+    while (j < n) { total += (payload(j) & 0xff); j += 1 }
+    var h = 0L
+    var i = 0
+    while (i < PhashBits) {
+      val st = (i.toLong * n / PhashBits).toInt
+      val en = ((i + 1).toLong * n / PhashBits).toInt
+      var ws = 0L
+      j = st
+      while (j < en) { ws += (payload(j) & 0xff); j += 1 }
+      if (ws * n > total * (en - st)) h |= (1L << i)
+      i += 1
+    }
+    h
+  }
+
+  /** A fingerprinted media row. */
+  case class Phashed(media_id: Long, kind: String, phash: Long)
+
+  /** Fingerprint stage: same partition-wise batch shape as `decode` (codec
+    * init once per partition; narrow, no shuffle). */
+  def phash(media: Dataset[MediaRow]): Dataset[Phashed] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(r => Phashed(r.media_id, r.kind, phashOf(r.payload))))
+  }
+
+  /** q_multimodal_phash: the per-media fingerprint table — what an image
+    * dedup pipeline persists (8 bytes per media item). */
+  def phashStats(spark: SparkSession, dir: String): DataFrame =
+    phash(mediaTable(spark, dir)).toDF()
+      .select("media_id", "kind", "phash")
+      .orderBy("media_id")
+
+  /** q_multimodal_dedup: near-duplicate MEDIA pairs — hamming ≤ 3 on the
+    * perceptual hash, candidates blocked by 15-bit LSH bands (the
+    * q_dedup_simhash_pairs machinery on the image modality: a hamming-≤3
+    * pair agrees exactly on ≥1 of 4 bands, so the equi-join finds every
+    * true pair and the quadratic term is bounded per band bucket). This
+    * completes near-dup detection across the three modalities: token sets
+    * (minhash), embeddings (cosine LSH), media payloads (phash). */
+  def phashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val bandBits = PhashBits / PhashBands
+    val mask = (1L << bandBits) - 1
+    val p = phash(mediaTable(spark, dir)).toDF()
+    val bands = p.select(col("media_id"), col("phash"),
+      explode(expr(s"transform(sequence(0, ${PhashBands - 1}), " +
+        s"b -> struct(b AS band, shiftright(phash, b * $bandBits) & $mask AS bh))")).as("t"))
+      .select(col("media_id"), col("phash"), col("t.band").as("band"), col("t.bh").as("bh"))
+    bands.alias("x").join(bands.alias("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("media_a"), col("y.media_id").as("media_b"),
+        expr("CAST(bit_count(x.phash ^ y.phash) AS BIGINT)").as("dist"))
+      .distinct()
+      .filter(col("dist") <= PhashHamMax)
+      .orderBy("media_a", "media_b")
+  }
 }
