@@ -35,4 +35,22 @@ class ParallelismInvarianceSpec extends SparkSpec {
       val got = fn(wide, sf).collect().map(_.toString).toSeq
       assert(got == want)
     }
+
+  // AQE re-plans at runtime (coalesced partitions, join-strategy swaps,
+  // skew splits) — a second axis along which a float-order-sensitive plan
+  // would drift. Same queries, AQE off, byte-identical output.
+  private lazy val noAqe = {
+    val p = spark.newSession()
+    p.conf.set("spark.sql.adaptive.enabled", "false")
+    p
+  }
+
+  for (q <- Seq("q_graph_pagerank", "q_cluster_kmeans", "q_embed_gram",
+    "q_table_checksum", "q_agg_weighted_avg"))
+    test(s"$q is byte-identical with AQE disabled") {
+      val fn = SparkEntry.queries(q)
+      val want = fn(spark, sf).collect().map(_.toString).toSeq
+      val got = fn(noAqe, sf).collect().map(_.toString).toSeq
+      assert(got == want)
+    }
 }
