@@ -122,6 +122,25 @@ object ScaleBench {
       println(f"[scalebench] events m=$m%-3d events=$nEv%-8d sessionize=$tSess%.2f s band_join=$tBand%.2f s")
     }
 
+    // ——— PQ at m× vectors (vec_id offsets keep the seed/query ids in
+    //     copy 0): training is one corpus scan per Lloyd round regardless
+    //     of the M subspaces, encode is one broadcast-join map pass, ADC
+    //     is the N·M·Q lookup join — all three must be linear. ———
+    val emb0 = Tables.t(spark, dir, "embeddings")
+    val maxVec = emb0.agg(max("vec_id")).collect()(0).getLong(0) + 1L
+    for (m <- mults) {
+      val dirM = s"${sys.props("java.io.tmpdir")}/graft_scalebench/pq_$m"
+      (0 until m).map(i =>
+        emb0.withColumn("vec_id", col("vec_id") + lit(i * maxVec)))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$dirM/embeddings.parquet")
+      val nV = spark.read.parquet(s"$dirM/embeddings.parquet").count()
+      val tTrain = med(graft.llm.Pq.trainBooks(spark, dirM).count())
+      val tCodes = med(graft.llm.Pq.codes(spark, dirM).count())
+      val tAdc = med(graft.llm.Pq.adcTopK(spark, dirM).count())
+      println(f"[scalebench] pq     m=$m%-3d vectors=$nV%-8d train=$tTrain%.2f s encode=$tCodes%.2f s adc=$tAdc%.2f s")
+    }
+
     // ——— report family at m× FACT rows (orderkey offsets; dimensions
     //     fixed — the realistic 100 TB growth direction). The two shapes
     //     that carry whole-partition windows: blame_supplier (Q21) runs
