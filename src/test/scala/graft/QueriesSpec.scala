@@ -6,8 +6,10 @@ package graft
 class QueriesSpec extends SparkSpec {
 
   // approximate/bucketed queries may legitimately find nothing at tiny SF
+  // (q_multimodal_dedup: the fixture media are all genuinely distinct — its
+  // 0 rows is the TRUE hamming-<=3 answer; PhashSpec pins the positives)
   private val mayBeEmpty = Set("q_sim_lsh", "q_dedup_embed", "q_dedup_jaccard",
-    "q_dedup_minhash", "q_dedup_simhash_pairs")
+    "q_dedup_minhash", "q_dedup_simhash_pairs", "q_multimodal_dedup")
 
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
