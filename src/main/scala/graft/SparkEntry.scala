@@ -1113,9 +1113,14 @@ object SparkEntry {
           SELECT doc_id, simhash FROM sh ORDER BY doc_id""",
     "q_dedup_simhash_pairs" -> {
       val chunks = (0 until 4).map(j =>
-        s"SELECT doc_id, simhash, $j AS ck, (simhash >> ${15 * j}) & 32767 AS cv FROM sh")
+        s"SELECT doc_id, simhash, $j AS ck, (simhash >> ${15 * j}) & 32767 AS cv FROM se")
         .mkString(" UNION ALL ")
       s"""WITH $simhashCtes,
+          se AS (SELECT doc_id, simhash FROM (
+                   SELECT doc_id, simhash, row_number() OVER (
+                       PARTITION BY simhash ORDER BY doc_id) AS _rn
+                   FROM sh)
+                 WHERE _rn <= ${graft.llm.Dedup.MinhashMaxClass}),
           chunks AS ($chunks),
           cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
                           CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS dist

@@ -451,6 +451,11 @@ object Dedup {
     val members = sigs
       .withColumn("nm", count(lit(1)).over(w))
       .withColumn("rn", row_number().over(w.orderBy("doc_id")))
+      // the MinhashMaxClass discipline, applied to signature classes: only
+      // the cap smallest doc_ids per distinct signature are pair-eligible,
+      // so the declared pair output stays LINEAR under duplication (the
+      // DuckDB twin mirrors the qualification)
+      .filter(col("rn") <= MinhashMaxClass)
     val ex = members.filter(col("nm") > 1).select("simhash", "doc_id")
     val same = ex.alias("p").join(ex.alias("q"),
         col("p.simhash") === col("q.simhash") && col("p.doc_id") < col("q.doc_id"))
