@@ -1321,9 +1321,14 @@ object SparkEntry {
       val bandBits = PhashBits / PhashBands
       val mask = (1L << bandBits) - 1
       s"""WITH $phashCtes,
+          phe AS (SELECT media_id, phash FROM (
+                    SELECT media_id, phash, row_number() OVER (
+                        PARTITION BY phash ORDER BY media_id) AS _rn
+                    FROM ph)
+                  WHERE _rn <= ${graft.llm.Dedup.MinhashMaxClass}),
           bands AS (SELECT media_id, phash, g.b AS band,
                            (phash >> (g.b * $bandBits)) & $mask AS bh
-                    FROM ph, generate_series(0, ${PhashBands - 1}) AS g(b)),
+                    FROM phe, generate_series(0, ${PhashBands - 1}) AS g(b)),
           pr AS (SELECT DISTINCT x.media_id AS media_a, y.media_id AS media_b,
                         CAST(bit_count(xor(x.phash, y.phash)) AS BIGINT) AS dist
                  FROM bands x JOIN bands y

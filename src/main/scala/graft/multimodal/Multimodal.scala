@@ -197,7 +197,17 @@ object Multimodal {
   def phashPairs(spark: SparkSession, dir: String): DataFrame = {
     val bandBits = PhashBits / PhashBands
     val mask = (1L << bandBits) - 1
+    // the Dedup.MinhashMaxClass discipline on hash classes: only the cap
+    // smallest media per IDENTICAL hash are pair-eligible, so an m-fold
+    // re-uploaded image emits C(cap,2) distance-0 pairs, not C(m,2) —
+    // every declared pair query in the engine is linear under duplication
+    // (DuckDB twin mirrors the qualification)
     val p = phash(mediaTable(spark, dir)).toDF()
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("phash").orderBy("media_id")))
+      .filter(col("rn") <= graft.llm.Dedup.MinhashMaxClass)
+      .drop("rn")
     val bands = p.select(col("media_id"), col("phash"),
       explode(expr(s"transform(sequence(0, ${PhashBands - 1}), " +
         s"b -> struct(b AS band, shiftright(phash, b * $bandBits) & $mask AS bh))")).as("t"))
