@@ -27,7 +27,9 @@ class DedupStressSpec extends SparkSpec {
     val uniq = spark.range(copies, copies + distinct).select(
       col("id").as("doc_id"),
       concat(lit("unique document number "), col("id").cast("string")).as("text"))
-    dup.unionByName(uniq).write.mode("overwrite").parquet(s"$root/documents.parquet")
+    dup.unionByName(uniq)
+      .withColumn("source", lit("stress")) // mediaTable reads it
+      .write.mode("overwrite").parquet(s"$root/documents.parquet")
   }
 
   test("10^6-copy duplicate class: cluster assignment completes, no collect_list") {
@@ -105,5 +107,22 @@ class DedupStressSpec extends SparkSpec {
     // the capped pairs are exactly the cap smallest members of the class
     assert(dupPairs.agg(max(greatest(col("doc_a"), col("doc_b")))).collect()(0)
       .getLong(0) === cap - 1)
+  }
+
+  test("3k-copy duplicate class: simhash pair output is capped the same way") {
+    writeDocs(3000L, 5000L)
+    val cap = Dedup.MinhashMaxClass.toLong
+    val dup = Dedup.simhashPairs(spark, root)
+      .filter(col("doc_a") < 3000L && col("doc_b") < 3000L)
+    assert(dup.count() === cap * (cap - 1) / 2)
+    assert(dup.filter(col("dist") =!= 0L).count() === 0L)
+  }
+
+  test("3k-copy duplicate media: phash pair output is capped the same way") {
+    writeDocs(3000L, 5000L)
+    val cap = Dedup.MinhashMaxClass.toLong
+    val dup = graft.multimodal.Multimodal.phashPairs(spark, root)
+      .filter(col("media_a") < 3000L && col("media_b") < 3000L)
+    assert(dup.count() === cap * (cap - 1) / 2)
   }
 }
