@@ -117,6 +117,10 @@ object SparkEntry {
     "q_sim_pq_codes"       -> (graft.llm.Pq.codes _),
     "q_sim_pq_topk"        -> (graft.llm.Pq.adcTopK _),
     "q_sim_pq_rerank"      -> (graft.llm.Pq.rerankTopK _),
+    // binary quantization: centered sign-bit signatures (8 bytes/vector,
+    // 32x) + Hamming shortlist, exact re-rank of the shortlist (llm/Binary)
+    "q_sim_binary_codes"   -> (graft.llm.Binary.codes _),
+    "q_sim_binary_topk"    -> (graft.llm.Binary.topK _),
     "q_array_funcs"        -> (Similarity.arrayFuncs _),
     "q_text_tokens"        -> (TextAnalysis.termFreq _),
     "q_text_stats"         -> (TextAnalysis.stats _),
@@ -500,6 +504,32 @@ object SparkEntry {
                            ORDER BY ${dDist2("s.sv", "c.csv")}, c.code) AS rn
                   FROM psv s JOIN pcf c ON c.m = s.m)
                 WHERE rn = 1)"""
+  }
+
+  /** Shared binary-quantization CTEs ending in bsig(vec_id, h0, h1) — twin
+    * of Binary.signed: scaled-BIGINT per-dimension means (the q_embed_mean
+    * discipline, tie-free), then one centered sign bit per dimension packed
+    * into two 32-bit halves (no engine shifts into a 64-bit sign bit —
+    * DuckDB raises on BIGINT overflow where two's-complement would wrap). */
+  private def binaryCtes: String = {
+    val S = Similarity.MeanScale
+    val H = graft.llm.Binary.HalfBits
+    def half(off: Int) =
+      s"""CAST(list_sum([CASE WHEN CAST(embedding[i + ${off + 1}] AS DOUBLE)
+                                   > mu[i + ${off + 1}]
+                              THEN CAST(1 AS BIGINT) << i
+                              ELSE CAST(0 AS BIGINT) END
+                         for i in generate_series(0, ${H - 1})]) AS BIGINT)"""
+    s"""bx AS (SELECT unnest(generate_series(1, len(embedding))) - 1 AS i,
+                unnest([CAST(CAST(e AS DOUBLE) * $S.0 AS BIGINT)
+                        for e in embedding]) AS sx
+              FROM embeddings),
+        bg AS (SELECT i, CAST(SUM(sx) AS BIGINT) AS ssx, count(*) AS n
+               FROM bx GROUP BY 1),
+        bmu AS (SELECT list(CAST(ssx AS DOUBLE) / (CAST(n AS DOUBLE) * $S.0)
+                  ORDER BY i) AS mu FROM bg),
+        bsig AS (SELECT vec_id, ${half(0)} AS h0, ${half(H)} AS h1
+                 FROM embeddings, bmu)"""
   }
 
   private def lexList(l: String): String =
@@ -1243,6 +1273,31 @@ object SparkEntry {
           prr AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
                     ORDER BY d2, n_id) AS BIGINT) AS "rank" FROM pre)
           SELECT q_id, n_id, d2, "rank" FROM prr
+          WHERE "rank" <= 10 ORDER BY q_id, "rank"""",
+    "q_sim_binary_codes" ->
+      s"""WITH $binaryCtes
+          SELECT vec_id, h0, h1 FROM bsig ORDER BY vec_id""",
+    "q_sim_binary_topk" ->
+      s"""WITH $binaryCtes,
+          bq AS (SELECT vec_id AS q_id, h0 AS q0, h1 AS q1 FROM bsig
+                 WHERE vec_id < ${graft.llm.Binary.NQueries}),
+          bham AS (SELECT q.q_id, s.vec_id AS n_id,
+                          CAST(bit_count(xor(s.h0, q.q0))
+                             + bit_count(xor(s.h1, q.q1)) AS BIGINT) AS hd
+                   FROM bsig s JOIN bq q ON s.vec_id <> q.q_id),
+          bsl AS (SELECT q_id, n_id, hd FROM (
+                    SELECT *, row_number() OVER (PARTITION BY q_id
+                      ORDER BY hd, n_id) AS rn FROM bham)
+                  WHERE rn <= ${graft.llm.Binary.Shortlist}),
+          bre AS (SELECT s.q_id, s.n_id, s.hd,
+                         ${dDot("qq.embedding", "nn.embedding")}
+                           / (${dNorm("qq.embedding")} * ${dNorm("nn.embedding")}) AS cos
+                  FROM bsl s
+                  JOIN embeddings qq ON qq.vec_id = s.q_id
+                  JOIN embeddings nn ON nn.vec_id = s.n_id),
+          brr AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+                    ORDER BY cos DESC, n_id) AS BIGINT) AS "rank" FROM bre)
+          SELECT q_id, n_id, hd, cos, "rank" FROM brr
           WHERE "rank" <= 10 ORDER BY q_id, "rank"""",
     "q_array_funcs" ->
       """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS n,
