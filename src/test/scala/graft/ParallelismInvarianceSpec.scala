@@ -28,6 +28,7 @@ class ParallelismInvarianceSpec extends SparkSpec {
     "q_table_checksum",   // order-free xor/sum digests per table
     "q_agg_weighted_avg", // decimal-staged numerator/denominator
     "q_agg_corr",         // scaled moments
+    "q_sim_binary_codes", // sign bits against scaled-BIGINT per-dim means
     "q_text_bpe_train"))  // iterative vocabulary-domain merge rounds
     test(s"$q is byte-identical at shuffle.partitions=197") {
       val fn = SparkEntry.queries(q)
