@@ -139,6 +139,13 @@ object ScaleBench {
       val tCodes = med(graft.llm.Pq.codes(spark, dirM).count())
       val tAdc = med(graft.llm.Pq.adcTopK(spark, dirM).count())
       println(f"[scalebench] pq     m=$m%-3d vectors=$nV%-8d train=$tTrain%.2f s encode=$tCodes%.2f s adc=$tAdc%.2f s")
+      // binary signatures over the same replicated corpus: encode is the
+      // d-row mean statistic + one sign/pack map pass; the serve is the
+      // Q×N two-popcount scan + Q·Shortlist exact re-rank — both must be
+      // linear in N with the query count fixed.
+      val tBinCodes = med(graft.llm.Binary.codes(spark, dirM).count())
+      val tBinTopk = med(graft.llm.Binary.topK(spark, dirM).count())
+      println(f"[scalebench] binary m=$m%-3d vectors=$nV%-8d encode=$tBinCodes%.2f s hamming_topk=$tBinTopk%.2f s")
     }
 
     // ——— report family at m× FACT rows (orderkey offsets; dimensions

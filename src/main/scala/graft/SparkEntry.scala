@@ -100,6 +100,7 @@ object SparkEntry {
     "q_text_pii_scrub"     -> (graft.llm.Curation.piiScrub _),
     "q_curate_filter"      -> (graft.llm.Curation.curateFilter _),
     "q_dedup_jaccard"      -> (Dedup.jaccard _),
+    "q_dedup_recall"       -> (Dedup.bandingRecall _),
     "q_dedup_components"   -> (Dedup.components _),
     "q_dedup_incremental"  -> (Dedup.incrementalDedup _),
     "q_dedup_simhash"      -> (Dedup.simhash _),
@@ -924,6 +925,47 @@ object SparkEntry {
           JOIN toks a ON p.doc_a = a.doc_id
           JOIN toks b ON p.doc_b = b.doc_id
           WHERE jac >= 0.95 ORDER BY doc_a, doc_b""",
+    // banding recall audit: exact all-pairs jaccard over the deterministic
+    // rep sample vs the same band self-join the candidate queries run
+    "q_dedup_recall" -> {
+      import graft.llm.Dedup.{RecallSampleMod, RecallMinJac}
+      import TextHash.{A, B, K, P, Bands, Rows}
+      val ms = (0 until K).map(i =>
+        s"list_min([(${A(i)} * x + ${B(i)}) % $P for x in ths]) AS m$i")
+        .mkString(", ")
+      val bands = (0 until Bands).map { j =>
+        val bh = (Rows * j until Rows * (j + 1)).map(i => s"m$i")
+          .reduce((acc, m) => s"((($acc) * 31 + $m) % $P)")
+        s"SELECT doc_id, $j AS band, $bh AS bh FROM rsig"
+      }.mkString(" UNION ALL ")
+      s"""WITH rth AS (SELECT doc_id, $tokThList AS h FROM documents),
+          rkeyed AS (SELECT doc_id, list_sort(list_distinct(h)) AS ths FROM rth),
+          rreps AS (SELECT min(doc_id) AS doc_id, any_value(ths) AS ths
+                    FROM rkeyed GROUP BY array_to_string(ths, ',')),
+          rsamp AS (SELECT doc_id, ths, len(ths) AS nt FROM rreps
+                    WHERE doc_id % $RecallSampleMod = 0),
+          rtruth AS (SELECT x.doc_id AS ra, y.doc_id AS rb,
+                            CAST(len(list_intersect(x.ths, y.ths)) AS DOUBLE)
+                              / (x.nt + y.nt - len(list_intersect(x.ths, y.ths))) AS jac
+                     FROM rsamp x JOIN rsamp y ON x.doc_id < y.doc_id
+                     WHERE jac >= $RecallMinJac),
+          rsig AS (SELECT doc_id, $ms FROM rsamp),
+          rbands AS ($bands),
+          rcand AS (SELECT DISTINCT x.doc_id AS ca, y.doc_id AS cb
+                    FROM rbands x JOIN rbands y
+                      ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+          rhit AS (SELECT t.jac, CASE WHEN c.ca IS NULL THEN 0 ELSE 1 END AS hit
+                   FROM rtruth t LEFT JOIN rcand c
+                     ON t.ra = c.ca AND t.rb = c.cb),
+          rbkt AS (SELECT CASE WHEN jac >= 0.95 THEN '[0.95,1.00]'
+                               WHEN jac >= 0.90 THEN '[0.90,0.95)'
+                               WHEN jac >= 0.85 THEN '[0.85,0.90)'
+                               ELSE '[0.80,0.85)' END AS bucket, hit FROM rhit)
+          SELECT bucket, count(*) AS n_true,
+                 CAST(SUM(hit) AS BIGINT) AS n_caught,
+                 CAST(SUM(hit) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
+          FROM rbkt GROUP BY bucket ORDER BY bucket"""
+    },
     "q_dedup_shingle" ->
       s"""WITH $shingleCtesCapped
           SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""",

@@ -396,6 +396,63 @@ object Dedup {
       .agg(first(col("jac")).as("jac"))
   }
 
+  /** Deterministic sample modulus for the banding recall audit: reps with
+    * `rep % RecallSampleMod == 0` enter the audit. The ground truth is
+    * ALL-PAIRS Jaccard — quadratic by definition — so the sample IS the
+    * scale knob: a 100 TB run derives the modulus from the rep count to
+    * hold the sampled-pair budget constant (the q_sim_recall convention:
+    * recall estimation never needs the full corpus brute-forced). */
+  val RecallSampleMod: Int = 7
+
+  /** Lower Jaccard bound of the audited ground-truth pairs. */
+  val RecallMinJac: Double = 0.8
+
+  /** q_dedup_recall: the banding recall audit every real LSH dedup deploy
+    * runs — per-Jaccard-bucket recall of the band-bucket candidate join
+    * measured against exact all-pairs ground truth on a deterministic rep
+    * sample. With the (b=1, r=16) design point the expected candidate rate
+    * at similarity j is j^16 (S-curve midpoint ≈0.96): the audit puts a
+    * MEASURED number on that curve per bucket, the evidence behind the
+    * "banding admits ~11% of background pairs" sizing claim (TextHash).
+    * Every value is exact: jac is one IEEE division of integer set sizes,
+    * hits are integer counts, recall one division of exact counts. */
+  def bandingRecall(s: SparkSession, dir: String): DataFrame = {
+    val c = setCollapse(s, dir)
+    val sampled = c.reps.filter(col("rep") % RecallSampleMod === 0)
+      .select(col("rep").as("doc_id"), col("ths"), size(col("ths")).as("nt"))
+    // ground truth: all sampled-rep pairs at jac >= RecallMinJac. The
+    // sample is metadata-bounded, so the broadcast nested-loop pair frame
+    // is (sample)² by contract — never corpus².
+    val x = sampled.alias("x"); val y = sampled.alias("y")
+    val truth = x.join(y, col("x.doc_id") < col("y.doc_id"))
+      .withColumn("inter", size(array_intersect(col("x.ths"), col("y.ths"))))
+      .withColumn("jac", col("inter").cast("double") /
+        (col("x.nt") + col("y.nt") - col("inter")))
+      .filter(col("jac") >= RecallMinJac)
+      .select(col("x.doc_id").as("ra"), col("y.doc_id").as("rb"), col("jac"))
+    // the audited system: the same band-bucket self-join the candidate
+    // queries run, restricted to the sampled reps
+    val b = bandsOf(withSig(sampled, "ths", Seq("doc_id")), Seq.empty)
+    val bx = b.alias("bx"); val by = b.alias("by")
+    val cand = bx.join(by,
+        col("bx.band") === col("by.band") && col("bx.bh") === col("by.bh")
+          && col("bx.doc_id") < col("by.doc_id"))
+      .select(col("bx.doc_id").as("ca"), col("by.doc_id").as("cb")).distinct()
+    truth.join(cand,
+        col("ra") === col("ca") && col("rb") === col("cb"), "left")
+      .withColumn("hit", when(col("ca").isNotNull, 1L).otherwise(0L))
+      .withColumn("bucket", expr(
+        """CASE WHEN jac >= 0.95 THEN '[0.95,1.00]'
+                WHEN jac >= 0.90 THEN '[0.90,0.95)'
+                WHEN jac >= 0.85 THEN '[0.85,0.90)'
+                ELSE '[0.80,0.85)' END"""))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_true"), sum("hit").as("n_caught"))
+      .withColumn("recall",
+        col("n_caught").cast("double") / col("n_true").cast("double"))
+      .orderBy("bucket")
+  }
+
   /** SimHash signatures (no output ordering — shared by the queries below).
     * Per (doc, bit): sum of ±1 over distinct token hashes; bit set iff the
     * sum is strictly positive. With GraftExtensions this is a SHUFFLE-FREE
