@@ -213,6 +213,7 @@ object SparkEntry {
     "q_agg_argmax"         -> (Aggregates.argmax _),
     "q_window_pct"         -> (WindowsSorts.percentRank _),
     "q_sample_weighted"    -> (graft.llm.Curation.sampleWeighted _),
+    "q_sample_importance"  -> (graft.llm.Curation.importanceWeight _),
     "q_scd2_merge"         -> (GroupA.scd2Merge _),
     "q_fuzzy_match"        -> (Joins.fuzzyMatch _),
     "q_join_dpp"           -> (GroupA.dppJoin _),
@@ -2420,6 +2421,32 @@ object SparkEntry {
                   FROM tick GROUP BY doc_id)
           SELECT doc_id, w, priority FROM pri
           ORDER BY priority DESC, doc_id LIMIT 100""",
+    // DSIR-style importance in the log-free rational form: exact BIGINT
+    // support sums, HUGEINT/decimal-staged cross products, ONE division
+    "q_sample_importance" -> {
+      val tgt = graft.llm.Curation.ImportanceTarget
+      s"""WITH itok AS (SELECT doc_id, source,
+                 unnest(string_split(coalesce(text, ''), ' ')) AS tok
+               FROM documents),
+          icr AS (SELECT tok, count(*) AS c_raw FROM itok GROUP BY 1),
+          ict AS (SELECT tok, count(*) AS c_tgt FROM itok
+                  WHERE source = '$tgt' GROUP BY 1),
+          itot AS (SELECT count(*) AS n_raw,
+                          CAST(SUM(CASE WHEN source = '$tgt' THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_tgt
+                   FROM itok),
+          iper AS (SELECT i.doc_id, count(*) AS n_toks,
+                          CAST(SUM(coalesce(t.c_tgt, 0)) AS BIGINT) AS sup_tgt,
+                          CAST(SUM(r.c_raw) AS BIGINT) AS sup_raw
+                   FROM itok i
+                   JOIN icr r ON i.tok = r.tok
+                   LEFT JOIN ict t ON i.tok = t.tok
+                   GROUP BY 1)
+          SELECT doc_id, n_toks, sup_tgt, sup_raw,
+                 CAST(CAST(CAST(sup_tgt AS HUGEINT) * n_raw AS VARCHAR) AS DOUBLE)
+                   / CAST(CAST(CAST(sup_raw AS HUGEINT) * n_tgt AS VARCHAR) AS DOUBLE) AS imp
+          FROM iper, itot ORDER BY doc_id"""
+    },
     // the oracle REBUILDS the full SCD2 history from scratch — the hash
     // match proves incremental apply ≡ full rebuild (see GroupA.scd2Merge)
     "q_scd2_merge" ->

@@ -145,6 +145,58 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Target domain for the importance-weight query: the fixture source
+    * standing in for the high-quality reference corpus (the role Wikipedia
+    * plays in published data-selection setups). */
+  val ImportanceTarget = "src1"
+
+  /** DSIR-style importance weight per document (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling" — public
+    * method) in the engine's LOG-FREE RATIONAL form: published DSIR scores
+    * a doc by the likelihood ratio of target vs raw hashed-n-gram models;
+    * this surfaces the same domain-shift signal as the ratio of MEAN
+    * token support under the target versus the whole corpus,
+    *
+    *   imp = (Σ_tok c_tgt(tok) · N_raw) / (Σ_tok c_raw(tok) · N_tgt)
+    *
+    * — >1 means the doc's vocabulary is over-represented in the target
+    * domain, the resampling key for domain-matched corpus selection
+    * (compose with q_sample_weighted). Log-likelihood sums are
+    * transcendental and engine/libm-dependent; the rational form keeps
+    * every sum an exact BIGINT, stages both products in DECIMAL(38,0) (no
+    * corpus size can overflow them), and spends exactly ONE IEEE division
+    * at the end — bit-stable across engines and partition orders (the
+    * lm_score discipline).
+    *
+    * Topology: tokenize once; target and raw counts are two
+    * vocabulary-domain groupBys off the SAME exploded relation; the
+    * per-doc rollup is one doc_id shuffle; corpus totals are a 1-row
+    * broadcast (the tf-idf N shape). Nothing shuffles more than the
+    * vocabulary or the corpus row count. */
+  def importanceWeight(s: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val tok = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        explode(tokens(coalesce(col("text"), lit("")))).as("tok"))
+    val cRaw = tok.groupBy("tok").agg(count(lit(1)).as("c_raw"))
+    val cTgt = tok.filter(col("source") === ImportanceTarget)
+      .groupBy("tok").agg(count(lit(1)).as("c_tgt"))
+    val totals = tok.agg(
+      count(lit(1)).as("n_raw"),
+      sum(when(col("source") === ImportanceTarget, 1L).otherwise(0L)).as("n_tgt"))
+    tok.join(cRaw, "tok").join(cTgt, Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"),
+        sum(coalesce(col("c_tgt"), lit(0L))).as("sup_tgt"),
+        sum(col("c_raw")).as("sup_raw"))
+      .crossJoin(broadcast(totals))
+      .withColumn("imp",
+        (col("sup_tgt").cast(dec) * col("n_raw")).cast("string").cast("double") /
+          (col("sup_raw").cast(dec) * col("n_tgt")).cast("string").cast("double"))
+      .select("doc_id", "n_toks", "sup_tgt", "sup_raw", "imp")
+      .orderBy("doc_id")
+  }
+
   /** Deterministic train/val/test split assignment, CONTENT-keyed: the
     * bucket is a salted 60-bit md5 of the TEXT (not the doc_id, not the
     * row's position), mod 100 → 0-79 train, 80-89 val, 90-99 test. Two
