@@ -122,6 +122,8 @@ object SparkEntry {
     // 32x) + Hamming shortlist, exact re-rank of the shortlist (llm/Binary)
     "q_sim_binary_codes"   -> (graft.llm.Binary.codes _),
     "q_sim_binary_topk"    -> (graft.llm.Binary.topK _),
+    // graph-probe ANN: beam search over the kNN graph (llm/Similarity)
+    "q_sim_graph_search"   -> (Similarity.graphSearchTopK _),
     "q_array_funcs"        -> (Similarity.arrayFuncs _),
     "q_text_tokens"        -> (TextAnalysis.termFreq _),
     "q_text_stats"         -> (TextAnalysis.stats _),
@@ -1897,6 +1899,67 @@ object SparkEntry {
                 FROM sym)
           SELECT vec_id, rnk, n_id, cos FROM r
           WHERE rnk <= ${Similarity.GraphK} ORDER BY vec_id, rnk""",
+    // graph-probe ANN: the same kNN graph, then SearchIters unrolled
+    // expand/score/beam rounds (fixed iteration count, fixed-order cosine,
+    // ties to the lower neighbor id — the trainCentroids unroll discipline)
+    "q_sim_graph_search" -> {
+      import Similarity.{BeamWidth, SearchIters, EntryIds}
+      def scoredOf(c: String) =
+        s"""SELECT c.q_id, c.n_id,
+               ${dDot("q.q_emb", "e.embedding")} / (q.q_nrm * e.nrm) AS cos
+            FROM $c c JOIN ee e ON e.vec_id = c.n_id
+            JOIN gq q ON q.q_id = c.q_id"""
+      val rounds = (1 to SearchIters).map { t =>
+        val prev = s"f${t - 1}"
+        s"""x$t AS (SELECT f.q_id, g.dst AS n_id
+                    FROM $prev f JOIN graph g ON f.n_id = g.src),
+            c$t AS (SELECT DISTINCT q_id, n_id FROM (
+                      SELECT q_id, n_id FROM $prev
+                      UNION ALL SELECT q_id, n_id FROM x$t)
+                    WHERE n_id <> q_id),
+            s$t AS (${scoredOf(s"c$t")}),
+            f$t AS (SELECT q_id, n_id, cos FROM (
+                      SELECT *, row_number() OVER (PARTITION BY q_id
+                        ORDER BY cos DESC, n_id) AS rn FROM s$t)
+                    WHERE rn <= $BeamWidth)"""
+      }.mkString(",\n")
+      s"""WITH ee AS (SELECT vec_id, embedding, ${dNorm("embedding")} AS nrm,
+                  ${dBucket("embedding", Similarity.MultiProbePlanes)} AS bucket
+               FROM embeddings),
+          gedges AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+                  ${dDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
+                FROM ee a JOIN ee b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+          gsym AS (SELECT src, dst, cos FROM gedges
+                   UNION ALL SELECT dst, src, cos FROM gedges),
+          gknn AS (SELECT src, dst FROM (
+                      SELECT src, dst, row_number() OVER (PARTITION BY src
+                        ORDER BY cos DESC, dst) AS rnk FROM gsym)
+                    WHERE rnk <= ${Similarity.GraphK}),
+          gn AS (SELECT count(*) AS n FROM embeddings),
+          glink AS (${Similarity.LongLinkA.zip(Similarity.LongLinkB)
+                      .map { case (a, b) =>
+                        s"""SELECT vec_id AS src,
+                            (vec_id * $a + $b) % ${TextHash.P} % n AS dst
+                            FROM embeddings, gn""" }
+                      .mkString(" UNION ALL ")}),
+          graph AS (SELECT DISTINCT src, dst FROM (
+                      SELECT src, dst FROM gknn
+                      UNION ALL SELECT src, dst FROM glink WHERE dst <> src
+                      UNION ALL SELECT dst, src FROM glink WHERE dst <> src)),
+          gq AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
+                 FROM ee WHERE vec_id < 8),
+          e0 AS (SELECT q.q_id, v.vec_id AS n_id FROM gq q, ee v
+                 WHERE v.vec_id IN ${EntryIds.mkString("(", ", ", ")")}
+                   AND v.vec_id <> q.q_id),
+          f0 AS (${scoredOf("e0")}),
+          $rounds,
+          fin AS (SELECT q_id, n_id, cos,
+                         CAST(row_number() OVER (PARTITION BY q_id
+                           ORDER BY cos DESC, n_id) AS BIGINT) AS "rank"
+                  FROM f$SearchIters)
+          SELECT q_id, n_id, cos, "rank" FROM fin
+          WHERE "rank" <= 10 ORDER BY q_id, "rank""""
+    },
     // soft dedup: weight = 1/n_copies is one IEEE division of an exact
     // BIGINT class size — bit-stable, order-free
     "q_dedup_soft" ->

@@ -631,6 +631,98 @@ object Similarity {
       .orderBy("vec_id", "rnk")
   }
 
+  /** Beam width for the graph-probe ANN search (> 10 so the final beam can
+    * fill a top-10). */
+  val BeamWidth: Int = 16
+
+  /** Fixed expansion rounds (not convergence-tested, so the DuckDB twin
+    * unrolls the identical rounds — the trainCentroids discipline). */
+  val SearchIters: Int = 4
+
+  /** Deterministic entry points for the graph search (outside the 0..7
+    * sample-query range so a query never seeds with itself). */
+  val EntryIds: Seq[Long] = Seq(8L, 9L, 10L, 11L)
+
+  /** Long-link coefficients: each node gets `LongLinkA.size` deterministic
+    * pseudo-random out-links dst = (src·a + b) mod P mod N. The kNN edges
+    * alone are NOT navigable — they form islands (bucket-mates of one LSH
+    * bucket), so a walk seeded outside a query's island can never reach
+    * it. The long links are the small-world shortcut layer (the NSW trick,
+    * Malkov et al.): a deterministic pseudo-random graph is an expander,
+    * so every island is a few hops from every entry point, and the kNN
+    * layer then refines locally. Same integer arithmetic in both engines. */
+  val LongLinkA: Seq[Long] = Seq(2654435761L, 40503L)
+  val LongLinkB: Seq[Long] = Seq(1L, 7L)
+
+  /** q_sim_graph_search: GRAPH-PROBE ANN — the flat cousin of HNSW/NSG
+    * serving (Malkov & Yashunin 2016, public method): start each query at
+    * fixed entry points and run `SearchIters` rounds of
+    * expand-neighbors → exact-score → keep-the-best-`BeamWidth`, over the
+    * already-declared kNN graph. The method family IVF/LSH/PQ don't cover:
+    * search cost is rounds × beam × degree GRAPH HOPS per query —
+    * corpus-size-independent once the graph exists, which is why
+    * graph-based serving wins at high recall targets.
+    *
+    * Spark shapes: the graph is built once and cached (at scale it is the
+    * published train-once/serve-many artifact, bucketed by source id so
+    * the expansion join co-locates); the per-round frontier is Q·BeamWidth
+    * rows of metadata, localCheckpointed so plans stay constant (the
+    * trainCentroids discipline); scoring joins the candidate set back to
+    * raw embeddings — the planner broadcasts the tiny candidate side, so
+    * each round reads the corpus once and shuffles nothing corpus-sized.
+    * Every score is the fixed-order cosine; ties break on neighbor id, so
+    * the beam evolution is fully deterministic and the DuckDB twin
+    * replays the identical rounds bit-for-bit. */
+  def graphSearchTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(s, dir)
+    val q = queries(e)
+    def score(cand: DataFrame): DataFrame =
+      cand.join(e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+          col("nrm").as("n_nrm")), "n_id")
+        .join(broadcast(q), "q_id")
+        .withColumn("cos", expr(dotFor(s)("q_emb", "n_emb")) /
+          (col("q_nrm") * col("n_nrm")))
+        .select("q_id", "n_id", "cos")
+    // search graph = kNN layer (local refinement) + symmetrized long-link
+    // layer (global navigability; see LongLinkA). Long links key on the
+    // dense fixture ids; a production corpus uses its dense row rank.
+    val n = graft.etl.TableStats.rowCount(s, dir, "embeddings")
+    val longLinks = e.select(col("vec_id").as("src"))
+      .select(col("src"), explode(array(
+        LongLinkA.zip(LongLinkB).map { case (a, b) =>
+          (col("src") * lit(a) + lit(b)) % lit(TextHash.P) % lit(n)
+        }: _*)).as("dst"))
+      .filter(col("dst") =!= col("src"))
+    val graph = knnGraph(s, dir)
+      .select(col("vec_id").as("src"), col("n_id").as("dst"))
+      .unionByName(longLinks)
+      .unionByName(longLinks.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().cache()
+    val entries = q.select(col("q_id"))
+      .crossJoin(broadcast(e.filter(col("vec_id").isInCollection(EntryIds))
+        .select(col("vec_id").as("n_id"))))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    var frontier = score(entries).filter(col("n_id") =!= col("q_id"))
+      .localCheckpoint()
+    for (_ <- 1 to SearchIters) {
+      val expanded = frontier.select("q_id", "n_id")
+        .join(graph, col("n_id") === col("src"))
+        .select(col("q_id"), col("dst").as("n_id"))
+      val cand = frontier.select("q_id", "n_id").unionByName(expanded)
+        .filter(col("n_id") =!= col("q_id")).distinct()
+      frontier = score(cand)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= BeamWidth)
+        .select("q_id", "n_id", "cos")
+        .localCheckpoint()
+    }
+    frontier
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+      .select("q_id", "n_id", "cos", "rank")
+      .orderBy("q_id", "rank")
+  }
+
   /** q_sim_recall: the recall@10 audit every real ANN deployment runs —
     * trained-IVF results measured against the exact brute-force top-10 per
     * query. Both sides are the already-declared deterministic queries, so
