@@ -146,6 +146,10 @@ object ScaleBench {
       val tBinCodes = med(graft.llm.Binary.codes(spark, dirM).count())
       val tBinTopk = med(graft.llm.Binary.topK(spark, dirM).count())
       println(f"[scalebench] binary m=$m%-3d vectors=$nV%-8d encode=$tBinCodes%.2f s hamming_topk=$tBinTopk%.2f s")
+      // graph-probe search: build (kNN + long links) is the linear term;
+      // the walk itself is rounds×beam×degree per query — must be FLAT
+      val tGs = med(graft.llm.Similarity.graphSearchTopK(spark, dirM).count())
+      println(f"[scalebench] gsearch m=$m%-2d vectors=$nV%-8d build+search=$tGs%.2f s")
     }
 
     // ——— report family at m× FACT rows (orderkey offsets; dimensions

@@ -716,6 +716,10 @@ object Similarity {
         .select("q_id", "n_id", "cos")
         .localCheckpoint()
     }
+    // the eager localCheckpoint above already materialized the final
+    // frontier, so the plan below no longer references the graph — drop
+    // the cache now rather than leaking one copy per serve call
+    graph.unpersist()
     frontier
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 10)

@@ -269,6 +269,9 @@ class PlanSpec extends SparkSpec {
       // q_sample_target_mix: the corpus total is the same 1-row broadcast
       // as q_sample_temperature's min
       "q_sample_target_mix",
+      // q_sample_importance: the (n_raw, n_tgt) corpus totals are the
+      // tf-idf 1-row broadcast — one partial per partition, never rows
+      "q_sample_importance",
       // q_table_checksum: three global 3-value fingerprint aggregates —
       // the single partition receives one partial row per upstream
       // partition, never data volume (ChecksumSpec)
