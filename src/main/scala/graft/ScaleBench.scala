@@ -150,6 +150,13 @@ object ScaleBench {
       // the walk itself is rounds×beam×degree per query — must be FLAT
       val tGs = med(graft.llm.Similarity.graphSearchTopK(spark, dirM).count())
       println(f"[scalebench] gsearch m=$m%-2d vectors=$nV%-8d build+search=$tGs%.2f s")
+      // NN-descent construction: candidates per node are degree-bounded
+      // ((2·DescentK)² + 2·DescentK), so each round must be LINEAR in N
+      def t1(f: => Long): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val tNd = t1(graft.llm.Similarity.nnDescent(spark, dirM).count())
+      println(f"[scalebench] ndesc  m=$m%-3d vectors=$nV%-8d refine=$tNd%.2f s")
     }
 
     // ——— report family at m× FACT rows (orderkey offsets; dimensions

@@ -124,6 +124,8 @@ object SparkEntry {
     "q_sim_binary_topk"    -> (graft.llm.Binary.topK _),
     // graph-probe ANN: beam search over the kNN graph (llm/Similarity)
     "q_sim_graph_search"   -> (Similarity.graphSearchTopK _),
+    // NN-descent graph-index construction (llm/Similarity)
+    "q_sim_nndescent"      -> (Similarity.nnDescent _),
     "q_array_funcs"        -> (Similarity.arrayFuncs _),
     "q_text_tokens"        -> (TextAnalysis.termFreq _),
     "q_text_stats"         -> (TextAnalysis.stats _),
@@ -1959,6 +1961,55 @@ object SparkEntry {
                   FROM f$SearchIters)
           SELECT q_id, n_id, cos, "rank" FROM fin
           WHERE "rank" <= 10 ORDER BY q_id, "rank""""
+    },
+    // NN-descent: deterministic long-link init, then DescentIters unrolled
+    // rounds of (edges ∪ reversed ∪ two-hop) → exact score → keep-GraphK
+    "q_sim_nndescent" -> {
+      import Similarity.{DescentIters, DescentK, GraphK}
+      // MATERIALIZED is load-bearing: each round references the previous
+      // graph 6x through the base/two-hop CTEs, so an inlined expansion is
+      // 6^iters copies of the init scan - DuckDB runs out of file handles
+      // (and time) at 4 rounds. Materializing each round keeps the twin
+      // linear, mirroring the Spark side's per-round localCheckpoint.
+      def ranked(sc: String, d: String) =
+        s"""$d AS MATERIALIZED (SELECT src, dst, cos, CAST(rnk AS BIGINT) AS rnk FROM (
+                     SELECT *, row_number() OVER (PARTITION BY src
+                       ORDER BY cos DESC, dst) AS rnk FROM $sc)
+                   WHERE rnk <= $DescentK)"""
+      def scored(c: String, sc: String) =
+        s"""$sc AS (SELECT c.src, c.dst,
+                ${dDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
+              FROM $c c JOIN ee a ON a.vec_id = c.src
+              JOIN ee b ON b.vec_id = c.dst)"""
+      val rounds = (1 to DescentIters).map { r =>
+        val prev = s"d${r - 1}"
+        s"""b$r AS MATERIALIZED (SELECT src, dst FROM $prev
+                    UNION ALL SELECT dst, src FROM $prev),
+            c$r AS (SELECT DISTINCT src, dst FROM (
+                      SELECT src, dst FROM b$r
+                      UNION ALL
+                      SELECT x.src, y.dst FROM b$r x JOIN b$r y ON x.dst = y.src)
+                    WHERE dst <> src),
+            ${scored(s"c$r", s"sc$r")},
+            ${ranked(s"sc$r", s"d$r")}"""
+      }.mkString(",\n")
+      s"""WITH ee AS (SELECT vec_id, embedding, ${dNorm("embedding")} AS nrm
+                      FROM embeddings),
+          nn AS (SELECT count(*) AS n FROM embeddings),
+          nl AS (${Similarity.LongLinkA.zip(Similarity.LongLinkB)
+                    .map { case (a, b) =>
+                      s"""SELECT vec_id AS src,
+                          (vec_id * $a + $b) % ${TextHash.P} % n AS dst
+                          FROM embeddings, nn""" }
+                    .mkString(" UNION ALL ")}),
+          c0 AS (SELECT DISTINCT src, dst FROM (
+                   SELECT src, dst FROM nl WHERE dst <> src
+                   UNION ALL SELECT dst, src FROM nl WHERE dst <> src)),
+          ${scored("c0", "sc0")},
+          ${ranked("sc0", "d0")},
+          $rounds
+          SELECT src AS vec_id, rnk, dst AS n_id, cos FROM d$DescentIters
+          WHERE rnk <= $GraphK ORDER BY vec_id, rnk"""
     },
     // soft dedup: weight = 1/n_copies is one IEEE division of an exact
     // BIGINT class size — bit-stable, order-free

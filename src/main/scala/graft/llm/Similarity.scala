@@ -702,6 +702,13 @@ object Similarity {
       .crossJoin(broadcast(e.filter(col("vec_id").isInCollection(EntryIds))
         .select(col("vec_id").as("n_id"))))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    // per-round localCheckpoint is LOAD-BEARING, not just plan hygiene:
+    // each round references the previous frontier THREE times (expansion,
+    // union, and through the scored beam), so a lazily-composed walk
+    // recomputes round r-1 per reference — combinatorial in depth. A/B at
+    // sf0.1: checkpointed rounds 2.7-3.7 s; single-DAG variant 4.6-10 s
+    // and climbing with variance. (The frontier is Q·BeamWidth metadata
+    // rows — checkpoint cost is a no-op at any corpus size.)
     var frontier = score(entries).filter(col("n_id") =!= col("q_id"))
       .localCheckpoint()
     for (_ <- 1 to SearchIters) {
@@ -716,15 +723,94 @@ object Similarity {
         .select("q_id", "n_id", "cos")
         .localCheckpoint()
     }
-    // the eager localCheckpoint above already materialized the final
-    // frontier, so the plan below no longer references the graph — drop
-    // the cache now rather than leaking one copy per serve call
+    // the eager per-round localCheckpoint above already materialized the
+    // final frontier, so the plan below no longer references the graph —
+    // drop the cache now rather than leaking one copy per serve call
     graph.unpersist()
     frontier
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 10)
       .select("q_id", "n_id", "cos", "rank")
       .orderBy("q_id", "rank")
+  }
+
+  /** NN-descent refinement rounds (fixed, so the DuckDB twin unrolls the
+    * identical rounds). */
+  val DescentIters: Int = 4
+
+  /** Working degree DURING refinement: NN-descent converges by carrying a
+    * larger candidate pool than it finally emits (with the emit-degree 3
+    * the neighbor-of-neighbor signal is too thin — measured overlap with
+    * the true kNN graph stalled at 0.06 after 2 rounds; at working degree
+    * 8 it reaches the floor in NnDescentSpec). The final graph keeps the
+    * top `GraphK` per node, the q_sim_knn_graph contract. */
+  val DescentK: Int = 8
+
+  /** q_sim_nndescent: NN-DESCENT graph construction (Dong, Moses, Li,
+    * WWW 2011 — public method): start from the deterministic pseudo-random
+    * long-link graph and run `DescentIters` rounds of "a neighbor of my
+    * neighbor is probably my neighbor" — candidates(v) = current edges ∪
+    * reversed edges ∪ two-hop edges, exact-scored, keep the best `GraphK`
+    * per node. This is the BUILD half of the graph-ANN family (the LSH
+    * kNN graph is bucket-blocked and misses cross-bucket neighbors;
+    * NN-descent converges toward the TRUE kNN graph from any connected
+    * init): `q_sim_graph_search` serves, this constructs.
+    *
+    * Scale shapes: per round the candidate frame is ≤ (2d)²+2d rows per
+    * node for degree d = GraphK+links — LINEAR in N with a constant
+    * factor; scoring joins the corpus twice on (src, dst) id keys (two
+    * bucket shuffles, nothing quadratic); the graph state is N·GraphK
+    * rows, localCheckpointed per round (iterated corpus-sized state — the
+    * connected-components discipline). Every score is the fixed-order
+    * cosine with ties to the lower neighbor id, so the refinement
+    * trajectory is fully deterministic. */
+  def nnDescent(s: SparkSession, dir: String): DataFrame =
+    descentGraph(s, dir, DescentIters)
+      .filter(col("rnk") <= GraphK)
+      .select(col("src").as("vec_id"), col("rnk"), col("dst").as("n_id"), col("cos"))
+      .orderBy("vec_id", "rnk")
+
+  /** The refined graph after `iters` rounds (exposed so the spec can
+    * measure the per-round quality climb). */
+  private[graft] def descentGraph(s: SparkSession, dir: String,
+                                  iters: Int): DataFrame = {
+    val e = withNorm(s, dir)
+    val n = graft.etl.TableStats.rowCount(s, dir, "embeddings")
+    val w = Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))
+    def scoreEdges(edges: DataFrame): DataFrame =
+      edges.join(e.select(col("vec_id").as("src"), col("embedding").as("se"),
+          col("nrm").as("sn")), "src")
+        .join(e.select(col("vec_id").as("dst"), col("embedding").as("de"),
+          col("nrm").as("dn")), "dst")
+        .withColumn("cos", expr(dotFor(s)("se", "de")) / (col("sn") * col("dn")))
+        .select("src", "dst", "cos")
+    val links = e.select(col("vec_id").as("src"))
+      .select(col("src"), explode(array(
+        LongLinkA.zip(LongLinkB).map { case (a, b) =>
+          (col("src") * lit(a) + lit(b)) % lit(TextHash.P) % lit(n)
+        }: _*)).as("dst"))
+      .filter(col("dst") =!= col("src"))
+    var g = scoreEdges(
+        links.unionByName(links.select(col("dst").as("src"), col("src").as("dst")))
+          .distinct())
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= DescentK)
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val base = g.select("src", "dst")
+        .unionByName(g.select(col("dst").as("src"), col("src").as("dst")))
+      val twoHop = base.join(
+          base.select(col("src").as("mid"), col("dst").as("dst2")),
+          col("dst") === col("mid"))
+        .select(col("src"), col("dst2").as("dst"))
+      val cand = base.unionByName(twoHop)
+        .filter(col("dst") =!= col("src")).distinct()
+      g = scoreEdges(cand)
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= DescentK)
+        .localCheckpoint()
+    }
+    g
   }
 
   /** q_sim_recall: the recall@10 audit every real ANN deployment runs —

@@ -24,7 +24,7 @@ class FallbackSpec extends SparkSpec {
 
   for (q <- Seq("q_sim_topk", "q_sim_ivf_trained", "q_sim_lsh_multiprobe",
     "q_sim_pq_codes", "q_sim_pq_topk", "q_sim_pq_rerank",
-    "q_sim_binary_topk", "q_sim_graph_search",
+    "q_sim_binary_topk", "q_sim_graph_search", "q_sim_nndescent",
     "q_dedup_embed", "q_dedup_minhash", "q_dedup_jaccard", "q_dedup_shingle",
     "q_dedup_simhash", "q_dedup_simhash_pairs", "q_dedup_clusters",
     "q_sim_lsh", "q_dedup_embed_lsh", "q_dedup_components",
