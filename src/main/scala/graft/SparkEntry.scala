@@ -538,6 +538,56 @@ object SparkEntry {
                  FROM embeddings, bmu)"""
   }
 
+  /** Shared NN-descent CTEs ending in the refined WORKING graph
+    * d{DescentIters}(src, dst, cos, rnk ≤ DescentK) — twin of
+    * Similarity.descentGraph, reused by the nndescent emit query and the
+    * graph-search serve (which reads the published form of this graph).
+    * MATERIALIZED is load-bearing: each round references the previous
+    * graph 6× through the base/two-hop CTEs, so an inlined expansion is
+    * 6^iters copies of the init scan — DuckDB runs out of file handles
+    * (and time) at 4 rounds. Materializing each round keeps the twin
+    * linear, mirroring the Spark side's per-round localCheckpoint. */
+  private def ndCtes: String = {
+    import Similarity.{DescentIters, DescentK}
+    def ranked(sc: String, d: String) =
+      s"""$d AS MATERIALIZED (SELECT src, dst, cos, CAST(rnk AS BIGINT) AS rnk FROM (
+                   SELECT *, row_number() OVER (PARTITION BY src
+                     ORDER BY cos DESC, dst) AS rnk FROM $sc)
+                 WHERE rnk <= $DescentK)"""
+    def scored(c: String, sc: String) =
+      s"""$sc AS (SELECT c.src, c.dst,
+              ${dDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
+            FROM $c c JOIN ee a ON a.vec_id = c.src
+            JOIN ee b ON b.vec_id = c.dst)"""
+    val rounds = (1 to DescentIters).map { r =>
+      val prev = s"d${r - 1}"
+      s"""b$r AS MATERIALIZED (SELECT src, dst FROM $prev
+                  UNION ALL SELECT dst, src FROM $prev),
+          c$r AS (SELECT DISTINCT src, dst FROM (
+                    SELECT src, dst FROM b$r
+                    UNION ALL
+                    SELECT x.src, y.dst FROM b$r x JOIN b$r y ON x.dst = y.src)
+                  WHERE dst <> src),
+          ${scored(s"c$r", s"sc$r")},
+          ${ranked(s"sc$r", s"d$r")}"""
+    }.mkString(",\n")
+    s"""ee AS (SELECT vec_id, embedding, ${dNorm("embedding")} AS nrm
+               FROM embeddings),
+        nn AS (SELECT count(*) AS n FROM embeddings),
+        nl AS (${Similarity.LongLinkA.zip(Similarity.LongLinkB)
+                  .map { case (a, b) =>
+                    s"""SELECT vec_id AS src,
+                        (vec_id * $a + $b) % ${TextHash.P} % n AS dst
+                        FROM embeddings, nn""" }
+                  .mkString(" UNION ALL ")}),
+        c0 AS (SELECT DISTINCT src, dst FROM (
+                 SELECT src, dst FROM nl WHERE dst <> src
+                 UNION ALL SELECT dst, src FROM nl WHERE dst <> src)),
+        ${scored("c0", "sc0")},
+        ${ranked("sc0", "d0")},
+        $rounds"""
+  }
+
   private def lexList(l: String): String =
     TextAnalysis.Lexicons.toMap.apply(l).map(w => s"'$w'").mkString("[", ", ", "]")
 
@@ -1905,7 +1955,7 @@ object SparkEntry {
     // expand/score/beam rounds (fixed iteration count, fixed-order cosine,
     // ties to the lower neighbor id — the trainCentroids unroll discipline)
     "q_sim_graph_search" -> {
-      import Similarity.{BeamWidth, SearchIters, EntryIds}
+      import Similarity.{BeamWidth, SearchIters, EntryIds, DescentIters}
       def scoredOf(c: String) =
         s"""SELECT c.q_id, c.n_id,
                ${dDot("q.q_emb", "e.embedding")} / (q.q_nrm * e.nrm) AS cos
@@ -1913,41 +1963,26 @@ object SparkEntry {
             JOIN gq q ON q.q_id = c.q_id"""
       val rounds = (1 to SearchIters).map { t =>
         val prev = s"f${t - 1}"
-        s"""x$t AS (SELECT f.q_id, g.dst AS n_id
+        s"""gx$t AS (SELECT f.q_id, g.dst AS n_id
                     FROM $prev f JOIN graph g ON f.n_id = g.src),
-            c$t AS (SELECT DISTINCT q_id, n_id FROM (
+            gcd$t AS (SELECT DISTINCT q_id, n_id FROM (
                       SELECT q_id, n_id FROM $prev
-                      UNION ALL SELECT q_id, n_id FROM x$t)
+                      UNION ALL SELECT q_id, n_id FROM gx$t)
                     WHERE n_id <> q_id),
-            s$t AS (${scoredOf(s"c$t")}),
+            gsc$t AS (${scoredOf(s"gcd$t")}),
             f$t AS (SELECT q_id, n_id, cos FROM (
                       SELECT *, row_number() OVER (PARTITION BY q_id
-                        ORDER BY cos DESC, n_id) AS rn FROM s$t)
+                        ORDER BY cos DESC, n_id) AS rn FROM gsc$t)
                     WHERE rn <= $BeamWidth)"""
       }.mkString(",\n")
-      s"""WITH ee AS (SELECT vec_id, embedding, ${dNorm("embedding")} AS nrm,
-                  ${dBucket("embedding", Similarity.MultiProbePlanes)} AS bucket
-               FROM embeddings),
-          gedges AS (SELECT a.vec_id AS src, b.vec_id AS dst,
-                  ${dDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
-                FROM ee a JOIN ee b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
-          gsym AS (SELECT src, dst, cos FROM gedges
-                   UNION ALL SELECT dst, src, cos FROM gedges),
-          gknn AS (SELECT src, dst FROM (
-                      SELECT src, dst, row_number() OVER (PARTITION BY src
-                        ORDER BY cos DESC, dst) AS rnk FROM gsym)
-                    WHERE rnk <= ${Similarity.GraphK}),
-          gn AS (SELECT count(*) AS n FROM embeddings),
-          glink AS (${Similarity.LongLinkA.zip(Similarity.LongLinkB)
-                      .map { case (a, b) =>
-                        s"""SELECT vec_id AS src,
-                            (vec_id * $a + $b) % ${TextHash.P} % n AS dst
-                            FROM embeddings, gn""" }
-                      .mkString(" UNION ALL ")}),
-          graph AS (SELECT DISTINCT src, dst FROM (
-                      SELECT src, dst FROM gknn
-                      UNION ALL SELECT src, dst FROM glink WHERE dst <> src
-                      UNION ALL SELECT dst, src FROM glink WHERE dst <> src)),
+      // the serve walks the published NN-descent working graph + long
+      // links — the twin rebuilds the identical graph via ndCtes (the
+      // Spark side's publish is deterministic, so rebuild ≡ read)
+      s"""WITH $ndCtes,
+          graph AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+                      SELECT src, dst FROM d$DescentIters
+                      UNION ALL SELECT src, dst FROM nl WHERE dst <> src
+                      UNION ALL SELECT dst, src FROM nl WHERE dst <> src)),
           gq AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
                  FROM ee WHERE vec_id < 8),
           e0 AS (SELECT q.q_id, v.vec_id AS n_id FROM gq q, ee v
@@ -1965,49 +2000,8 @@ object SparkEntry {
     // NN-descent: deterministic long-link init, then DescentIters unrolled
     // rounds of (edges ∪ reversed ∪ two-hop) → exact score → keep-GraphK
     "q_sim_nndescent" -> {
-      import Similarity.{DescentIters, DescentK, GraphK}
-      // MATERIALIZED is load-bearing: each round references the previous
-      // graph 6x through the base/two-hop CTEs, so an inlined expansion is
-      // 6^iters copies of the init scan - DuckDB runs out of file handles
-      // (and time) at 4 rounds. Materializing each round keeps the twin
-      // linear, mirroring the Spark side's per-round localCheckpoint.
-      def ranked(sc: String, d: String) =
-        s"""$d AS MATERIALIZED (SELECT src, dst, cos, CAST(rnk AS BIGINT) AS rnk FROM (
-                     SELECT *, row_number() OVER (PARTITION BY src
-                       ORDER BY cos DESC, dst) AS rnk FROM $sc)
-                   WHERE rnk <= $DescentK)"""
-      def scored(c: String, sc: String) =
-        s"""$sc AS (SELECT c.src, c.dst,
-                ${dDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
-              FROM $c c JOIN ee a ON a.vec_id = c.src
-              JOIN ee b ON b.vec_id = c.dst)"""
-      val rounds = (1 to DescentIters).map { r =>
-        val prev = s"d${r - 1}"
-        s"""b$r AS MATERIALIZED (SELECT src, dst FROM $prev
-                    UNION ALL SELECT dst, src FROM $prev),
-            c$r AS (SELECT DISTINCT src, dst FROM (
-                      SELECT src, dst FROM b$r
-                      UNION ALL
-                      SELECT x.src, y.dst FROM b$r x JOIN b$r y ON x.dst = y.src)
-                    WHERE dst <> src),
-            ${scored(s"c$r", s"sc$r")},
-            ${ranked(s"sc$r", s"d$r")}"""
-      }.mkString(",\n")
-      s"""WITH ee AS (SELECT vec_id, embedding, ${dNorm("embedding")} AS nrm
-                      FROM embeddings),
-          nn AS (SELECT count(*) AS n FROM embeddings),
-          nl AS (${Similarity.LongLinkA.zip(Similarity.LongLinkB)
-                    .map { case (a, b) =>
-                      s"""SELECT vec_id AS src,
-                          (vec_id * $a + $b) % ${TextHash.P} % n AS dst
-                          FROM embeddings, nn""" }
-                    .mkString(" UNION ALL ")}),
-          c0 AS (SELECT DISTINCT src, dst FROM (
-                   SELECT src, dst FROM nl WHERE dst <> src
-                   UNION ALL SELECT dst, src FROM nl WHERE dst <> src)),
-          ${scored("c0", "sc0")},
-          ${ranked("sc0", "d0")},
-          $rounds
+      import Similarity.{DescentIters, GraphK}
+      s"""WITH $ndCtes
           SELECT src AS vec_id, rnk, dst AS n_id, cos FROM d$DescentIters
           WHERE rnk <= $GraphK ORDER BY vec_id, rnk"""
     },

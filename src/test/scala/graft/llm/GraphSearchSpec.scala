@@ -50,6 +50,6 @@ class GraphSearchSpec extends SparkSpec {
       .map(k => mine.getOrElse(k, Set.empty[Long]).intersect(exact(k)).size / 10.0)
       .sum / exact.size
     info(f"graph-search recall@10 = $recall%.2f")
-    assert(recall >= 0.3, f"recall@10 $recall%.2f under floor")
+    assert(recall >= 0.6, f"recall@10 $recall%.2f under floor")
   }
 }
