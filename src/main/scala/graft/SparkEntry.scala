@@ -126,6 +126,10 @@ object SparkEntry {
     "q_sim_graph_search"   -> (Similarity.graphSearchTopK _),
     // NN-descent graph-index construction (llm/Similarity)
     "q_sim_nndescent"      -> (Similarity.nnDescent _),
+    // oracle-visible recall audits for the new serve paths (the _bound
+    // twin discipline applied to ANN quality)
+    "q_sim_graph_recall"   -> (Similarity.recallGraph _),
+    "q_sim_binary_recall"  -> (Similarity.recallBinary _),
     "q_array_funcs"        -> (Similarity.arrayFuncs _),
     "q_text_tokens"        -> (TextAnalysis.termFreq _),
     "q_text_stats"         -> (TextAnalysis.stats _),
@@ -538,6 +542,31 @@ object SparkEntry {
                  FROM embeddings, bmu)"""
   }
 
+  /** Standalone binary-serve twin (q_sim_binary_topk, reused as the
+    * approx side of q_sim_binary_recall). */
+  private def binaryTopkSql: String =
+    s"""WITH $binaryCtes,
+        bq AS (SELECT vec_id AS q_id, h0 AS q0, h1 AS q1 FROM bsig
+               WHERE vec_id < ${graft.llm.Binary.NQueries}),
+        bham AS (SELECT q.q_id, s.vec_id AS n_id,
+                        CAST(bit_count(xor(s.h0, q.q0))
+                           + bit_count(xor(s.h1, q.q1)) AS BIGINT) AS hd
+                 FROM bsig s JOIN bq q ON s.vec_id <> q.q_id),
+        bsl AS (SELECT q_id, n_id, hd FROM (
+                  SELECT *, row_number() OVER (PARTITION BY q_id
+                    ORDER BY hd, n_id) AS rn FROM bham)
+                WHERE rn <= ${graft.llm.Binary.Shortlist}),
+        bre AS (SELECT s.q_id, s.n_id, s.hd,
+                       ${dDot("qq.embedding", "nn.embedding")}
+                         / (${dNorm("qq.embedding")} * ${dNorm("nn.embedding")}) AS cos
+                FROM bsl s
+                JOIN embeddings qq ON qq.vec_id = s.q_id
+                JOIN embeddings nn ON nn.vec_id = s.n_id),
+        brr AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+                  ORDER BY cos DESC, n_id) AS BIGINT) AS "rank" FROM bre)
+        SELECT q_id, n_id, hd, cos, "rank" FROM brr
+        WHERE "rank" <= 10 ORDER BY q_id, "rank""""
+
   /** Shared NN-descent CTEs ending in the refined WORKING graph
     * d{DescentIters}(src, dst, cos, rnk ≤ DescentK) — twin of
     * Similarity.descentGraph, reused by the nndescent emit query and the
@@ -586,6 +615,52 @@ object SparkEntry {
         ${scored("c0", "sc0")},
         ${ranked("sc0", "d0")},
         $rounds"""
+  }
+
+  /** Standalone graph-search twin (q_sim_graph_search, reused as the
+    * approx side of q_sim_graph_recall): the serve walks the published
+    * NN-descent working graph + long links — the twin rebuilds the
+    * identical graph via ndCtes (the Spark side's publish is
+    * deterministic, so rebuild ≡ read), then unrolls the beam rounds. */
+  private def graphSearchSql: String = {
+    import Similarity.{BeamWidth, SearchIters, EntryIds, DescentIters}
+    def scoredOf(c: String) =
+      s"""SELECT c.q_id, c.n_id,
+             ${dDot("q.q_emb", "e.embedding")} / (q.q_nrm * e.nrm) AS cos
+          FROM $c c JOIN ee e ON e.vec_id = c.n_id
+          JOIN gq q ON q.q_id = c.q_id"""
+    val rounds = (1 to SearchIters).map { t =>
+      val prev = s"f${t - 1}"
+      s"""gx$t AS (SELECT f.q_id, g.dst AS n_id
+                  FROM $prev f JOIN graph g ON f.n_id = g.src),
+          gcd$t AS (SELECT DISTINCT q_id, n_id FROM (
+                    SELECT q_id, n_id FROM $prev
+                    UNION ALL SELECT q_id, n_id FROM gx$t)
+                  WHERE n_id <> q_id),
+          gsc$t AS (${scoredOf(s"gcd$t")}),
+          f$t AS (SELECT q_id, n_id, cos FROM (
+                    SELECT *, row_number() OVER (PARTITION BY q_id
+                      ORDER BY cos DESC, n_id) AS rn FROM gsc$t)
+                  WHERE rn <= $BeamWidth)"""
+    }.mkString(",\n")
+    s"""WITH $ndCtes,
+        graph AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+                    SELECT src, dst FROM d$DescentIters
+                    UNION ALL SELECT src, dst FROM nl WHERE dst <> src
+                    UNION ALL SELECT dst, src FROM nl WHERE dst <> src)),
+        gq AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
+               FROM ee WHERE vec_id < 8),
+        e0 AS (SELECT q.q_id, v.vec_id AS n_id FROM gq q, ee v
+               WHERE v.vec_id IN ${EntryIds.mkString("(", ", ", ")")}
+                 AND v.vec_id <> q.q_id),
+        f0 AS (${scoredOf("e0")}),
+        $rounds,
+        fin AS (SELECT q_id, n_id, cos,
+                       CAST(row_number() OVER (PARTITION BY q_id
+                         ORDER BY cos DESC, n_id) AS BIGINT) AS "rank"
+                FROM f$SearchIters)
+        SELECT q_id, n_id, cos, "rank" FROM fin
+        WHERE "rank" <= 10 ORDER BY q_id, "rank""""
   }
 
   private def lexList(l: String): String =
@@ -1374,28 +1449,7 @@ object SparkEntry {
     "q_sim_binary_codes" ->
       s"""WITH $binaryCtes
           SELECT vec_id, h0, h1 FROM bsig ORDER BY vec_id""",
-    "q_sim_binary_topk" ->
-      s"""WITH $binaryCtes,
-          bq AS (SELECT vec_id AS q_id, h0 AS q0, h1 AS q1 FROM bsig
-                 WHERE vec_id < ${graft.llm.Binary.NQueries}),
-          bham AS (SELECT q.q_id, s.vec_id AS n_id,
-                          CAST(bit_count(xor(s.h0, q.q0))
-                             + bit_count(xor(s.h1, q.q1)) AS BIGINT) AS hd
-                   FROM bsig s JOIN bq q ON s.vec_id <> q.q_id),
-          bsl AS (SELECT q_id, n_id, hd FROM (
-                    SELECT *, row_number() OVER (PARTITION BY q_id
-                      ORDER BY hd, n_id) AS rn FROM bham)
-                  WHERE rn <= ${graft.llm.Binary.Shortlist}),
-          bre AS (SELECT s.q_id, s.n_id, s.hd,
-                         ${dDot("qq.embedding", "nn.embedding")}
-                           / (${dNorm("qq.embedding")} * ${dNorm("nn.embedding")}) AS cos
-                  FROM bsl s
-                  JOIN embeddings qq ON qq.vec_id = s.q_id
-                  JOIN embeddings nn ON nn.vec_id = s.n_id),
-          brr AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
-                    ORDER BY cos DESC, n_id) AS BIGINT) AS "rank" FROM bre)
-          SELECT q_id, n_id, hd, cos, "rank" FROM brr
-          WHERE "rank" <= 10 ORDER BY q_id, "rank"""",
+    "q_sim_binary_topk" -> binaryTopkSql,
     "q_array_funcs" ->
       """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS n,
                 CAST(embedding[1] AS DOUBLE) AS e0,
@@ -1954,49 +2008,7 @@ object SparkEntry {
     // graph-probe ANN: the same kNN graph, then SearchIters unrolled
     // expand/score/beam rounds (fixed iteration count, fixed-order cosine,
     // ties to the lower neighbor id — the trainCentroids unroll discipline)
-    "q_sim_graph_search" -> {
-      import Similarity.{BeamWidth, SearchIters, EntryIds, DescentIters}
-      def scoredOf(c: String) =
-        s"""SELECT c.q_id, c.n_id,
-               ${dDot("q.q_emb", "e.embedding")} / (q.q_nrm * e.nrm) AS cos
-            FROM $c c JOIN ee e ON e.vec_id = c.n_id
-            JOIN gq q ON q.q_id = c.q_id"""
-      val rounds = (1 to SearchIters).map { t =>
-        val prev = s"f${t - 1}"
-        s"""gx$t AS (SELECT f.q_id, g.dst AS n_id
-                    FROM $prev f JOIN graph g ON f.n_id = g.src),
-            gcd$t AS (SELECT DISTINCT q_id, n_id FROM (
-                      SELECT q_id, n_id FROM $prev
-                      UNION ALL SELECT q_id, n_id FROM gx$t)
-                    WHERE n_id <> q_id),
-            gsc$t AS (${scoredOf(s"gcd$t")}),
-            f$t AS (SELECT q_id, n_id, cos FROM (
-                      SELECT *, row_number() OVER (PARTITION BY q_id
-                        ORDER BY cos DESC, n_id) AS rn FROM gsc$t)
-                    WHERE rn <= $BeamWidth)"""
-      }.mkString(",\n")
-      // the serve walks the published NN-descent working graph + long
-      // links — the twin rebuilds the identical graph via ndCtes (the
-      // Spark side's publish is deterministic, so rebuild ≡ read)
-      s"""WITH $ndCtes,
-          graph AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
-                      SELECT src, dst FROM d$DescentIters
-                      UNION ALL SELECT src, dst FROM nl WHERE dst <> src
-                      UNION ALL SELECT dst, src FROM nl WHERE dst <> src)),
-          gq AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
-                 FROM ee WHERE vec_id < 8),
-          e0 AS (SELECT q.q_id, v.vec_id AS n_id FROM gq q, ee v
-                 WHERE v.vec_id IN ${EntryIds.mkString("(", ", ", ")")}
-                   AND v.vec_id <> q.q_id),
-          f0 AS (${scoredOf("e0")}),
-          $rounds,
-          fin AS (SELECT q_id, n_id, cos,
-                         CAST(row_number() OVER (PARTITION BY q_id
-                           ORDER BY cos DESC, n_id) AS BIGINT) AS "rank"
-                  FROM f$SearchIters)
-          SELECT q_id, n_id, cos, "rank" FROM fin
-          WHERE "rank" <= 10 ORDER BY q_id, "rank""""
-    },
+    "q_sim_graph_search" -> graphSearchSql,
     // NN-descent: deterministic long-link init, then DescentIters unrolled
     // rounds of (edges ∪ reversed ∪ two-hop) → exact score → keep-GraphK
     "q_sim_nndescent" -> {
@@ -2877,6 +2889,28 @@ object SparkEntry {
     "q_sim_recall" ->
       s"""WITH exact AS (SELECT q_id, n_id FROM ($simTopkSql)),
           approx AS (SELECT q_id, n_id FROM ($ivfTrainedSql)),
+          h AS (SELECT e.q_id, count(*) AS n_exact,
+                       CAST(SUM(CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+                FROM exact e LEFT JOIN approx a
+                  ON e.q_id = a.q_id AND e.n_id = a.n_id
+                GROUP BY 1)
+          SELECT q_id, n_exact, n_hit,
+                 CAST(n_hit AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall
+          FROM h ORDER BY q_id""",
+    "q_sim_graph_recall" ->
+      s"""WITH exact AS (SELECT q_id, n_id FROM ($simTopkSql)),
+          approx AS (SELECT q_id, n_id FROM ($graphSearchSql)),
+          h AS (SELECT e.q_id, count(*) AS n_exact,
+                       CAST(SUM(CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+                FROM exact e LEFT JOIN approx a
+                  ON e.q_id = a.q_id AND e.n_id = a.n_id
+                GROUP BY 1)
+          SELECT q_id, n_exact, n_hit,
+                 CAST(n_hit AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall
+          FROM h ORDER BY q_id""",
+    "q_sim_binary_recall" ->
+      s"""WITH exact AS (SELECT q_id, n_id FROM ($simTopkSql)),
+          approx AS (SELECT q_id, n_id FROM ($binaryTopkSql)),
           h AS (SELECT e.q_id, count(*) AS n_exact,
                        CAST(SUM(CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
                 FROM exact e LEFT JOIN approx a

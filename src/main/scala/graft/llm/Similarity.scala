@@ -850,9 +850,24 @@ object Similarity {
     * a SAMPLE of queries (here: the 8 fixture queries) against a
     * brute-forced slice — recall estimation never needs the full corpus
     * brute-forced. */
-  def recallIvf(s: SparkSession, dir: String): DataFrame = {
+  def recallIvf(s: SparkSession, dir: String): DataFrame =
+    recallOf(s, dir, ivfTrainedTopK(s, dir))
+
+  /** q_sim_graph_recall / q_sim_binary_recall: the recallIvf audit over
+    * the graph-probe and binary serve paths — every value is an integer
+    * count or one IEEE division, so serve-quality DRIFT (a broken graph
+    * publish, a signature regression) fails the driver's hash gate
+    * mechanically, the `_bound`-twin discipline applied to ANN recall. */
+  def recallGraph(s: SparkSession, dir: String): DataFrame =
+    recallOf(s, dir, graphSearchTopK(s, dir))
+
+  def recallBinary(s: SparkSession, dir: String): DataFrame =
+    recallOf(s, dir, Binary.topK(s, dir))
+
+  private def recallOf(s: SparkSession, dir: String,
+                       approxTopK: DataFrame): DataFrame = {
     val exact = bruteTopK(s, dir).select(col("q_id"), col("n_id"))
-    val approx = ivfTrainedTopK(s, dir)
+    val approx = approxTopK
       .select(col("q_id").as("a_q"), col("n_id").as("a_n"), lit(1L).as("hit"))
     exact.join(approx,
         col("q_id") === col("a_q") && col("n_id") === col("a_n"), "left")
