@@ -71,8 +71,9 @@ object Binary {
 
   /** One packed half: sum over bit positions `off .. off+HalfBits-1` of
     * (x_i > mu_i) << (i - off). Exact integer arithmetic, bit i set iff the
-    * coordinate clears its dimension mean. */
-  private def halfSql(off: Int): String =
+    * coordinate clears its dimension mean. Expects `embedding` and `mu`
+    * columns in scope (shared with the streaming signing twin). */
+  private[graft] def halfSql(off: Int): String =
     s"""aggregate(transform(sequence(0, ${HalfBits - 1}), i ->
           IF(CAST(element_at(embedding, i + ${off + 1}) AS DOUBLE)
                > element_at(mu, i + ${off + 1}),

@@ -377,6 +377,20 @@ object StreamTwins {
         col("best.d2").as("dist2"))
   }
 
+  /** Stateless streaming twin of the binary encode path
+    * (q_sim_binary_codes): sign each arriving embedding against the
+    * PUBLISHED per-dimension means (the d-row statistic a batch job
+    * computes and commits — the clusterAssign serve pattern: model
+    * statistics ride as literals/broadcast, events never shuffle). Pure
+    * map — no state store, no watermark; the packed halves are the exact
+    * integer arithmetic of the batch path, so drained output is
+    * bit-identical to Binary.codes on the same rows. */
+  def binarySign(embs: DataFrame, mu: Seq[Double]): DataFrame =
+    embs.withColumn("mu", array(mu.map(lit(_)): _*))
+      .withColumn("h0", expr(graft.llm.Binary.halfSql(0)))
+      .withColumn("h1", expr(graft.llm.Binary.halfSql(graft.llm.Binary.HalfBits)))
+      .select("vec_id", "h0", "h1")
+
   /** Stream-stream interval join — the streaming twin of the as-of family:
     * each purchase matches the same user's views within the preceding hour.
     * Watermarks on BOTH sides bound the join state (views older than the

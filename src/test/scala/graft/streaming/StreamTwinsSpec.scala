@@ -584,4 +584,28 @@ class StreamTwinsSpec extends SparkSpec {
     val b = StreamTwins.dqGate(batch).collect().head
     assert(b.getLong(0) == 1L && b.getLong(1) == 1L && b.getLong(2) == 4L)
   }
+
+  test("streaming binary signing is bit-identical to the batch signatures") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    // the published statistic: per-dimension means from the declared mean
+    // query (the same scaled-BIGINT values the batch signer derives)
+    val mu = graft.llm.Similarity.meanVector(s, sf).orderBy("i")
+      .collect().map(_.getDouble(3)).toSeq
+    val rows = graft.Tables.t(s, sf, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val mem = MemoryStream[(Long, Array[Float])]
+    mem.addData(rows.toSeq: _*)
+    val q = StreamTwins.binarySign(mem.toDF().toDF("vec_id", "embedding"), mu)
+      .writeStream.format("memory").queryName("binsign_out")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = s.table("binsign_out").orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = graft.llm.Binary.codes(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.sameElements(want))
+  }
 }
