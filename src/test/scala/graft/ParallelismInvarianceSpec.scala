@@ -37,6 +37,18 @@ class ParallelismInvarianceSpec extends SparkSpec {
       assert(got == want)
     }
 
+  // NN-descent CONSTRUCTION (not the published read-path, which would
+  // compare identical bytes trivially): four refinement rounds shuffle
+  // corpus-sized candidate frames through score joins and per-src
+  // windows — re-keyed differently at 197 partitions, the output must
+  // still be byte-identical (fixed-order cosine, ties to lower id).
+  test("NN-descent construction is byte-identical at shuffle.partitions=197") {
+    def built(s: org.apache.spark.sql.SparkSession): Seq[String] =
+      graft.llm.Similarity.descentGraph(s, sf, graft.llm.Similarity.DescentIters)
+        .orderBy("src", "rnk").collect().map(_.toString).toSeq
+    assert(built(wide) == built(spark))
+  }
+
   // AQE re-plans at runtime (coalesced partitions, join-strategy swaps,
   // skew splits) — a second axis along which a float-order-sensitive plan
   // would drift. Same queries, AQE off, byte-identical output.
