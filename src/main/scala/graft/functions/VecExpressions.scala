@@ -750,6 +750,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("top_vals"),
       new ExpressionInfo(classOf[TopVals].getName, "top_vals"),
       (children: Seq[Expression]) => TopVals(children.head, children(1))))
+    e.injectFunction((
+      FunctionIdentifier("top_structs"),
+      new ExpressionInfo(classOf[TopStructs].getName, "top_structs"),
+      (children: Seq[Expression]) =>
+        TopStructs(children.head, children(1), children(2), children(3))))
     // CMS merge + probe — the serve-many half Spark's built-in
     // count_min_sketch build aggregate lacks (Aggregates.cmsHeavyHitters)
     e.injectFunction((

@@ -133,12 +133,16 @@ object Pq {
   /** ADC shortlist size for the exact re-rank. */
   val Shortlist = 50
 
-  /** Full ADC ranking per sample query: the LUT (NQueries·M·K exact partial
+  /** ADC top-k per sample query: the LUT (NQueries·M·K exact partial
     * distances) is metadata-sized and broadcast; each candidate costs M
     * lookups folded in FIXED m-ascending order (the DuckDB twin's
     * list_sum(list(pd ORDER BY m)) — bit-identical), so the per-candidate
-    * work carries no float recomputation at any corpus size. */
-  private def adcRanked(s: SparkSession, dir: String): DataFrame = {
+    * work carries no float recomputation at any corpus size. The N×Q
+    * estimate frame is ranked through the k-bounded `top_structs` heap
+    * aggregate (Ranking.topKPerGroup; VERDICT r7 item 1) — the exchange
+    * carries Q×k rows per partition, never the corpus-sized frame into Q
+    * sort tasks. */
+  private def adcShortlist(s: SparkSession, dir: String, k: Int): DataFrame = {
     val dd = Clustering.dist2For(s) _
     val q = subvecs(s, dir).filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("q_id"), col("m"), col("sv").as("qsv"))
@@ -150,15 +154,13 @@ object Pq {
       .groupBy(col("q_id"), col("vec_id").as("n_id"))
       .agg(expr("aggregate(transform(array_sort(collect_list(struct(m, pd))), " +
         "p -> p.pd), 0D, (acc, x) -> acc + x)").as("est_d2"))
-    est.withColumn("rank", row_number().over(
-        Window.partitionBy("q_id").orderBy(col("est_d2"), col("n_id")))
-        .cast("long"))
+    Ranking.topKPerGroup(est, "q_id", "est_d2", "n_id", k, asc = true,
+      "est_d2", "n_id")
   }
 
   /** q_sim_pq_topk: ADC top-10 per sample query. */
   def adcTopK(s: SparkSession, dir: String): DataFrame =
-    adcRanked(s, dir)
-      .filter(col("rank") <= 10)
+    adcShortlist(s, dir, 10)
       .select("q_id", "n_id", "est_d2", "rank")
       .orderBy("q_id", "rank")
 
@@ -170,7 +172,7 @@ object Pq {
   def rerankTopK(s: SparkSession, dir: String): DataFrame = {
     val dd = Clustering.dist2For(s) _
     val e = t(s, dir, "embeddings")
-    adcRanked(s, dir).filter(col("rank") <= Shortlist)
+    adcShortlist(s, dir, Shortlist)
       .select("q_id", "n_id")
       .join(e.select(col("vec_id").as("n_id"), col("embedding").as("ne")), "n_id")
       .join(broadcast(e.filter(col("vec_id") < NQueries)

@@ -104,16 +104,19 @@ object Similarity {
       col("vec_id"), col("embedding"), expr(normFor(s)("embedding")).as("nrm"))
 
   /** Exact cosine top-10 for each query vector (vec_id < 8) — brute force.
-    * The query side is tiny and broadcast; ranking is a per-query window. */
+    * The query side is tiny and broadcast; the scan stays embarrassingly
+    * parallel and the per-query ranking is the k-bounded `top_structs`
+    * heap aggregate (Ranking.topKPerGroup) — the exchange carries Q×10
+    * rows per partition, never the N×Q candidate frame (VERDICT r7
+    * item 1: a `row_number` window here concentrates the whole corpus
+    * scan into Q sort tasks). */
   def bruteTopK(s: SparkSession, dir: String): DataFrame = {
     val e = withNorm(s, dir)
     val q = queries(e)
-    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
-    e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+    val cands = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .withColumn("cos", expr(dotFor(s)("q_emb", "embedding")) / (col("q_nrm") * col("nrm")))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= 10)
-      .select(col("q_id"), col("vec_id").as("n_id"), col("cos"), col("rank"))
+      .select("q_id", "vec_id", "cos")
+    Ranking.topKPerGroup(cands, "q_id", "cos", "vec_id", 10, asc = false, "cos", "n_id")
       .orderBy("q_id", "rank")
   }
 
@@ -140,13 +143,13 @@ object Similarity {
       .withColumn("cos", expr(dotFor(s)("q_emb", "embedding")) / (col("q_nrm") * col("nrm")))
   }
 
-  private def rankTop10(c: DataFrame): DataFrame = {
-    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
-    c.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= 10)
-      .select(col("q_id"), col("vec_id").as("n_id"), col("cos"), col("rank"))
+  private def rankTop10(c: DataFrame): DataFrame =
+    // k-bounded heap aggregate, not a per-query window: the LSH candidate
+    // frame is linear in N (Q·(planes+1)·N/2^planes), so ranking it must
+    // not concentrate into Q partitions (the bruteTopK rationale)
+    Ranking.topKPerGroup(c.select("q_id", "vec_id", "cos"),
+        "q_id", "cos", "vec_id", 10, asc = false, "cos", "n_id")
       .orderBy("q_id", "rank")
-  }
 
   /** LSH-bucketed ANN: candidates limited to the query's bucket, exact cosine
     * within, top-10 per query. Recall is approximate by design (bucket-bound);
@@ -195,15 +198,14 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("cent_id"))
     val q = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
-    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
-    probes.join(assigned, "cent_id")
+    // probed candidates are a corpus fraction (Q·NProbe·N/cells rows) —
+    // rank through the k-bounded heap aggregate, never a per-query window
+    val cands = probes.join(assigned, "cent_id")
       .filter(col("vec_id") =!= col("q_id"))
       .join(broadcast(q), "q_id")
       .withColumn("cos", expr(dotFor(s)("q_emb", "embedding")) / (col("q_nrm") * col("nrm")))
-      .withColumn("n_id", col("vec_id"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= 10)
-      .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
+      .select("q_id", "vec_id", "cos")
+    Ranking.topKPerGroup(cands, "q_id", "cos", "vec_id", 10, asc = false, "cos", "n_id")
       .orderBy("q_id", "rank")
   }
 
@@ -326,15 +328,14 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("cent_id"))
     val q = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
-    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
-    probes.join(assigned, "cent_id")
+    // same corpus-fraction candidate frame as ivfFirstCellsTopK: the
+    // ranking is the k-bounded heap aggregate, never a per-query window
+    val cands = probes.join(assigned, "cent_id")
       .filter(col("vec_id") =!= col("q_id"))
       .join(broadcast(q), "q_id")
       .withColumn("cos", expr(dotFor(s)("q_emb", "embedding")) / (col("q_nrm") * col("nrm")))
-      .withColumn("n_id", col("vec_id"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= 10)
-      .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
+      .select("q_id", "vec_id", "cos")
+    Ranking.topKPerGroup(cands, "q_id", "cos", "vec_id", 10, asc = false, "cos", "n_id")
       .orderBy("q_id", "rank")
   }
 

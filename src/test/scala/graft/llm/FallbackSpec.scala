@@ -15,7 +15,7 @@ class FallbackSpec extends SparkSpec {
     val p = spark.newSession()
     Seq("vec_dot", "vec_dist2", "minhash_sig", "simhash_sig", "shingle_hashes",
         "token_hashes", "token_hashes_distinct", "hyperplane_bucket",
-        "long_array_md5", "winnow_fps").foreach { f =>
+        "long_array_md5", "winnow_fps", "top_structs").foreach { f =>
       p.sessionState.functionRegistry.dropFunction(FunctionIdentifier(f))
       assert(!p.catalog.functionExists(f))
     }

@@ -219,6 +219,30 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("ANN serves rank via the k-bounded heap aggregate, never a per-query window") {
+    // VERDICT r7 item 1: no serve plan may shuffle a corpus-sized candidate
+    // frame into query-cardinality partitioning. The scan-stage serves rank
+    // through top_structs (partial aggregation — Q×k rows per partition
+    // cross the exchange) and plan NO window partitioned by q_id at all.
+    for (q <- Seq("q_sim_topk", "q_sim_lsh", "q_sim_lsh_multiprobe",
+      "q_sim_ivf", "q_sim_ivf_trained", "q_sim_ivf_quantized",
+      "q_sim_pq_topk")) {
+      val p = plan(q)
+      assert(p.contains("top_structs"), s"$q misses the heap aggregate: $p")
+      assert(!p.contains("windowspecdefinition(q_id"),
+        s"$q ranks a candidate frame with a q_id window: $p")
+    }
+    // shortlist+re-rank serves: the corpus-sized Hamming/ADC scan stage is
+    // top_structs; the one remaining q_id window ranks only the
+    // Q×Shortlist re-rank frame — shortlist-bounded metadata, not a scan
+    for (q <- Seq("q_sim_binary_topk", "q_sim_pq_rerank")) {
+      val p = plan(q)
+      assert(p.contains("top_structs"), s"$q misses the heap aggregate: $p")
+      assert("windowspecdefinition\\(q_id".r.findAllIn(p).size <= 1,
+        s"$q has more than the re-rank window: $p")
+    }
+  }
+
   test("EVERY registered query plans without scale-killers") {
     // catch-all regression net over the whole surface: no cartesian product,
     // no unbounded per-group array aggregation, no single-partition exchange
