@@ -623,7 +623,7 @@ object SparkEntry {
     * identical graph via ndCtes (the Spark side's publish is
     * deterministic, so rebuild ≡ read), then unrolls the beam rounds. */
   private def graphSearchSql: String = {
-    import Similarity.{BeamWidth, SearchIters, EntryIds, DescentIters}
+    import Similarity.{BeamWidth, SearchIters, NEntries, DescentIters}
     def scoredOf(c: String) =
       s"""SELECT c.q_id, c.n_id,
              ${dDot("q.q_emb", "e.embedding")} / (q.q_nrm * e.nrm) AS cos
@@ -650,9 +650,10 @@ object SparkEntry {
                     UNION ALL SELECT dst, src FROM nl WHERE dst <> src)),
         gq AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
                FROM ee WHERE vec_id < 8),
-        e0 AS (SELECT q.q_id, v.vec_id AS n_id FROM gq q, ee v
-               WHERE v.vec_id IN ${EntryIds.mkString("(", ", ", ")")}
-                 AND v.vec_id <> q.q_id),
+        gdeg AS (SELECT dst, count(*) AS deg FROM d$DescentIters GROUP BY dst),
+        gent AS (SELECT dst AS n_id FROM gdeg ORDER BY deg DESC, dst LIMIT $NEntries),
+        e0 AS (SELECT q.q_id, v.n_id FROM gq q, gent v
+               WHERE v.n_id <> q.q_id),
         f0 AS (${scoredOf("e0")}),
         $rounds,
         fin AS (SELECT q_id, n_id, cos,

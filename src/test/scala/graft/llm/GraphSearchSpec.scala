@@ -23,14 +23,20 @@ class GraphSearchSpec extends SparkSpec {
   }
 
   test("the beam never regresses below the best entry seed") {
+    val entryIds = Similarity.entryNodes(spark, sf)
+      .collect().map(_.getLong(0)).toSeq
+    assert(entryIds.length == Similarity.NEntries)
     val e = graft.Tables.t(spark, sf, "embeddings")
     val dot = Similarity.dotFor(spark) _
     val withN = e.select(col("vec_id"), col("embedding"),
       expr(s"sqrt(${dot("embedding", "embedding")})").as("nrm"))
     val q = withN.filter(col("vec_id") < 8).select(
       col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
-    val seedBest = withN.filter(col("vec_id").isInCollection(Similarity.EntryIds))
+    val seedBest = withN.filter(col("vec_id").isInCollection(entryIds))
       .crossJoin(broadcast(q))
+      // the search drops self-hits from the frontier, so the seed floor
+      // must too (a derived entry may itself be a query id)
+      .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos", expr(dot("q_emb", "embedding")) / (col("q_nrm") * col("nrm")))
       .groupBy("q_id").agg(max("cos").as("best"))
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
@@ -51,5 +57,49 @@ class GraphSearchSpec extends SparkSpec {
       .sum / exact.size
     info(f"graph-search recall@10 = $recall%.2f")
     assert(recall >= 0.6, f"recall@10 $recall%.2f under floor")
+  }
+
+  test("published descent graph is src-clustered and the expansion prunes to the frontier") {
+    got // force the publish
+    val target = Similarity.descentTarget(spark, sf)
+    assert(graft.etl.Warehouse.clusteringOf(spark, target).contains("src"),
+      "published NN-descent graph must carry the src _CLUSTERING sidecar")
+    import spark.implicits._
+    val frontier = Seq((0L, 1L), (0L, 2L), (1L, 2L)).toDF("q_id", "n_id")
+    val plan = Similarity
+      .expandFrontier(Similarity.publishedDescent(spark, sf), frontier)
+      .queryExecution.executedPlan.toString
+    // the frontier's id set reaches the parquet scan as an In(src) pushed
+    // filter (row-group pruning against the clustered layout) and the graph
+    // side joins against a broadcast frontier — never a hash exchange of
+    // the graph
+    assert(plan.contains("In(src"), s"no In(src) pushed filter in:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"graph side not broadcast-joined:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning(src"),
+      s"graph side hash-exchanged:\n$plan")
+  }
+
+  test("a corpus without ids 8-11 still seeds a full frontier (corpus-derived entries)") {
+    // ids 0..7 (queries) plus 100..139 — the old hard-coded EntryIds
+    // Seq(8,9,10,11) would silently seed an empty frontier here
+    import spark.implicits._
+    val d = 16
+    val rows = ((0L until 8L) ++ (100L until 140L)).map { id =>
+      val emb = Array.tabulate(d)(i =>
+        (((id * 31L + i * 17L + 7L) % 1000L).toFloat / 500f) - 1f)
+      (id, emb, 0)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_gs_noentry").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val res = Similarity.graphSearchTopK(spark, dir).collect()
+    val byQ = res.groupBy(_.getLong(0))
+    assert(byQ.keySet == (0L until 8L).toSet,
+      s"queries missing from result: ${(0L until 8L).toSet -- byQ.keySet}")
+    val corpusIds = rows.map(_._1).toSet
+    res.foreach { r =>
+      assert(corpusIds.contains(r.getLong(1)), s"phantom neighbor ${r.getLong(1)}")
+      assert(r.getLong(1) != r.getLong(0), "self hit")
+    }
   }
 }
