@@ -85,8 +85,11 @@ object Binary {
     * statistic. */
   private def signed(s: SparkSession, dir: String): DataFrame = {
     val mu = muArray(s, dir)
-    t(s, dir, "embeddings")
-      .withColumn("mu", array(mu.map(lit(_)): _*))
+    // the d-element mean joins as one broadcast row, not d plan literals
+    // (the streaming twin keeps the literal form — its mu is already a
+    // bounded twin-supplied constant and stream-static layout is its own
+    // spec-pinned contract)
+    graft.Tables.withBroadcastArray(t(s, dir, "embeddings"), "mu", mu.toSeq)
       .withColumn("h0", expr(halfSql(0)))
       .withColumn("h1", expr(halfSql(HalfBits)))
       .select("vec_id", "h0", "h1")

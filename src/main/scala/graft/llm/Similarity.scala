@@ -511,9 +511,11 @@ object Similarity {
       val m = ssx / (n.toDouble * S)
       math.sqrt(gii / n.toDouble - m * m)
     }
-    t(s, dir, "embeddings")
-      .withColumn("mu", array(mu.map(lit(_)): _*))
-      .withColumn("sd", array(sd.map(lit(_)): _*))
+    // μ/σ ride in as one broadcast row, not d plan literals (Tables
+    // .withBroadcastArray — constant plan size at any dimensionality)
+    graft.Tables.withBroadcastArray(
+      graft.Tables.withBroadcastArray(t(s, dir, "embeddings"), "mu", mu.toSeq),
+      "sd", sd.toSeq)
       .select(col("vec_id"),
         expr("zip_with(zip_with(embedding, mu, (x, m) -> CAST(x AS DOUBLE) - m), sd, (c, s) -> c / s)")
           .as("w"))
@@ -595,8 +597,7 @@ object Similarity {
     val v = graft.etl.Warehouse.read(s, target)
       .collect().map(r => (r.getLong(0), r.getDouble(1)))
       .sortBy(_._1).map(_._2)
-    t(s, dir, "embeddings")
-      .withColumn("pc", array(v.map(lit(_)): _*))
+    graft.Tables.withBroadcastArray(t(s, dir, "embeddings"), "pc", v.toSeq)
       .select(col("vec_id"), expr(genericDot("embedding", "pc")).as("score"))
       .orderBy("vec_id")
   }
