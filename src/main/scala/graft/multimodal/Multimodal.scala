@@ -9,10 +9,14 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side plumbing is real — schemas, typed Datasets, partition-wise
   * batch iteration (`mapPartitions`, the Scala analog of a Pandas-batch UDF:
-  * one decoder instantiation per partition, streamed row batches) — while the
-  * codec itself is a STUB: this container ships no image/audio libraries, so
-  * `FakeCodec` derives deterministic pseudo-metadata/features from the bytes.
-  * Swapping in a real codec changes only the body of `FakeCodec`.
+  * one decoder instantiation per partition, streamed row batches) — behind a
+  * pluggable `Codec`. Two implementations ship: `ImageIoCodec`, a REAL
+  * pure-JVM image decoder (JDK ImageIO — PNG/BMP/GIF/JPEG, no native libs),
+  * and `FakeCodec`, a deterministic byte-arithmetic stub that the DuckDB
+  * oracle can reproduce (the driver gate cannot decode PNG, so the
+  * oracle-checked queries run the stub; PhashSpec fingerprints real pixels
+  * through the same stages). Audio/video decode remains stubbed — no codec
+  * for those exists in the JDK.
   */
 object Multimodal {
 
@@ -25,12 +29,29 @@ object Multimodal {
                      width: Int, height: Int, n_frames: Int,
                      byte_len: Long, features: Array[Float])
 
+  /** Pluggable media decoder. `decode` extracts envelope metadata + a small
+    * feature vector; `lumaPlane` renders the payload as a row-major 8-bit
+    * luminance plane — the input every perceptual fingerprint
+    * (`phashOf`) windows over. Implementations must be Serializable: one
+    * instance ships to each executor and is reused across the partition's
+    * rows (the mapPartitions batch shape). */
+  trait Codec extends Serializable {
+    def decode(kind: String, payload: Array[Byte]): (Int, Int, Int, Array[Float])
+    def lumaPlane(payload: Array[Byte]): Array[Byte]
+  }
+
   /** ==== STUB ====
     * Deterministic fake decoder standing in for a real image/audio/video
-    * codec (none available offline). Metadata and features are pure functions
-    * of the payload bytes, so tests are reproducible and the distributed
-    * plumbing (serialization, batching, partitioning) is exercised for real. */
-  object FakeCodec {
+    * codec in the ORACLE path (the driver's DuckDB twin can reproduce its
+    * byte arithmetic; it cannot decode PNG). Metadata and features are pure
+    * functions of the payload bytes, so tests are reproducible and the
+    * distributed plumbing (serialization, batching, partitioning) is
+    * exercised for real. For real pixels, see `ImageIoCodec`. */
+  object FakeCodec extends Codec {
+    /** The stub's "luma plane" is the payload itself — `phashOf` windows
+      * raw bytes, which is what the oracle twin reproduces. */
+    def lumaPlane(payload: Array[Byte]): Array[Byte] = payload
+
     def decode(kind: String, payload: Array[Byte]): (Int, Int, Int, Array[Float]) = {
       val h = payload.foldLeft(17L)((acc, b) => (acc * 31 + (b & 0xff)) % 1000000007L)
       val width = (h % 640).toInt + 16
@@ -47,6 +68,56 @@ object Multimodal {
         else slice.map(b => (b & 0xff).toFloat).sum / slice.length / 255f
       }.toArray
       (width, height, frames, feats)
+    }
+  }
+
+  /** REAL pure-JVM image codec: `javax.imageio.ImageIO` (PNG/BMP/GIF/JPEG
+    * readers ship in the JDK — no native libraries, works in this offline
+    * container). `decode` reports true pixel dimensions and 8 windowed luma
+    * means as the feature vector; `lumaPlane` is the row-major ITU-R BT.601
+    * integer luma (299·R + 587·G + 114·B) / 1000 — so `phashOf` over it is
+    * a real image aHash: re-encoding the same pixels in another lossless
+    * format yields the identical fingerprint, and a local edit flips only
+    * the bits whose windows cover the edited rows (PhashSpec pins both).
+    * Wire it with `decodeWith`/`phashWith`; the oracle-checked queries stay
+    * on FakeCodec because DuckDB cannot decode PNG. */
+  object ImageIoCodec extends Codec {
+    private def image(payload: Array[Byte]): java.awt.image.BufferedImage = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      require(img != null, "payload is not a decodable image")
+      img
+    }
+
+    private def lumaOf(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val (w, h) = (img.getWidth, img.getHeight)
+      val out = new Array[Byte](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val l = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff)
+            + 114 * (rgb & 0xff)) / 1000
+          out(y * w + x) = l.toByte
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
+    def lumaPlane(payload: Array[Byte]): Array[Byte] = lumaOf(image(payload))
+
+    def decode(kind: String, payload: Array[Byte]): (Int, Int, Int, Array[Float]) = {
+      val img = image(payload)
+      val luma = lumaOf(img)
+      val n = math.max(1, luma.length / 8)
+      val feats = (0 until 8).map { i =>
+        val slice = luma.slice(i * n, math.min((i + 1) * n, luma.length))
+        if (slice.isEmpty) 0f
+        else slice.map(b => (b & 0xff).toFloat).sum / slice.length / 255f
+      }.toArray
+      (img.getWidth, img.getHeight, 1, feats)
     }
   }
 
@@ -68,12 +139,17 @@ object Multimodal {
   /** Decode stage: partition-wise batch map — the decoder is instantiated
     * once per partition (like a Pandas-batch UDF), rows stream through it.
     * Narrow transformation: no shuffle, scales with input partitions. */
-  def decode(media: Dataset[MediaRow]): Dataset[Decoded] = {
+  def decode(media: Dataset[MediaRow]): Dataset[Decoded] =
+    decodeWith(media, FakeCodec)
+
+  /** Codec-parameterized decode: same partition-wise batch shape, any
+    * `Codec` (ImageIoCodec for real pixels, FakeCodec for the oracle). */
+  def decodeWith(media: Dataset[MediaRow], codec: Codec): Dataset[Decoded] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       // per-partition decoder setup would happen here (codec init, buffers)
       rows.map { r =>
-        val (w, h, f, feats) = FakeCodec.decode(r.kind, r.payload)
+        val (w, h, f, feats) = codec.decode(r.kind, r.payload)
         Decoded(r.media_id, r.kind, r.source, w, h, f, r.payload.length.toLong, feats)
       }
     }
@@ -175,9 +251,16 @@ object Multimodal {
 
   /** Fingerprint stage: same partition-wise batch shape as `decode` (codec
     * init once per partition; narrow, no shuffle). */
-  def phash(media: Dataset[MediaRow]): Dataset[Phashed] = {
+  def phash(media: Dataset[MediaRow]): Dataset[Phashed] =
+    phashWith(media, FakeCodec)
+
+  /** Codec-parameterized fingerprint: `phashOf` windows whatever luma
+    * plane the codec renders — raw bytes for the stub, real BT.601 pixels
+    * for ImageIoCodec. */
+  def phashWith(media: Dataset[MediaRow], codec: Codec): Dataset[Phashed] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(_.map(r => Phashed(r.media_id, r.kind, phashOf(r.payload))))
+    media.mapPartitions(_.map(r =>
+      Phashed(r.media_id, r.kind, phashOf(codec.lumaPlane(r.payload)))))
   }
 
   /** q_multimodal_phash: the per-media fingerprint table — what an image

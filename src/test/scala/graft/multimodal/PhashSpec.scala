@@ -48,4 +48,83 @@ class PhashSpec extends SparkSpec {
     assert(minDist > Multimodal.PhashHamMax,
       s"fixture has a true near-dup at distance $minDist — the 0-row contract no longer holds")
   }
+
+  // ---- real pixels through ImageIoCodec (VERDICT r7 item 5) ----
+
+  private def png(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** 64×64 vertical-gradient image, optionally brightened on rows
+    * [editFrom, editTo) and optionally inverted. */
+  private def gradient(invert: Boolean = false, editFrom: Int = -1,
+                       editTo: Int = -1): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(64, 64,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 64; x <- 0 until 64) {
+      val base = if (invert) 252 - y * 4 else y * 4
+      val l = if (y >= editFrom && y < editTo) math.min(255, base + 100) else base
+      img.setRGB(x, y, (l << 16) | (l << 8) | l)
+    }
+    img
+  }
+
+  test("ImageIoCodec decodes real PNG pixels: true dimensions, BT.601 luma") {
+    val bytes = png(gradient())
+    val (w, h, frames, feats) = Multimodal.ImageIoCodec.decode("image", bytes)
+    assert((w, h, frames) == ((64, 64, 1)))
+    // gray pixel (l,l,l) → BT.601 luma = l exactly; feature window i covers
+    // rows 8i..8i+7, mean luma = 4·(8i + 3.5)
+    val luma = Multimodal.ImageIoCodec.lumaPlane(bytes)
+    assert(luma.length == 64 * 64)
+    assert((luma(0) & 0xff) == 0 && (luma(63 * 64) & 0xff) == 252)
+    for (i <- 0 until 8)
+      assert(math.abs(feats(i) - (4.0f * (8 * i + 3.5f) / 255f)) < 1e-4,
+        s"window $i: ${feats(i)}")
+  }
+
+  test("real-pixel phash: format-invariant, locality under edits, far for inverse") {
+    val base = png(gradient())
+    val bmp = { // identical pixels, different container bytes
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(gradient(), "bmp", bos)
+      bos.toByteArray
+    }
+    val edited = png(gradient(editFrom = 10, editTo = 13))
+    val inverse = png(gradient(invert = true))
+    def hOf(b: Array[Byte]) = Multimodal.phashOf(Multimodal.ImageIoCodec.lumaPlane(b))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val (hBase, hBmp, hEdit, hInv) = (hOf(base), hOf(bmp), hOf(edited), hOf(inverse))
+    // a real perceptual hash sees pixels, not bytes: PNG and BMP encodings
+    // of the same image share the fingerprint (FakeCodec's byte-plane hash
+    // cannot do this — the container bytes differ completely)
+    assert(hBase == hBmp, f"PNG/BMP fingerprints differ: $hBase%x vs $hBmp%x")
+    assert(Multimodal.phashOf(base) != Multimodal.phashOf(bmp),
+      "byte-plane stub should NOT be format-invariant — guard that the comparison is meaningful")
+    // brightening 3 of 64 rows touches ~3/64 of the windows
+    val dEdit = ham(hBase, hEdit)
+    assert(dEdit >= 1 && dEdit <= 8, s"local edit moved $dEdit bits")
+    // the inverted gradient flips (almost) every window's relation to the
+    // global mean
+    assert(ham(hBase, hInv) >= 40, s"inverse only ${ham(hBase, hInv)} bits away")
+  }
+
+  test("phashWith(ImageIoCodec) runs the distributed stage over real images") {
+    import spark.implicits._
+    val rows = Seq(
+      Multimodal.MediaRow(0L, "image", png(gradient()), "s"),
+      Multimodal.MediaRow(1L, "image", {
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(gradient(), "bmp", bos)
+        bos.toByteArray
+      }, "s"),
+      Multimodal.MediaRow(2L, "image", png(gradient(invert = true)), "s"))
+    val ds = spark.createDataset(rows)
+    val got = Multimodal.phashWith(ds, Multimodal.ImageIoCodec)
+      .collect().map(p => p.media_id -> p.phash).toMap
+    assert(got(0L) == got(1L), "same pixels, different format must collide")
+    assert(java.lang.Long.bitCount(got(0L) ^ got(2L)) >= 40)
+  }
 }
