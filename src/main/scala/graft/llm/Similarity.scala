@@ -209,6 +209,20 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** The trained serve's CELL-PROBE stage in isolation — each sample query's
+    * `NProbe` best cells by centroid cosine, (q_id, crn, cent_id). Publishes
+    * on first call like ivfTrainedTopK. This is the batch face of the
+    * streaming routing twin (StreamTwins.ivfProbe); StreamTwinsSpec pins
+    * drained ≡ batch on it. */
+  private[graft] def probeCells(s: SparkSession, dir: String): DataFrame = {
+    val target = centroidTarget(s, dir)
+    if (!graft.etl.Warehouse.exists(s, target)) publishCentroids(s, dir, target)
+    val cents = graft.etl.Warehouse.read(s, target).select("cent_id", "c_emb")
+    val e = withNorm(s, dir).filter(col("vec_id") < 8)
+    rankAgainst(e, cents).filter(col("crn") <= NProbe)
+      .select(col("vec_id").as("q_id"), col("crn"), col("cent_id"))
+  }
+
   /** Number of Lloyd iterations for IVF k-means training, and the power-of-2
     * scale that maps every fixture float exactly to an integer (components
     * need ≤ 2^-43 resolution; 2^48 leaves margin). Centroid means are

@@ -377,6 +377,39 @@ object StreamTwins {
         col("best.d2").as("dist2"))
   }
 
+  /** Streaming IVF cell-probe — the serve face of q_sim_ivf_trained's
+    * assignment stage, completing the published-artifact serve family
+    * (clusterAssign routes to a centroid, binarySign packs sign bits, this
+    * ranks the probe cells): each arriving query embedding is scored
+    * against the PUBLISHED centroids by cosine and emits its `nProbe` best
+    * cells as (q_id, crn, cent_id) in-flight. Centroids are k·d doubles of
+    * dimension-tier metadata inlined as a literal, so the whole probe is
+    * ONE STATELESS expression chain — score (transform), rank (array_sort
+    * with the batch's exact comparator: cosine desc, lower cent_id on
+    * ties), cut (slice), emit (posexplode) — no streaming aggregation, no
+    * state store, watermark-free, and the micro-batch never shuffles. Every
+    * arithmetic step is the batch plan's: the same vec_dot/HOF pair, the
+    * same a/(b·c) division order, so drained output is bit-identical to
+    * Similarity.probeCells on the same rows (StreamTwinsSpec). */
+  def ivfProbe(embs: DataFrame, centroids: Seq[(Long, Seq[Double])],
+               nProbe: Int = graft.llm.Similarity.NProbe): DataFrame = {
+    val dot = graft.llm.Similarity.dotFor(embs.sparkSession) _
+    embs.withColumn("cents", typedlit(centroids.sortBy(_._1)))
+      .withColumn("nrm", expr(s"sqrt(${dot("embedding", "embedding")})"))
+      .withColumn("scored", expr(
+        s"""array_sort(
+              transform(cents, c -> struct(c._1 AS cent_id,
+                ${dot("embedding", "c._2")} / (nrm * sqrt(${dot("c._2", "c._2")})) AS c_cos)),
+              (l, r) -> CASE WHEN l.c_cos > r.c_cos THEN -1
+                             WHEN l.c_cos < r.c_cos THEN 1
+                             WHEN l.cent_id < r.cent_id THEN -1
+                             WHEN l.cent_id > r.cent_id THEN 1 ELSE 0 END)"""))
+      .select(col("vec_id").as("q_id"),
+        posexplode(expr(s"slice(scored, 1, $nProbe)")).as(Seq("p", "c")))
+      .select(col("q_id"), (col("p") + 1).cast("int").as("crn"),
+        col("c.cent_id").as("cent_id"))
+  }
+
   /** Stateless streaming twin of the binary encode path
     * (q_sim_binary_codes): sign each arriving embedding against the
     * PUBLISHED per-dimension means (the d-row statistic a batch job

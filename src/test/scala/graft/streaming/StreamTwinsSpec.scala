@@ -608,4 +608,31 @@ class StreamTwinsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(got.sameElements(want))
   }
+
+  test("streaming IVF cell-probe matches the trained serve's assignment stage") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    // batch face first: publishes the trained centroids on first call
+    val want = graft.llm.Similarity.probeCells(s, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted
+    // the published statistic the stream serves from
+    val target = graft.llm.Similarity.centroidTarget(s, sf)
+    val cents = graft.etl.Warehouse.read(s, target)
+      .select("cent_id", "c_emb").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    val rows = graft.Tables.t(s, sf, "embeddings")
+      .filter($"vec_id" < 8).select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val mem = MemoryStream[(Long, Array[Float])]
+    mem.addData(rows.toSeq: _*)
+    val q = StreamTwins.ivfProbe(mem.toDF().toDF("vec_id", "embedding"), cents)
+      .writeStream.format("memory").queryName("ivfprobe_out")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = s.table("ivfprobe_out").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted
+    assert(got.length == 8 * graft.llm.Similarity.NProbe)
+    assert(got.sameElements(want))
+  }
 }
