@@ -1047,7 +1047,7 @@ object SparkEntry {
                  count(*) OVER (PARTITION BY ths) AS n_members
           FROM k ORDER BY doc_id""",
     "q_dedup_jaccard" ->
-      s"""WITH $minhashCtes,
+      s"""WITH $minhashCtesCapped,
           toks AS (SELECT doc_id, list_distinct(h) AS ths, len(list_distinct(h)) AS nt FROM th)
           SELECT p.doc_a, p.doc_b,
                  CAST(len(list_intersect(a.ths, b.ths)) AS DOUBLE)

@@ -369,11 +369,19 @@ object Dedup {
     // rows, not |docs|. On duplicate-heavy corpora (the realistic 100 TB
     // case) that is orders of magnitude fewer candidates.
     val c = setCollapse(s, dir)
+    // pair-ELIGIBLE members only (rn <= MinhashMaxClass, the minhashPairs
+    // qualification): without it both arms below are quadratic in
+    // within-class multiplicity — an m-fold duplicated class emits C(m,2)
+    // jac=1.0 pairs from (a) and m·m' expansions from (b). With it, this
+    // query joins the rest of the declared pair family in being LINEAR
+    // under duplication (ADVICE r7: jaccard was the one documented
+    // exception). The DuckDB twin applies the identical qualification.
+    val elig = c.members.filter(col("rn") <= MinhashMaxClass)
     // (a) within-group pairs: identical sets, jac = 1.0 by definition
-    val same = sameSetPairs(c.members).withColumn("jac", lit(1.0))
+    val same = sameSetPairs(elig).withColumn("jac", lit(1.0))
     // (b) cross-group LSH candidates on representatives, verified BEFORE the
     // pair dedup and member expansion shuffles, then expanded by row joins
-    val cross = expandPairs(verifiedRepPairs(c), c.members, Seq("jac"))
+    val cross = expandPairs(verifiedRepPairs(c), elig, Seq("jac"))
     same.unionByName(cross).orderBy("doc_a", "doc_b")
   }
 

@@ -125,4 +125,17 @@ class DedupStressSpec extends SparkSpec {
       .filter(col("media_a") < 3000L && col("media_b") < 3000L)
     assert(dup.count() === cap * (cap - 1) / 2)
   }
+
+  test("3k-copy duplicate class: verified jaccard output is capped the same way") {
+    // ADVICE r7: jaccard was the one declared pair query still expanding
+    // FULL class membership — C(3000,2) ≈ 4.5M jac=1.0 rows for this class.
+    // Both its arms (same-set and verified-cross expansion) now draw from
+    // the pair-eligible members only.
+    writeDocs(3000L, 5000L)
+    val cap = Dedup.MinhashMaxClass.toLong
+    val dup = Dedup.jaccard(spark, root)
+      .filter(col("doc_a") < 3000L && col("doc_b") < 3000L)
+    assert(dup.count() === cap * (cap - 1) / 2)
+    assert(dup.filter(col("jac") =!= 1.0).count() === 0L)
+  }
 }
