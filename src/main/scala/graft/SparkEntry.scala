@@ -57,6 +57,8 @@ object SparkEntry {
     // item 7): the boolean within-tolerance verdict IS hash-checkable
     "q_agg_approx_distinct_bound" -> (Aggregates.approxDistinctBound _),
     "q_agg_sketch_merge_bound" -> (Aggregates.sketchMergeBound _),
+    "q_agg_theta_ops"      -> (Aggregates.thetaOps _),
+    "q_agg_theta_ops_bound" -> (Aggregates.thetaOpsBound _),
     "q_agg_percentile_approx_bound" -> (Aggregates.approxPercentilesBound _),
     "q_active_users_sketch_bound" -> (Sessions.activeUsersSketchBound _),
     "q_agg_stats"          -> (Aggregates.stats _),
@@ -1671,6 +1673,46 @@ object SparkEntry {
     "q_agg_sketch_merge_bound" ->
       """SELECT o_orderpriority, true AS within_tol
          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    // theta/KMV set operations: the hash is an explicit integer congruence,
+    // so unlike the HLL family the ESTIMATES themselves replay bit-exactly
+    // — this twin recomputes the full sketch pipeline, not a rows-only check
+    "q_agg_theta_ops" -> {
+      import Aggregates.{ThetaK, ThetaP, ThetaA, ThetaB2}
+      s"""WITH du AS (SELECT DISTINCT o_orderpriority AS p,
+                        (o_custkey * $ThetaA + $ThetaB2) % $ThetaP AS h
+                      FROM orders),
+          rk AS (SELECT p, h, row_number() OVER (PARTITION BY p ORDER BY h) AS rn
+                 FROM du),
+          sk AS (SELECT p, h FROM rk WHERE rn <= $ThetaK),
+          th AS (SELECT p, CASE WHEN max(rn) < $ThetaK THEN $ThetaP
+                                ELSE max(CASE WHEN rn = $ThetaK THEN h END)
+                           END AS theta
+                 FROM rk GROUP BY p),
+          pr AS (SELECT ta.p AS pa, tb.p AS pb, least(ta.theta, tb.theta) AS thab
+                 FROM th ta, th tb WHERE ta.p < tb.p),
+          blo AS (SELECT pr.pa, pr.pb, pr.thab, a.h
+                  FROM pr JOIN sk a ON a.p = pr.pa AND a.h < pr.thab),
+          mi AS (SELECT pa, pb, count(*) AS m FROM blo
+                 WHERE EXISTS (SELECT 1 FROM sk b WHERE b.p = blo.pb AND b.h = blo.h)
+                 GROUP BY pa, pb),
+          md AS (SELECT pa, pb, count(*) AS m FROM blo
+                 WHERE NOT EXISTS (SELECT 1 FROM sk b WHERE b.p = blo.pb AND b.h = blo.h)
+                 GROUP BY pa, pb)
+          SELECT pr.pa, pr.pb,
+                 CAST(coalesce(mi.m, 0) AS DOUBLE) * CAST($ThetaP AS DOUBLE)
+                   / CAST(pr.thab AS DOUBLE) AS est_inter,
+                 CAST(coalesce(md.m, 0) AS DOUBLE) * CAST($ThetaP AS DOUBLE)
+                   / CAST(pr.thab AS DOUBLE) AS est_diff
+          FROM pr
+          LEFT JOIN mi ON mi.pa = pr.pa AND mi.pb = pr.pb
+          LEFT JOIN md ON md.pa = pr.pa AND md.pb = pr.pb
+          ORDER BY pr.pa, pr.pb"""
+    },
+    "q_agg_theta_ops_bound" ->
+      """WITH ps AS (SELECT DISTINCT o_orderpriority AS p FROM orders)
+         SELECT a.p AS pa, b.p AS pb,
+                true AS inter_within_tol, true AS diff_within_tol
+         FROM ps a, ps b WHERE a.p < b.p ORDER BY pa, pb""",
     "q_agg_percentile_approx_bound" ->
       """SELECT o_orderstatus, true AS p50_within_rank_tol,
                 true AS p90_within_rank_tol
