@@ -163,6 +163,7 @@ object SparkEntry {
     "q_join_ship_priority" -> (Joins.shipPriority _),
     "q_join_region_revenue" -> (Joins.regionRevenue _),
     "q_text_tfidf"         -> (TextAnalysis.tfidf _),
+    "q_text_bm25"          -> (TextAnalysis.bm25 _),
     "q_chunk_pack"         -> (graft.llm.Curation.chunkPack _),
     "q_dedup_embed_components" -> (Dedup.embedComponents _),
     "q_sample_temperature" -> (graft.llm.Curation.temperatureSample _),
@@ -1929,6 +1930,26 @@ object SparkEntry {
                 FROM tf JOIN df USING (token), n)
          SELECT doc_id, rnk, token, tf, df, score
          FROM sc WHERE rnk <= 3 ORDER BY doc_id, rnk""",
+    // BM25 with the log-free rational idf (same discipline as tfidf); the
+    // score expression is SPLICED from TextAnalysis.bm25ScoreSql so the
+    // IEEE operation order matches the Spark plan by construction
+    "q_text_bm25" -> {
+      import graft.llm.TextAnalysis.{Bm25QTerms, Bm25TopK}
+      s"""WITH dt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+          tfx AS (SELECT doc_id, token, count(*) AS tf FROM dt GROUP BY 1, 2),
+          dfx AS (SELECT token, count(*) AS df FROM tfx GROUP BY 1),
+          qt AS (SELECT token, df FROM dfx ORDER BY df, token LIMIT $Bm25QTerms),
+          dlx AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+          st AS (SELECT count(*) AS n_docs, SUM(len(string_split(text, ' '))) AS tot
+                 FROM documents),
+          sc AS (SELECT tfx.doc_id, ${graft.llm.TextAnalysis.bm25ScoreSql} AS score_t
+                 FROM tfx JOIN qt USING (token)
+                 JOIN dlx ON dlx.doc_id = tfx.doc_id, st)
+          SELECT doc_id, count(*) AS n_terms,
+                 CAST(CAST(SUM(CAST(score_t AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS score
+          FROM sc GROUP BY doc_id
+          ORDER BY score DESC, doc_id LIMIT $Bm25TopK"""
+    },
     "q_chunk_pack" ->
       s"""WITH $chunkCtes,
           p AS (SELECT doc_id, chunk_idx, source, n_tokens,

@@ -89,6 +89,64 @@ object TextAnalysis {
       .orderBy("doc_id", "rnk")
   }
 
+  /** BM25 design constants: Robertson's k1=1.2 / b=0.75 defaults; query =
+    * the `Bm25QTerms` most SELECTIVE corpus tokens (lowest df, ties on
+    * token asc — corpus-derived, so the oracle twin replays the identical
+    * query); top `Bm25TopK` documents emitted. */
+  val Bm25QTerms = 4
+  val Bm25TopK = 20
+
+  /** Per-(doc, term) BM25 score over columns (tf, df, dl, n_docs, tot) —
+    * ONE SQL string spliced into both engines so the IEEE operation order
+    * is identical by construction. idf is the log-free RATIONAL odds
+    * (N − df + 0.5)/(df + 0.5) — the engine's established cross-engine
+    * discipline (tfidf, lm_score, DSIR weights): `log()` hands the value
+    * to each platform's libm, while the odds ratio (monotone in df, the
+    * same document ordering per term) keeps every score a fixed-order
+    * expression tree over exact integers. The tf-saturation factor is
+    * exact BM25: tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)), constants
+    * written as decimal literals CAST to double (identical doubles in
+    * both parsers; 1−b is pre-folded to 0.25 so no engine subtracts). */
+  private[graft] def bm25ScoreSql: String =
+    """((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+         / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+       * ((CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+         / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+             * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)
+                 * (CAST(dl AS DOUBLE)
+                     / (CAST(tot AS DOUBLE) / CAST(n_docs AS DOUBLE))))))"""
+
+  /** q_text_bm25: BM25 lexical retrieval — the inverted-index ranking
+    * baseline a RAG / training-data pipeline runs next to the embedding
+    * ANN family. Scale topology: tf/df reuse the tfidf vocabulary-exchange
+    * shape (the corpus tokenizes and explodes ONCE; df derives from tf);
+    * the 4-row query-term frame BROADCASTS against tf, so the scored frame
+    * is the POSTING LISTS of the query terms, never doc×vocab; document
+    * length joins on one doc_id exchange; N and total-token counts ride as
+    * a 1-row broadcast; the per-doc ≤4-term sum is decimal-staged
+    * (Tables.dsum10 — order-free, exact); the top-20 cut is
+    * TakeOrderedAndProject, no global sort. Every score replays
+    * bit-identically in the DuckDB twin (see bm25ScoreSql). */
+  def bm25(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val docToks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val tf = docToks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tf.select("token").groupBy("token").agg(count(lit(1)).as("df"))
+    val qt = df.orderBy(col("df"), col("token")).limit(Bm25QTerms)
+    val dl = docs.select(col("doc_id"), size(tokens(col("text"))).cast("long").as("dl"))
+    val st = docs.agg(count(lit(1)).as("n_docs"),
+      sum(size(tokens(col("text"))).cast("long")).as("tot"))
+    tf.join(broadcast(qt), "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(st))
+      .withColumn("score_t", expr(bm25ScoreSql))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), graft.Tables.dsum10(col("score_t")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(Bm25TopK)
+      .select("doc_id", "n_terms", "score")
+  }
+
   /** Corpus stats by (lang, source): doc count, char totals, token totals. */
   def stats(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
