@@ -36,6 +36,7 @@ object SparkEntry {
     // Group B — joins
     "q_join_inner"         -> (Joins.inner _),
     "q_join_broadcast"     -> (Joins.broadcastJoin _),
+    "q_join_bucketed"      -> (BucketedJoin.revenueByStatus _),
     "q_join_multi"         -> (Joins.multi _),
     "q_join_left"          -> (Joins.left _),
     "q_join_semi"          -> (Joins.semi _),
@@ -797,6 +798,15 @@ object SparkEntry {
       s"""SELECT p_brand, ${dsum("l_extendedprice")} AS revenue, count(*) AS n
           FROM lineitem JOIN part ON l_partkey = p_partkey
           GROUP BY 1 ORDER BY 1""",
+    // bucketed co-located join: the LAYOUT is the Spark-side story
+    // (zero-exchange zero-sort SMJ off bucketed tables, BucketedJoinSpec);
+    // the VALUES are plain relational algebra the oracle checks directly
+    "q_join_bucketed" ->
+      """SELECT o_orderstatus,
+                CAST(CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS revenue,
+                count(*) AS n
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "q_join_multi" ->
       s"""SELECT r_name, l_returnflag,
                  CAST(CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS revenue,
