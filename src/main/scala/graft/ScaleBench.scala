@@ -92,6 +92,11 @@ object ScaleBench {
       val tMinhash = med(graft.llm.Dedup.minhashPairs(spark, dirM).count())
       val tComp = med(graft.llm.Dedup.components(spark, dirM).count())
       println(f"[scalebench] dedup  m=$m%-3d docs=$nD%-7d minhash_pairs=$tMinhash%.2f s components=$tComp%.2f s")
+      // BM25: tf/df are the tfidf vocabulary exchange (replication keeps
+      // the vocabulary fixed, so df cost must stay FLAT while the tf scan
+      // grows linearly); the query-term probe is a 4-row broadcast
+      val tBm25 = med(graft.llm.TextAnalysis.bm25(spark, dirM).count())
+      println(f"[scalebench] bm25   m=$m%-3d docs=$nD%-7d bm25=$tBm25%.2f s")
     }
 
     // ——— events family at m× events (distinct user offsets — keys scale
@@ -191,6 +196,11 @@ object ScaleBench {
       val tBlame = med(graft.ops.Joins.blameSupplier(spark, dirM).count())
       val tExcess = med(graft.ops.Reports.excessSupplier(spark, dirM).count())
       println(f"[scalebench] report m=$m%-3d lineitem=$nL%-9d blame_supplier=$tBlame%.2f s excess_supp=$tExcess%.2f s")
+      // theta sketch build at m× orders (custkeys not offset → distinct
+      // keys fixed): the distinct pass grows with the scan, the K-minima
+      // exchange stays |segments|·K — cost must stay scan-linear-or-flat
+      val tTheta = med(graft.ops.Aggregates.thetaOps(spark, dirM).count())
+      println(f"[scalebench] theta  m=$m%-3d orders=$nL%-9d theta_ops=$tTheta%.2f s")
     }
 
     // ——— BPE corpus pass vs round cost ———

@@ -67,6 +67,22 @@ object Warehouse {
       df.write.mode(SaveMode.Overwrite).parquet(dir)
     }
 
+  /** Publish `df` HIVE-PARTITIONED on `partCol`: one subdirectory per
+    * distinct value (`partCol=v/part-*.parquet`), so a reader's equality /
+    * IN predicate on that column prunes whole DIRECTORIES at file-listing
+    * time — the coarsest, cheapest pruning tier (above row-group
+    * statistics), and exactly the layout an IVF index's inverted lists
+    * want: each cell is a directory, a serve lists only the probed cells.
+    * The partition column must be low-cardinality (cells, dates,
+    * segments); a high-cardinality key degrades to a directory per value.
+    * Same pointer-commit atomicity as `publish` — the partition tree is a
+    * complete immutable version. */
+  def publishPartitioned(spark: SparkSession, target: String, df: DataFrame,
+                         partCol: String): String =
+    publishVersion(spark, target) { dir =>
+      df.write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(dir)
+    }
+
   /** Materialize a COMPLETE version dir via `write`, then commit it with the
     * one atomic pointer replace. Everything `write` puts in the dir —
     * part-files, layout sidecars — is immutable together: readers never see

@@ -321,15 +321,73 @@ object Similarity {
   def ivfServeTopK(s: SparkSession, dir: String, target: String): DataFrame =
     serveIvf(s, dir, graft.etl.Warehouse.read(s, target).select("cent_id", "c_emb"))
 
-  /** IVF ANN over TRAINED centroids, train-once/serve-many: the first call
-    * for a corpus trains and publishes (deterministic k-means, so every
-    * writer publishes identical bytes — last-writer-wins is benign); every
-    * later call, including bench reps 2+ and any other session on the same
-    * machine, serves straight from the published version. */
+  /** Published INVERTED-LIST location: the corpus assignment table,
+    * hive-partitioned by cell (keyed like centroidTarget, plus the
+    * assignment marker — a centroid retrain invalidates the lists too). */
+  private[graft] def assignTarget(s: SparkSession, dir: String): String = {
+    val key = graft.Tables.fixtureKey(s, dir, "embeddings",
+      s"ivfassign|$Cells|$TrainIters|$MeanScale")
+    s"${sys.props("java.io.tmpdir")}/graft_ivf/assign_$key"
+  }
+
+  /** The IVF INVERTED LISTS: every vector's (vec_id, embedding, nrm,
+    * cent_id) under its nearest published centroid, published
+    * HIVE-PARTITIONED on cent_id (Warehouse.publishPartitioned) — each
+    * cell is a directory, so a serve's IN(cent_id) predicate prunes
+    * unprobed cells at FILE-LISTING time, before a single byte of them is
+    * read. This is what an IVF index actually stores; the one corpus-wide
+    * assignment pass (N×k scoring + the per-vector argmax) is paid at
+    * build time, never per query. Deterministic build → every writer
+    * publishes identical bytes (last-writer-wins benign). */
+  private[graft] def publishedAssignments(s: SparkSession, dir: String): DataFrame = {
+    val target = assignTarget(s, dir)
+    if (!graft.etl.Warehouse.exists(s, target)) {
+      val ct = centroidTarget(s, dir)
+      if (!graft.etl.Warehouse.exists(s, ct)) publishCentroids(s, dir, ct)
+      val cents = graft.etl.Warehouse.read(s, ct).select("cent_id", "c_emb")
+      val assigned = rankAgainst(withNorm(s, dir), cents)
+        .filter(col("crn") === 1)
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"))
+      graft.etl.Warehouse.publishPartitioned(s, target, assigned, "cent_id")
+    }
+    // partition-column type inference reads the dir names as int — restore
+    // the build-side long
+    graft.etl.Warehouse.read(s, target).select(col("vec_id"), col("embedding"),
+      col("nrm"), col("cent_id").cast("long").as("cent_id"))
+  }
+
+  /** IVF ANN over TRAINED centroids, train-once/serve-many — and since r8,
+    * SERVED FROM THE PUBLISHED INVERTED LISTS: the first call trains +
+    * publishes centroids AND the partitioned assignment table; every later
+    * call ranks only the 8 query vectors against the broadcast centroids
+    * (8×k scoring — metadata), collects the ≤ Q·NProbe probed cell ids,
+    * and reads JUST those cell directories (static partition pruning,
+    * IvfPersistSpec pins the PartitionFilters). The corpus is never
+    * re-scored at serve time — the plan the old form paid (full N×k
+    * scoring + an N-row argmax window per serve) is gone. Candidates are
+    * the probed lists joined to the broadcast query frame; ranking is the
+    * k-bounded heap aggregate. Output is row-identical to ivfServeTopK
+    * (same cosine expression over the same operands). */
   def ivfTrainedTopK(s: SparkSession, dir: String): DataFrame = {
     val target = centroidTarget(s, dir)
     if (!graft.etl.Warehouse.exists(s, target)) publishCentroids(s, dir, target)
-    ivfServeTopK(s, dir, target)
+    val cents = graft.etl.Warehouse.read(s, target).select("cent_id", "c_emb")
+    val lists = publishedAssignments(s, dir)
+    val q = withNorm(s, dir).filter(col("vec_id") < 8)
+    val probes = rankAgainst(q, cents).filter(col("crn") <= NProbe)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("cent_id"))
+    // probed cell ids: ≤ min(Cells, Q·NProbe) longs — metadata tier; the
+    // literal IN is what turns into a partition-pruning filter
+    val cellIds = probes.select("cent_id").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val cands = lists.filter(col("cent_id").isInCollection(cellIds))
+      .join(broadcast(probes), "cent_id")
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", expr(dotFor(s)("q_emb", "embedding")) / (col("q_nrm") * col("nrm")))
+      .select("q_id", "vec_id", "cos")
+    Ranking.topKPerGroup(cands, "q_id", "cos", "vec_id", 10, asc = false, "cos", "n_id")
+      .orderBy("q_id", "rank")
   }
 
   /** The `ivfTopK` serving plan over an arbitrary centroid set. */

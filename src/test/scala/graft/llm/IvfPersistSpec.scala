@@ -62,4 +62,23 @@ class IvfPersistSpec extends SparkSpec {
     assert(Warehouse.currentVersion(spark, t) == v,
       "second call must serve the existing version, not republish")
   }
+
+  test("the trained serve reads only probed cell directories, never re-scores the corpus") {
+    Similarity.ivfTrainedTopK(spark, sf).count() // publishes lists on first call
+    val plan = Similarity.ivfTrainedTopK(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the inverted-list scan carries the probed-cell IN as a PARTITION
+    // filter — unprobed cell directories are pruned at file-listing time
+    assert("PartitionFilters: \\[[^\\]]*cent_id".r.findFirstIn(plan).isDefined,
+      s"no partition filter on the inverted-list scan:\n$plan")
+    // every embeddings-table scan in the serve is the 8-row QUERY side
+    // (pushed vec_id < 8; the subtree appears twice because the
+    // dynamic-pruning subquery reuses it) — the corpus reaches the plan
+    // only through the published lists, never as a raw re-scan
+    val embScanLines = plan.linesIterator.filter(_.contains("embeddings.parquet")).toSeq
+    assert(embScanLines.nonEmpty)
+    embScanLines.foreach(l =>
+      assert(l.contains("LessThan(vec_id,8)"),
+        s"an embeddings scan without the query-side pushdown (corpus re-scan):\n$l"))
+  }
 }
