@@ -469,11 +469,70 @@ object Similarity {
     * bit-for-bit. Recall vs the float serve is asserted in
     * QuantizedServeSpec. */
   def ivfQuantizedTopK(s: SparkSession, dir: String): DataFrame = {
-    val deq = quantCodes(s, dir)
+    val lists = publishedQuantLists(s, dir)
+    // centroid and query sides: 16- and 8-row scans (vec_id predicates push
+    // through quantCodes' projection chain into the parquet read),
+    // quantize→dequantize in-plan — the same dequant values the build wrote
+    def deqOf(df: DataFrame): DataFrame = df
       .select(col("vec_id"),
         expr("transform(codes, q -> CAST(q AS DOUBLE) * maxabs / 127.0D)").as("embedding"))
       .withColumn("nrm", expr(normFor(s)("embedding")))
-    ivfFirstCellsTopK(s, deq)
+    val cent = deqOf(quantCodes(s, dir).filter(col("vec_id") < Cells)).select(
+      col("vec_id").as("cent_id"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
+    val probes = deqOf(quantCodes(s, dir).filter(col("vec_id") < 8))
+      .crossJoin(broadcast(cent))
+      .withColumn("c_cos", expr(dotFor(s)("embedding", "c_emb")) / (col("nrm") * col("c_nrm")))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("cent_id"))))
+      .filter(col("crn") <= NProbe)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("cent_id"))
+    val cellIds = probes.select("cent_id").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val cands = lists.filter(col("cent_id").isInCollection(cellIds))
+      .withColumn("embedding",
+        expr("transform(codes, q -> CAST(q AS DOUBLE) * maxabs / 127.0D)"))
+      .join(broadcast(probes), "cent_id")
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", expr(dotFor(s)("q_emb", "embedding")) / (col("q_nrm") * col("nrm")))
+      .select("q_id", "vec_id", "cos")
+    Ranking.topKPerGroup(cands, "q_id", "cos", "vec_id", 10, asc = false, "cos", "n_id")
+      .orderBy("q_id", "rank")
+  }
+
+  /** Published int8 CODE LISTS for the quantized serve: (vec_id, maxabs,
+    * codes, nrm, cent_id) hive-partitioned by cell — the 4×-smaller
+    * inverted lists a quantized vector store actually keeps on disk. The
+    * build quantizes the corpus once, assigns each vector to its
+    * first-`Cells` dequant centroid (the ivfTopK untrained discipline),
+    * and stores codes + the dequant norm; the serve prunes to probed cell
+    * directories and dequantizes ONLY those rows. Keyed by the fixture
+    * fingerprint + the cell count; deterministic build → identical bytes
+    * from any writer. */
+  private[graft] def quantListsTarget(s: SparkSession, dir: String): String = {
+    val key = graft.Tables.fixtureKey(s, dir, "embeddings", s"ivfqlists|$Cells")
+    s"${sys.props("java.io.tmpdir")}/graft_ivf/qlists_$key"
+  }
+
+  private[graft] def publishedQuantLists(s: SparkSession, dir: String): DataFrame = {
+    val target = quantListsTarget(s, dir)
+    if (!graft.etl.Warehouse.exists(s, target)) {
+      val deq = quantCodes(s, dir)
+        .withColumn("demb",
+          expr("transform(codes, q -> CAST(q AS DOUBLE) * maxabs / 127.0D)"))
+        .withColumn("nrm", expr(normFor(s)("demb")))
+      val cent = deq.filter(col("vec_id") < Cells).select(
+        col("vec_id").as("cent_id"), col("demb").as("c_emb"), col("nrm").as("c_nrm"))
+      val assigned = deq.crossJoin(broadcast(cent))
+        .withColumn("c_cos", expr(dotFor(s)("demb", "c_emb")) / (col("nrm") * col("c_nrm")))
+        .withColumn("crn", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("cent_id"))))
+        .filter(col("crn") === 1)
+        .select(col("vec_id"), col("maxabs"), col("codes"), col("nrm"), col("cent_id"))
+      graft.etl.Warehouse.publishPartitioned(s, target, assigned, "cent_id")
+    }
+    graft.etl.Warehouse.read(s, target).select(col("vec_id"), col("maxabs"),
+      col("codes"), col("nrm"), col("cent_id").cast("long").as("cent_id"))
   }
 
   /** Distributed GRAM MATRIX of the embedding corpus (upper triangle):

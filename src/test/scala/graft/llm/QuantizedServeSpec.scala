@@ -52,4 +52,19 @@ class QuantizedServeSpec extends SparkSpec {
       .where("expect <> codes_str").count()
     assert(mismatch == 0L)
   }
+
+  test("quantized serve reads only probed cell directories of the code lists") {
+    Similarity.ivfQuantizedTopK(spark, sf).count() // publishes the lists
+    val plan = Similarity.ivfQuantizedTopK(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cent_id".r.findFirstIn(plan).isDefined,
+      s"no partition filter on the code-list scan:\n$plan")
+    // the raw embeddings table is touched only by the 16-row centroid and
+    // 8-row query sides — every scan of it carries a pushed vec_id bound
+    val embScans = plan.linesIterator.filter(_.contains("embeddings.parquet")).toSeq
+    assert(embScans.nonEmpty)
+    embScans.foreach(l =>
+      assert(l.contains("LessThan(vec_id"),
+        s"an embeddings scan without a query/centroid pushdown (corpus re-scan):\n$l"))
+  }
 }
