@@ -29,7 +29,7 @@ class FallbackSpec extends SparkSpec {
     "q_dedup_simhash", "q_dedup_simhash_pairs", "q_dedup_clusters",
     "q_sim_lsh", "q_dedup_embed_lsh", "q_dedup_components",
     "q_dedup_incremental", "q_dedup_winnow", "q_cluster_kmeans",
-    "q_cluster_sizes"))
+    "q_cluster_sizes", "q_agg_theta_ops", "q_sim_ivf_quantized"))
     test(s"$q is bit-identical without the custom expressions") {
       val fn = SparkEntry.queries(q)
       val want = fn(spark, sf).collect().map(_.toString).toSeq

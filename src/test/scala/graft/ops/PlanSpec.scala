@@ -321,7 +321,10 @@ class PlanSpec extends SparkSpec {
       "q_join_small_qty",
       // q_join_important_stock: the Q11 (total, n) threshold is a 1-row
       // broadcast over the partkey rollup (Reports.importantStock)
-      "q_join_important_stock")
+      "q_join_important_stock",
+      // q_text_bm25: the (n_docs, total_tokens) corpus statistics are the
+      // tf-idf 1-row broadcast — one partial per partition, never rows
+      "q_text_bm25")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
       val p = plan(q)
       Seq(
