@@ -151,6 +151,12 @@ object ScaleBench {
       val tBinCodes = med(graft.llm.Binary.codes(spark, dirM).count())
       val tBinTopk = med(graft.llm.Binary.topK(spark, dirM).count())
       println(f"[scalebench] binary m=$m%-3d vectors=$nV%-8d encode=$tBinCodes%.2f s hamming_topk=$tBinTopk%.2f s")
+      // trained-IVF serve off the published inverted lists: rep 1 pays the
+      // train+publish, the MEDIAN is the post-publish serve — 8×k probe
+      // ranking + probed-cell directory reads; must stay near-FLAT in N
+      // (the per-call O(N·k) re-score this round deleted would not)
+      val tIvfServe = med(graft.llm.Similarity.ivfTrainedTopK(spark, dirM).count())
+      println(f"[scalebench] ivf    m=$m%-3d vectors=$nV%-8d trained_serve=$tIvfServe%.2f s")
       // NN-descent CONSTRUCTION, measured FIRST and via descentGraph
       // directly — graphSearchTopK below triggers publishedDescent's
       // train-and-publish for this dirM, after which any nnDescent call

@@ -94,6 +94,7 @@ object SparkEntry {
     "q_stats_profile"      -> (graft.ops.Profile.profile _),
     "q_decontaminate"      -> (graft.llm.Curation.decontaminate _),
     "q_decontaminate_audit" -> (graft.llm.Curation.decontaminateAudit _),
+    "q_decontaminate_embed" -> (graft.llm.Curation.decontaminateEmbed _),
     "q_text_commonness"    -> (graft.llm.Curation.commonness _),
     "q_sample_stratified"  -> (graft.llm.Curation.stratifiedSample _),
     "q_split_assign"       -> (graft.llm.Curation.splitAssign _),
@@ -1232,6 +1233,23 @@ object SparkEntry {
           FROM (SELECT doc_id FROM documents WHERE doc_id % ${graft.llm.Curation.BenchMod} = 0) d
           LEFT JOIN (SELECT * FROM scored WHERE rn = 1) s ON d.doc_id = s.bench_id
           ORDER BY bench_id"""
+    },
+    // embedding-space decontamination audit: exact top-K nearest training
+    // vectors per benchmark vector — fixed-order cosine, bit-exact
+    "q_decontaminate_embed" -> {
+      import graft.llm.Curation.{BenchMod, EmbedAuditK}
+      s"""WITH en AS (SELECT vec_id, embedding, ${dNorm("embedding")} AS nrm
+                      FROM embeddings),
+          db AS (SELECT vec_id AS bench_id, embedding AS b_emb, nrm AS b_nrm
+                 FROM en WHERE vec_id % $BenchMod = 0),
+          dtr AS (SELECT * FROM en WHERE vec_id % $BenchMod <> 0),
+          dsc AS (SELECT db.bench_id, dtr.vec_id AS train_id,
+                         ${dDot("db.b_emb", "dtr.embedding")} / (db.b_nrm * dtr.nrm) AS cos
+                  FROM dtr, db),
+          drk AS (SELECT *, CAST(row_number() OVER (PARTITION BY bench_id
+                    ORDER BY cos DESC, train_id) AS BIGINT) AS "rank" FROM dsc)
+          SELECT bench_id, train_id, cos, "rank" FROM drk
+          WHERE "rank" <= $EmbedAuditK ORDER BY bench_id, "rank""""
     },
     "q_text_commonness" ->
       """WITH g AS (SELECT DISTINCT doc_id, g FROM (

@@ -71,6 +71,44 @@ object Curation {
       .agg(count(lit(1)).as("n_shared_shingles"))
   }
 
+  /** Nearest training vectors reported per benchmark item by the
+    * embedding-space decontamination audit. */
+  val EmbedAuditK = 5
+
+  /** SEMANTIC (embedding-space) decontamination audit — the companion of
+    * the n-gram checks: `q_decontaminate` catches verbatim leaks, but a
+    * PARAPHRASED eval item shares no 8-token shingle with its source while
+    * sitting right next to it in embedding space, so real curation runs
+    * audit nearest-neighbor cosine against the benchmark embeddings too.
+    * For each benchmark vector (vec_id ≡ 0 mod BenchMod — the
+    * q_decontaminate split convention, on the embeddings table), the
+    * `EmbedAuditK` nearest training vectors by EXACT cosine (ties to the
+    * lower id) — the review queue an eval owner walks.
+    *
+    * Scale shapes: the benchmark side is an eval SET — metadata at any
+    * corpus scale — broadcast against ONE corpus scan; the per-bench
+    * ranking is the k-bounded heap aggregate (exchange carries bench·k
+    * rows, never the scored frame). Scoring is exact, not LSH-blocked, on
+    * purpose: an audit must not miss a neighbor because a bucket boundary
+    * fell between them (the q_sim_graph_recall principle — the audit IS
+    * the ground truth). Cosines are fixed-order IEEE divisions, so the
+    * DuckDB twin reproduces every row. */
+  def decontaminateEmbed(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"),
+      expr(Similarity.normFor(s)("embedding")).as("nrm"))
+    val bench = e.filter(col("vec_id") % BenchMod === 0).select(
+      col("vec_id").as("bench_id"), col("embedding").as("b_emb"),
+      col("nrm").as("b_nrm"))
+    val cands = e.filter(col("vec_id") % BenchMod =!= 0)
+      .crossJoin(broadcast(bench))
+      .withColumn("cos",
+        expr(Similarity.dotFor(s)("b_emb", "embedding")) / (col("b_nrm") * col("nrm")))
+      .select(col("bench_id"), col("vec_id"), col("cos"))
+    Ranking.topKPerGroup(cands, "bench_id", "cos", "vec_id",
+        EmbedAuditK, asc = false, "cos", "train_id")
+      .orderBy("bench_id", "rank")
+  }
+
   /** Containment-audit n-gram width. Containment |bench∩train| / |bench| is
     * the asymmetric complement of the jaccard dedup: a benchmark item PASTED
     * INTO a long training doc keeps containment ≈ 1 while jaccard goes to
