@@ -176,7 +176,11 @@ object Similarity {
   /** IVF-bucketed ANN: each vector is assigned to its nearest centroid cell;
     * a query probes its NProbe nearest cells and ranks candidates by exact
     * cosine within them. The cell id is the join/shuffle key — the classic
-    * inverted-file layout. */
+    * inverted-file layout. This is the ALL-IN-PLAN form (assignment
+    * recomputed per call): it shows the topology and serves ad-hoc corpora
+    * with no index; the production serves are `ivfTrainedTopK` /
+    * `ivfQuantizedTopK`, which read PUBLISHED cell-partitioned lists and
+    * prune to the probed directories. */
   def ivfTopK(s: SparkSession, dir: String): DataFrame =
     ivfFirstCellsTopK(s, withNorm(s, dir))
 
