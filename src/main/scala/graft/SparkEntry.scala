@@ -262,6 +262,12 @@ object SparkEntry {
     // conditional/boolean aggregates + LATERAL correlated subquery
     "q_agg_flags"           -> (Aggregates.flagAggs _),
     "q_join_lateral"        -> (Joins.lateralTop _),
+    // round 8 wave 2: contrastive-training pair mining (llm/Mining),
+    // the data-constrained epoch schedule, and the IVF operating curve
+    "q_mine_hard_negatives" -> (graft.llm.Mining.hardNegatives _),
+    "q_mine_triplets"       -> (graft.llm.Mining.triplets _),
+    "q_mix_epochs"          -> (graft.llm.Curation.mixEpochs _),
+    "q_sim_ivf_sweep"       -> (Similarity.ivfSweep _),
   )
 
   /** DECIMAL-staged exact sum, surfaced as DOUBLE (matches Tables.dsum2).
@@ -410,7 +416,11 @@ object SparkEntry {
         r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS "rank" FROM c)
         SELECT q_id, n_id, cos, "rank" FROM r WHERE "rank" <= 10 ORDER BY q_id, "rank""""
 
-  private def ivfTrainedSql: String = {
+  /** Shared trained-IVF CTE block (unrolled Lloyd + final assignment):
+    * yields CTEs e (normed corpus), cent (trained centroids), rc
+    * (vector×centroid ranking), asg (cell assignments) — the common prefix
+    * of ivfTrainedSql and ivfSweepSql. */
+  private def ivfTrainCtes: String = {
     val S = Similarity.MeanScale
     val T = Similarity.TrainIters
     def cosTo(c: String) =
@@ -431,7 +441,7 @@ object SparkEntry {
           c$i AS (SELECT p.cent_id, COALESCE(u.cemb, p.cemb) AS cemb
                   FROM $prev p LEFT JOIN u$i u USING (cent_id))"""
     }.mkString(",\n")
-    s"""WITH e AS (SELECT vec_id, embedding, ${dNorm("embedding")} AS nrm FROM embeddings),
+    s"""e AS (SELECT vec_id, embedding, ${dNorm("embedding")} AS nrm FROM embeddings),
         c0 AS (SELECT vec_id AS cent_id,
                       [CAST(embedding[i] AS DOUBLE) for i in generate_series(1, len(embedding))] AS cemb
                FROM embeddings WHERE vec_id < ${Similarity.Cells}),
@@ -442,7 +452,11 @@ object SparkEntry {
                         ORDER BY ${dDot("e.embedding", "cent.cemb")} / (e.nrm * cent.c_nrm) DESC,
                                  cent.cent_id) AS crn
                FROM e, cent),
-        asg AS (SELECT vec_id, embedding, nrm, cent_id FROM rc WHERE crn = 1),
+        asg AS (SELECT vec_id, embedding, nrm, cent_id FROM rc WHERE crn = 1)"""
+  }
+
+  private def ivfTrainedSql: String =
+    s"""WITH $ivfTrainCtes,
         probes AS (SELECT vec_id AS q_id, cent_id FROM rc
                    WHERE crn <= ${Similarity.NProbe} AND vec_id < 8),
         q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm FROM e WHERE vec_id < 8),
@@ -453,6 +467,39 @@ object SparkEntry {
               JOIN q ON q.q_id = p.q_id),
         r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS "rank" FROM c)
         SELECT q_id, n_id, cos, "rank" FROM r WHERE "rank" <= 10 ORDER BY q_id, "rank""""
+
+  /** Twin of Similarity.ivfSweep: shared training CTEs, probes fanned
+    * against the 3-value nprobe frame, one ranking per (nprobe, q_id),
+    * recall against the brute-force exact side. */
+  private def ivfSweepSql: String = {
+    val npVals = Similarity.SweepProbes
+      .map(p => s"(CAST($p AS BIGINT))").mkString(", ")
+    s"""WITH $ivfTrainCtes,
+        np(nprobe) AS (VALUES $npVals),
+        probes AS (SELECT vec_id AS q_id, cent_id, crn FROM rc
+                   WHERE crn <= ${Similarity.SweepProbes.max} AND vec_id < 8),
+        q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm FROM e WHERE vec_id < 8),
+        cc AS (SELECT np.nprobe, p.q_id, a.vec_id AS n_id,
+                      ${dDot("q.q_emb", "a.embedding")} / (q.q_nrm * a.nrm) AS cos
+               FROM probes p
+               CROSS JOIN np
+               JOIN asg a ON p.cent_id = a.cent_id AND a.vec_id <> p.q_id
+               JOIN q ON q.q_id = p.q_id
+               WHERE p.crn <= np.nprobe),
+        rr AS (SELECT *, row_number() OVER (PARTITION BY nprobe, q_id
+                                            ORDER BY cos DESC, n_id) AS rk FROM cc),
+        approx AS (SELECT nprobe, q_id, n_id FROM rr WHERE rk <= 10),
+        exact AS (SELECT q_id, n_id FROM ($simTopkSql)),
+        h AS (SELECT np.nprobe, e.q_id, e.n_id, a.n_id AS hit
+              FROM exact e
+              CROSS JOIN np
+              LEFT JOIN approx a ON a.nprobe = np.nprobe
+                                AND a.q_id = e.q_id AND a.n_id = e.n_id)
+        SELECT nprobe, count(*) AS n_exact,
+               CAST(SUM(CASE WHEN hit IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+               CAST(SUM(CASE WHEN hit IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) AS recall
+        FROM h GROUP BY 1 ORDER BY nprobe"""
   }
 
   /** Shared perceptual-hash CTEs (twin of Multimodal.phashOf): per media
@@ -3011,6 +3058,64 @@ object SparkEntry {
           SELECT q_id, n_exact, n_hit,
                  CAST(n_hit AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall
           FROM h ORDER BY q_id""",
+    // contrastive pair mining (twin of llm/Mining): same cosine operands
+    // as simTopkSql, label predicates in the candidate joins
+    "q_mine_hard_negatives" ->
+      s"""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label, embedding,
+                            ${dNorm("embedding")} AS nrm FROM embeddings),
+          q AS (SELECT vec_id AS q_id, label AS q_label, embedding AS q_emb,
+                       nrm AS q_nrm FROM e WHERE vec_id < 8),
+          c AS (SELECT q.q_id, q.q_label, e.vec_id AS n_id, e.label AS n_label,
+                       ${dDot("q_emb", "embedding")} / (q_nrm * nrm) AS cos
+                FROM e, q WHERE e.label <> q.q_label),
+          f AS (SELECT * FROM c WHERE cos <= ${graft.llm.Mining.NearDupCeiling}),
+          r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+                    ORDER BY cos DESC, n_id) AS BIGINT) AS "rank" FROM f)
+          SELECT q_id, q_label, n_id, n_label, cos, "rank"
+          FROM r WHERE "rank" <= ${graft.llm.Mining.NegK} ORDER BY q_id, "rank"""",
+    "q_mine_triplets" ->
+      s"""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label, embedding,
+                            ${dNorm("embedding")} AS nrm FROM embeddings),
+          q AS (SELECT vec_id AS q_id, label AS q_label, embedding AS q_emb,
+                       nrm AS q_nrm FROM e WHERE vec_id < 8),
+          sc AS (SELECT q.q_id, q.q_label, e.vec_id, e.label,
+                        ${dDot("q_emb", "embedding")} / (q_nrm * nrm) AS cos
+                 FROM e, q WHERE e.vec_id <> q.q_id),
+          p AS (SELECT q_id, vec_id AS pos_id, cos AS pos_cos,
+                       row_number() OVER (PARTITION BY q_id
+                         ORDER BY cos DESC, vec_id) AS pr
+                FROM sc WHERE label = q_label),
+          pos AS (SELECT q_id, pos_id, pos_cos FROM p WHERE pr = 1),
+          nc AS (SELECT s.q_id, pos.pos_id, pos.pos_cos,
+                        s.vec_id AS neg_id, s.cos AS neg_cos
+                 FROM sc s JOIN pos ON s.q_id = pos.q_id
+                 WHERE s.label <> s.q_label AND s.cos < pos.pos_cos),
+          nr AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+                     ORDER BY neg_cos DESC, neg_id) AS BIGINT) AS "rank" FROM nc)
+          SELECT q_id, pos_id, pos_cos, neg_id, neg_cos,
+                 pos_cos - neg_cos AS margin, "rank"
+          FROM nr WHERE "rank" <= ${graft.llm.Mining.TripletNegK}
+          ORDER BY q_id, "rank"""",
+    // data-constrained epoch schedule (twin of Curation.mixEpochs);
+    // HUGEINT staging mirrors the Spark DECIMAL(38,0) overflow discipline
+    "q_mix_epochs" ->
+      s"""WITH per AS (SELECT lang, count(*) AS n_docs,
+                    CAST(sum(len(string_split(coalesce(text, ''), ' '))) AS BIGINT) AS avail_tokens
+               FROM documents GROUP BY 1),
+          tot AS (SELECT CAST(sum(avail_tokens) AS BIGINT) AS total_tokens,
+                         count(*) AS n_groups FROM per),
+          j AS (SELECT lang, n_docs, avail_tokens,
+                       (total_tokens * 2) // n_groups AS alloc_tokens
+                FROM per, tot),
+          k AS (SELECT *, least(CAST(${graft.llm.Curation.MaxEpochs * 1000000L} AS BIGINT),
+                       CAST((CAST(alloc_tokens AS HUGEINT) * 1000000)
+                            // greatest(avail_tokens, 1) AS BIGINT)) AS epochs_ppm
+                FROM j)
+          SELECT lang, n_docs, avail_tokens, alloc_tokens, epochs_ppm,
+                 CAST((CAST(avail_tokens AS HUGEINT) * epochs_ppm) // 1000000 AS BIGINT)
+                   AS planned_tokens
+          FROM k ORDER BY lang""",
+    "q_sim_ivf_sweep" -> ivfSweepSql,
   )
 
   /** Sequential squared-euclidean fold (twin of Clustering.dist2Sql —

@@ -750,4 +750,58 @@ object Curation {
           .otherwise("keep"))
       .orderBy("doc_id")
   }
+
+  /** Repetition cap for the epoch schedule: repeating a source beyond ~4
+    * epochs stops buying loss in the published data-constrained scaling
+    * study (Muennighoff et al. 2023, "Scaling Data-Constrained Language
+    * Models" — public result), so the planner never schedules more. */
+  val MaxEpochs = 4L
+
+  /** q_mix_epochs: the DATA-CONSTRAINED mixture schedule — given a token
+    * budget and a uniform target mix over languages, how many epochs
+    * (possibly fractional, possibly > 1) of each language to run. This is
+    * `targetMix`'s missing half: targetMix can only DOWN-sample
+    * over-represented groups (rate ≤ 1); when the budget share exceeds a
+    * small language's supply the schedule must REPEAT it — up to the
+    * MaxEpochs cap, beyond which the budget share goes unfilled
+    * (under-filled capacity is the signal to go collect more of that
+    * language, so it is surfaced, not silently redistributed). The fixture
+    * budget is 2× the corpus's total tokens — the data-constrained regime
+    * that motivates repetition in the first place — and the corpus's
+    * language skew (en ≈ 3× any other) then exercises BOTH live branches:
+    * the dominant language downsamples below one epoch while every minority
+    * language repeats; MixEpochsSpec pins the cap branch on a synthetic
+    * extreme. */
+  def mixEpochs(s: SparkSession, dir: String): DataFrame =
+    epochSchedule(t(s, dir, "documents"), "lang")
+
+  /** The schedule over an arbitrary docs frame and group column. All exact
+    * integers: per-group available tokens are BIGINT sums of token counts;
+    * `epochs_ppm` = min(MaxEpochs·10⁶, alloc·10⁶ / available) in
+    * parts-per-million. The two products stage through DECIMAL(38,0): at a
+    * 100 TB corpus `alloc_tokens · 10⁶` is ~10²⁰ and overflows BIGINT —
+    * the same discipline as the k-means mean sums (the DuckDB twin stages
+    * through HUGEINT, same values). One group-keyed count/sum aggregate +
+    * a 1-row broadcast total; the schedule table is groups-sized at any
+    * corpus size. */
+  private[graft] def epochSchedule(docs: DataFrame, grp: String): DataFrame = {
+    val per = docs
+      .select(col(grp),
+        size(tokens(coalesce(col("text"), lit("")))).cast("long").as("toks"))
+      .groupBy(grp)
+      .agg(count(lit(1)).as("n_docs"), sum("toks").as("avail_tokens"))
+    val tot = per.agg(sum("avail_tokens").as("total_tokens"),
+      count(lit(1)).as("n_groups"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("alloc_tokens", expr("(total_tokens * 2) div n_groups"))
+      .withColumn("epochs_ppm", least(lit(MaxEpochs * 1000000L),
+        expr("""CAST((CAST(alloc_tokens AS DECIMAL(38,0)) * 1000000)
+                     div greatest(avail_tokens, 1L) AS BIGINT)""")))
+      .withColumn("planned_tokens",
+        expr("""CAST((CAST(avail_tokens AS DECIMAL(38,0)) * epochs_ppm)
+                     div 1000000 AS BIGINT)"""))
+      .select(col(grp), col("n_docs"), col("avail_tokens"),
+        col("alloc_tokens"), col("epochs_ppm"), col("planned_tokens"))
+      .orderBy(grp)
+  }
 }

@@ -394,6 +394,63 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** Probe counts for the q_sim_ivf_sweep operating curve. */
+  val SweepProbes: Seq[Int] = Seq(1, 2, 4)
+
+  /** q_sim_ivf_sweep: the recall@10-vs-nprobe OPERATING CURVE — what an ANN
+    * deployment publishes next to its index so users pick a probe budget
+    * with eyes open (the recall knob every IVF paper plots). One row per
+    * probe count: aggregate recall@10 of the trained-IVF serve against the
+    * exact brute-force ground truth over the sample query set.
+    *
+    * The curve points SHARE one pass: probes are ranked once to the
+    * maximum probe count, fanned ×|SweepProbes| against a 3-row literal
+    * frame, and every candidate carries its (nprobe, q_id) pair packed
+    * into one group key so the single k-bounded heap ranking serves all
+    * curve points — the published lists are read once (pruned to the union
+    * of probed cells), never once per point. The ground-truth side is the
+    * same deterministic bruteTopK that anchors the recall audits; at scale
+    * both sides run on a query SAMPLE, so audit cost is independent of
+    * corpus size (the q_sim_recall posture). All counts are integers; each
+    * recall is one IEEE division — oracle-hashable. */
+  def ivfSweep(s: SparkSession, dir: String): DataFrame = {
+    val target = centroidTarget(s, dir)
+    if (!graft.etl.Warehouse.exists(s, target)) publishCentroids(s, dir, target)
+    val cents = graft.etl.Warehouse.read(s, target).select("cent_id", "c_emb")
+    val lists = publishedAssignments(s, dir)
+    val q = withNorm(s, dir).filter(col("vec_id") < 8)
+    val probes = rankAgainst(q, cents).filter(col("crn") <= SweepProbes.max)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("cent_id"), col("crn"))
+    val cellIds = probes.select("cent_id").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    import s.implicits._
+    val np = SweepProbes.map(_.toLong).toDF("nprobe")
+    val fanned = probes.crossJoin(broadcast(np))
+      .filter(col("crn") <= col("nprobe"))
+    // group key packs (nprobe, q_id) so one heap aggregate ranks every
+    // curve point; q_id < 8 << 1024, no collision possible
+    val cands = lists.filter(col("cent_id").isInCollection(cellIds))
+      .join(broadcast(fanned), "cent_id")
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", expr(dotFor(s)("q_emb", "embedding")) / (col("q_nrm") * col("nrm")))
+      .withColumn("gk", col("nprobe") * lit(1024L) + col("q_id"))
+      .select("gk", "vec_id", "cos")
+    val ranked = Ranking.topKPerGroup(cands, "gk", "cos", "vec_id",
+        10, asc = false, "cos", "n_id")
+      .select(expr("gk div 1024").as("nprobe"), expr("gk % 1024").as("q_id"),
+        col("n_id"), lit(1L).as("hit"))
+    val exact = bruteTopK(s, dir).select(col("q_id"), col("n_id"))
+    exact.crossJoin(broadcast(np))
+      .join(ranked, Seq("nprobe", "q_id", "n_id"), "left")
+      .groupBy("nprobe")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall",
+        col("n_hit").cast("double") / col("n_exact").cast("double"))
+      .orderBy("nprobe")
+  }
+
   /** The `ivfTopK` serving plan over an arbitrary centroid set. */
   private def serveIvf(s: SparkSession, dir: String, cents: DataFrame): DataFrame = {
     val e = withNorm(s, dir)

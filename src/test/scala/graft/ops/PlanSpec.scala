@@ -226,7 +226,8 @@ class PlanSpec extends SparkSpec {
     // cross the exchange) and plan NO window partitioned by q_id at all.
     for (q <- Seq("q_sim_topk", "q_sim_lsh", "q_sim_lsh_multiprobe",
       "q_sim_ivf", "q_sim_ivf_trained", "q_sim_ivf_quantized",
-      "q_sim_pq_topk")) {
+      "q_sim_pq_topk", "q_mine_hard_negatives", "q_mine_triplets",
+      "q_sim_ivf_sweep")) {
       val p = plan(q)
       assert(p.contains("top_structs"), s"$q misses the heap aggregate: $p")
       assert(!p.contains("windowspecdefinition(q_id"),
@@ -324,7 +325,10 @@ class PlanSpec extends SparkSpec {
       "q_join_important_stock",
       // q_text_bm25: the (n_docs, total_tokens) corpus statistics are the
       // tf-idf 1-row broadcast — one partial per partition, never rows
-      "q_text_bm25")
+      "q_text_bm25",
+      // q_mix_epochs: the (total_tokens, n_groups) budget base is a 1-row
+      // broadcast over the groups-sized schedule frame (Curation.epochSchedule)
+      "q_mix_epochs")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
       val p = plan(q)
       Seq(
