@@ -173,6 +173,15 @@ object ScaleBench {
       // rounds×beam×degree hops per query, must be FLAT in N
       val tGs = med(graft.llm.Similarity.graphSearchTopK(spark, dirM).count())
       println(f"[scalebench] gsearch m=$m%-2d vectors=$nV%-8d serve=$tGs%.2f s")
+      // contrastive mining: the exact miner is the anchors×N linear scan
+      // (must be LINEAR in N — broadcast anchors, heap ranking); the
+      // IVF-served miner reads only probed cells of the published lists —
+      // its median (post-publish, rep 1 pays the build) grows with the
+      // probed fraction, cells ∝ N/Cells, so linear with a much smaller
+      // constant; at real deployments Cells scales ~√N keeping it sublinear
+      val tMineEx = med(graft.llm.Mining.hardNegatives(spark, dirM).count())
+      val tMineIvf = med(graft.llm.Mining.hardNegativesIvf(spark, dirM).count())
+      println(f"[scalebench] mine   m=$m%-3d vectors=$nV%-8d exact=$tMineEx%.2f s ivf_serve=$tMineIvf%.2f s")
     }
 
     // ——— report family at m× FACT rows (orderkey offsets; dimensions

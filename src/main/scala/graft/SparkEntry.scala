@@ -268,6 +268,10 @@ object SparkEntry {
     "q_mine_triplets"       -> (graft.llm.Mining.triplets _),
     "q_mix_epochs"          -> (graft.llm.Curation.mixEpochs _),
     "q_sim_ivf_sweep"       -> (Similarity.ivfSweep _),
+    // store-shaped miner: label-filtered ANN off the published inverted
+    // lists (label payload in the lists), plus its recall audit
+    "q_mine_hard_negatives_ivf" -> (graft.llm.Mining.hardNegativesIvf _),
+    "q_mine_recall"         -> (graft.llm.Mining.mineRecall _),
   )
 
   /** DECIMAL-staged exact sum, surfaced as DOUBLE (matches Tables.dsum2).
@@ -441,18 +445,19 @@ object SparkEntry {
           c$i AS (SELECT p.cent_id, COALESCE(u.cemb, p.cemb) AS cemb
                   FROM $prev p LEFT JOIN u$i u USING (cent_id))"""
     }.mkString(",\n")
-    s"""e AS (SELECT vec_id, embedding, ${dNorm("embedding")} AS nrm FROM embeddings),
+    s"""e AS (SELECT vec_id, CAST(label AS BIGINT) AS label, embedding,
+                     ${dNorm("embedding")} AS nrm FROM embeddings),
         c0 AS (SELECT vec_id AS cent_id,
                       [CAST(embedding[i] AS DOUBLE) for i in generate_series(1, len(embedding))] AS cemb
                FROM embeddings WHERE vec_id < ${Similarity.Cells}),
         $iters,
         cent AS (SELECT cent_id, cemb, sqrt(${dDot("cemb", "cemb")}) AS c_nrm FROM c$T),
-        rc AS (SELECT e.vec_id, e.embedding, e.nrm, cent.cent_id,
+        rc AS (SELECT e.vec_id, e.label, e.embedding, e.nrm, cent.cent_id,
                       row_number() OVER (PARTITION BY e.vec_id
                         ORDER BY ${dDot("e.embedding", "cent.cemb")} / (e.nrm * cent.c_nrm) DESC,
                                  cent.cent_id) AS crn
                FROM e, cent),
-        asg AS (SELECT vec_id, embedding, nrm, cent_id FROM rc WHERE crn = 1)"""
+        asg AS (SELECT vec_id, label, embedding, nrm, cent_id FROM rc WHERE crn = 1)"""
   }
 
   private def ivfTrainedSql: String =
@@ -501,6 +506,43 @@ object SparkEntry {
                  / CAST(count(*) AS DOUBLE) AS recall
         FROM h GROUP BY 1 ORDER BY nprobe"""
   }
+
+  /** Twin of Mining.hardNegatives: exact label-filtered top-NegK under the
+    * near-dup ceiling. */
+  private def mineHardNegSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label, embedding,
+                          ${dNorm("embedding")} AS nrm FROM embeddings),
+        q AS (SELECT vec_id AS q_id, label AS q_label, embedding AS q_emb,
+                     nrm AS q_nrm FROM e WHERE vec_id < 8),
+        c AS (SELECT q.q_id, q.q_label, e.vec_id AS n_id, e.label AS n_label,
+                     ${dDot("q_emb", "embedding")} / (q_nrm * nrm) AS cos
+              FROM e, q WHERE e.label <> q.q_label),
+        f AS (SELECT * FROM c WHERE cos <= ${graft.llm.Mining.NearDupCeiling}),
+        r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+                  ORDER BY cos DESC, n_id) AS BIGINT) AS "rank" FROM f)
+        SELECT q_id, q_label, n_id, n_label, cos, "rank"
+        FROM r WHERE "rank" <= ${graft.llm.Mining.NegK} ORDER BY q_id, "rank""""
+
+  /** Twin of Mining.hardNegativesIvf: same label/ceiling predicates over
+    * the trained-IVF probed cells (shared ivfTrainCtes, which carry the
+    * label payload exactly like the published inverted lists). */
+  private def mineHardNegIvfSql: String =
+    s"""WITH $ivfTrainCtes,
+        q AS (SELECT vec_id AS q_id, label AS q_label, embedding AS q_emb,
+                     nrm AS q_nrm FROM e WHERE vec_id < 8),
+        probes AS (SELECT vec_id AS q_id, cent_id FROM rc
+                   WHERE crn <= ${Similarity.NProbe} AND vec_id < 8),
+        c AS (SELECT q.q_id, q.q_label, a.vec_id AS n_id, a.label AS n_label,
+                     ${dDot("q.q_emb", "a.embedding")} / (q.q_nrm * a.nrm) AS cos
+              FROM probes p
+              JOIN asg a ON p.cent_id = a.cent_id
+              JOIN q ON q.q_id = p.q_id
+              WHERE a.label <> q.q_label),
+        f AS (SELECT * FROM c WHERE cos <= ${graft.llm.Mining.NearDupCeiling}),
+        r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+                  ORDER BY cos DESC, n_id) AS BIGINT) AS "rank" FROM f)
+        SELECT q_id, q_label, n_id, n_label, cos, "rank"
+        FROM r WHERE "rank" <= ${graft.llm.Mining.NegK} ORDER BY q_id, "rank""""
 
   /** Shared perceptual-hash CTEs (twin of Multimodal.phashOf): per media
     * row, 60 window-mean-vs-global-mean bits over the ASCII byte plane —
@@ -3060,19 +3102,19 @@ object SparkEntry {
           FROM h ORDER BY q_id""",
     // contrastive pair mining (twin of llm/Mining): same cosine operands
     // as simTopkSql, label predicates in the candidate joins
-    "q_mine_hard_negatives" ->
-      s"""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label, embedding,
-                            ${dNorm("embedding")} AS nrm FROM embeddings),
-          q AS (SELECT vec_id AS q_id, label AS q_label, embedding AS q_emb,
-                       nrm AS q_nrm FROM e WHERE vec_id < 8),
-          c AS (SELECT q.q_id, q.q_label, e.vec_id AS n_id, e.label AS n_label,
-                       ${dDot("q_emb", "embedding")} / (q_nrm * nrm) AS cos
-                FROM e, q WHERE e.label <> q.q_label),
-          f AS (SELECT * FROM c WHERE cos <= ${graft.llm.Mining.NearDupCeiling}),
-          r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
-                    ORDER BY cos DESC, n_id) AS BIGINT) AS "rank" FROM f)
-          SELECT q_id, q_label, n_id, n_label, cos, "rank"
-          FROM r WHERE "rank" <= ${graft.llm.Mining.NegK} ORDER BY q_id, "rank"""",
+    "q_mine_hard_negatives" -> mineHardNegSql,
+    "q_mine_hard_negatives_ivf" -> mineHardNegIvfSql,
+    "q_mine_recall" ->
+      s"""WITH exact AS (SELECT q_id, n_id FROM ($mineHardNegSql)),
+          approx AS (SELECT q_id, n_id FROM ($mineHardNegIvfSql)),
+          h AS (SELECT e.q_id, count(*) AS n_exact,
+                       CAST(SUM(CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+                FROM exact e LEFT JOIN approx a
+                  ON e.q_id = a.q_id AND e.n_id = a.n_id
+                GROUP BY 1)
+          SELECT q_id, n_exact, n_hit,
+                 CAST(n_hit AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall
+          FROM h ORDER BY q_id""",
     "q_mine_triplets" ->
       s"""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label, embedding,
                             ${dNorm("embedding")} AS nrm FROM embeddings),

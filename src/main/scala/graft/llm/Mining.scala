@@ -114,4 +114,64 @@ object Mining {
       .select("q_id", "pos_id", "pos_cos", "neg_id", "neg_cos", "margin", "rank")
       .orderBy("q_id", "rank")
   }
+
+  /** q_mine_hard_negatives_ivf: the STORE-SHAPED miner — hard negatives
+    * served from the PUBLISHED IVF inverted lists (the filtered-ANN
+    * pattern: the label payload lives IN the lists, so the predicate
+    * applies during the pruned scan, never via a corpus join). Each anchor
+    * probes its NProbe best cells; the scan reads ONLY those cell
+    * directories (the ivfTrainedTopK pruning machinery); candidates are
+    * label-filtered and ceiling-capped in the same pass, ranked by the
+    * k-bounded heap. At fixture scale this approximates the exact miner
+    * (`mineRecall` audits the gap, the bruteTopK-vs-IVF discipline); at
+    * 100 TB it is the only shape that works — the exact miner's full scan
+    * is the ground-truth SAMPLE path, this is the serve. Output schema
+    * matches `hardNegatives` exactly. */
+  def hardNegativesIvf(s: SparkSession, dir: String): DataFrame = {
+    val target = Similarity.centroidTarget(s, dir)
+    if (!graft.etl.Warehouse.exists(s, target))
+      Similarity.publishCentroids(s, dir, target)
+    val cents = graft.etl.Warehouse.read(s, target).select("cent_id", "c_emb")
+    val lists = Similarity.publishedAssignments(s, dir)
+    val e = corpus(s, dir)
+    val probes = Similarity.rankAgainst(e.filter(col("vec_id") < 8), cents)
+      .filter(col("crn") <= Similarity.NProbe)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("embedding").as("q_emb"), col("nrm").as("q_nrm"), col("cent_id"))
+    val cellIds = probes.select("cent_id").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val cands = lists.filter(col("cent_id").isInCollection(cellIds))
+      .join(broadcast(probes), "cent_id")
+      .filter(col("label") =!= col("q_label"))
+      .withColumn("cos",
+        expr(Similarity.dotFor(s)("q_emb", "embedding")) / (col("q_nrm") * col("nrm")))
+      .filter(col("cos") <= NearDupCeiling)
+      .select("q_id", "vec_id", "cos")
+    val ranked = Ranking.topKPerGroup(cands, "q_id", "cos", "vec_id",
+        NegK, asc = false, "cos", "n_id")
+      .join(broadcast(probes.select("q_id", "q_label").distinct()), "q_id")
+    e.select(col("vec_id").as("n_id"), col("label").as("n_label"))
+      .join(broadcast(ranked), "n_id")
+      .select("q_id", "q_label", "n_id", "n_label", "cos", "rank")
+      .orderBy("q_id", "rank")
+  }
+
+  /** q_mine_recall: recall@NegK of the IVF-served miner against the exact
+    * miner, per anchor — the serve-quality audit that makes the
+    * store-shaped path honest (the q_sim_recall discipline applied to
+    * mining: integer hit counts, one IEEE division, so quality drift
+    * fails the driver's hash gate mechanically). */
+  def mineRecall(s: SparkSession, dir: String): DataFrame = {
+    val exact = hardNegatives(s, dir).select(col("q_id"), col("n_id"))
+    val approx = hardNegativesIvf(s, dir)
+      .select(col("q_id").as("a_q"), col("n_id").as("a_n"), lit(1L).as("hit"))
+    exact.join(approx,
+        col("q_id") === col("a_q") && col("n_id") === col("a_n"), "left")
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall",
+        col("n_hit").cast("double") / col("n_exact").cast("double"))
+      .orderBy("q_id")
+  }
 }

@@ -244,7 +244,7 @@ object Similarity {
     * per-corpus work is the N×k scoring, partitioned by vector). Uses the
     * codegen'd vec_dot (float×double overload) when registered; the HOF form
     * is bit-identical on foreign sessions. */
-  private def rankAgainst(e: DataFrame, cents: DataFrame): DataFrame = {
+  private[llm] def rankAgainst(e: DataFrame, cents: DataFrame): DataFrame = {
     val s = e.sparkSession
     val dot = if (s.catalog.functionExists("vec_dot")) dotSql _ else genericDot _
     val c = cents.withColumn("c_nrm", expr(s"sqrt(${dot("c_emb", "c_emb")})"))
@@ -329,35 +329,47 @@ object Similarity {
     * hive-partitioned by cell (keyed like centroidTarget, plus the
     * assignment marker — a centroid retrain invalidates the lists too). */
   private[graft] def assignTarget(s: SparkSession, dir: String): String = {
+    // "ivfassign2": schema v2 — lists carry the label payload column for
+    // the label-predicated serves (Mining.hardNegativesIvf); the bumped
+    // key orphans any v1 lists rather than serving the narrower schema
     val key = graft.Tables.fixtureKey(s, dir, "embeddings",
-      s"ivfassign|$Cells|$TrainIters|$MeanScale")
+      s"ivfassign2|$Cells|$TrainIters|$MeanScale")
     s"${sys.props("java.io.tmpdir")}/graft_ivf/assign_$key"
   }
 
   /** The IVF INVERTED LISTS: every vector's (vec_id, embedding, nrm,
-    * cent_id) under its nearest published centroid, published
+    * label, cent_id) under its nearest published centroid, published
     * HIVE-PARTITIONED on cent_id (Warehouse.publishPartitioned) — each
     * cell is a directory, so a serve's IN(cent_id) predicate prunes
     * unprobed cells at FILE-LISTING time, before a single byte of them is
     * read. This is what an IVF index actually stores; the one corpus-wide
     * assignment pass (N×k scoring + the per-vector argmax) is paid at
-    * build time, never per query. Deterministic build → every writer
-    * publishes identical bytes (last-writer-wins benign). */
+    * build time, never per query. The label rides along as a PAYLOAD
+    * column (the filtered-ANN layout: predicate columns live in the lists
+    * so label-predicated serves never join back to the corpus); serves
+    * that don't reference it prune it at the scan. Deterministic build →
+    * every writer publishes identical bytes (last-writer-wins benign). */
   private[graft] def publishedAssignments(s: SparkSession, dir: String): DataFrame = {
     val target = assignTarget(s, dir)
     if (!graft.etl.Warehouse.exists(s, target)) {
       val ct = centroidTarget(s, dir)
       if (!graft.etl.Warehouse.exists(s, ct)) publishCentroids(s, dir, ct)
       val cents = graft.etl.Warehouse.read(s, ct).select("cent_id", "c_emb")
-      val assigned = rankAgainst(withNorm(s, dir), cents)
+      // label rides the assignment scan itself (rankAgainst passes extra
+      // columns through) — no corpus-side join anywhere in the build
+      val e = t(s, dir, "embeddings").select(
+        col("vec_id"), col("embedding"), col("label").cast("long").as("label"),
+        expr(normFor(s)("embedding")).as("nrm"))
+      val assigned = rankAgainst(e, cents)
         .filter(col("crn") === 1)
-        .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"))
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("label"),
+          col("cent_id"))
       graft.etl.Warehouse.publishPartitioned(s, target, assigned, "cent_id")
     }
     // partition-column type inference reads the dir names as int — restore
     // the build-side long
     graft.etl.Warehouse.read(s, target).select(col("vec_id"), col("embedding"),
-      col("nrm"), col("cent_id").cast("long").as("cent_id"))
+      col("nrm"), col("label"), col("cent_id").cast("long").as("cent_id"))
   }
 
   /** IVF ANN over TRAINED centroids, train-once/serve-many — and since r8,

@@ -227,7 +227,7 @@ class PlanSpec extends SparkSpec {
     for (q <- Seq("q_sim_topk", "q_sim_lsh", "q_sim_lsh_multiprobe",
       "q_sim_ivf", "q_sim_ivf_trained", "q_sim_ivf_quantized",
       "q_sim_pq_topk", "q_mine_hard_negatives", "q_mine_triplets",
-      "q_sim_ivf_sweep")) {
+      "q_mine_hard_negatives_ivf", "q_sim_ivf_sweep")) {
       val p = plan(q)
       assert(p.contains("top_structs"), s"$q misses the heap aggregate: $p")
       assert(!p.contains("windowspecdefinition(q_id"),
