@@ -272,6 +272,9 @@ object SparkEntry {
     // lists (label payload in the lists), plus its recall audit
     "q_mine_hard_negatives_ivf" -> (graft.llm.Mining.hardNegativesIvf _),
     "q_mine_recall"         -> (graft.llm.Mining.mineRecall _),
+    // tokenizer-fairness audit + the dataloader export manifest
+    "q_text_fertility"      -> (TextAnalysis.fertility _),
+    "q_export_shards"       -> (graft.llm.Curation.exportShards _),
   )
 
   /** DECIMAL-staged exact sum, surfaced as DOUBLE (matches Tables.dsum2).
@@ -3158,6 +3161,49 @@ object SparkEntry {
                    AS planned_tokens
           FROM k ORDER BY lang""",
     "q_sim_ivf_sweep" -> ivfSweepSql,
+    // tokenizer fertility (twin of TextAnalysis.fertility): the bpeApply
+    // |sym| encoding + replace chain, aggregated per language
+    "q_text_fertility" -> {
+      val encD = """regexp_replace(replace(p, ' ', '_'), '(.)', '|\1|', 'g')"""
+      val foldedD = graft.llm.TextAnalysis.BpeMerges.foldLeft(encD) {
+        case (e, (l, r)) => s"replace($e, '|$l||$r|', '|$l$r|')"
+      }
+      val cntD = s"(length($foldedD) - length(replace($foldedD, '|', ''))) // 2"
+      val pat = graft.llm.TextAnalysis.BpePattern.replace("'", "''")
+      s"""WITH x AS (SELECT lang, length(text) AS chars,
+                            len(string_split(text, ' ')) AS ws,
+                            regexp_extract_all(text, '$pat') AS pieces
+                     FROM documents),
+          y AS (SELECT lang, chars, ws,
+                       CAST(COALESCE(list_sum([$cntD for p in pieces]), 0) AS BIGINT) AS bpe
+                FROM x),
+          g AS (SELECT lang, count(*) AS n_docs,
+                       CAST(sum(chars) AS BIGINT) AS total_chars,
+                       CAST(sum(ws) AS BIGINT) AS total_ws_tokens,
+                       CAST(sum(bpe) AS BIGINT) AS total_bpe_tokens
+                FROM y GROUP BY 1)
+          SELECT lang, n_docs, total_chars, total_ws_tokens, total_bpe_tokens,
+                 CAST(total_bpe_tokens AS DOUBLE) / CAST(total_ws_tokens AS DOUBLE) AS fertility,
+                 CAST(total_chars AS DOUBLE) / CAST(total_bpe_tokens AS DOUBLE) AS chars_per_token
+          FROM g ORDER BY lang"""
+    },
+    // export-shard manifest (twin of Curation.shardManifest): md5 lottery
+    // mod the supply-derived shard count
+    "q_export_shards" ->
+      s"""WITH d AS (SELECT doc_id,
+                            len(string_split(coalesce(text, ''), ' ')) AS toks
+                     FROM documents),
+          tot AS (SELECT CAST(sum(toks) AS BIGINT) AS total_tokens FROM d),
+          sh AS (SELECT doc_id, toks,
+                        ${dTokHash("'shard-v1:' || CAST(doc_id AS VARCHAR)")}
+                          % greatest(total_tokens // ${graft.llm.Curation.ShardTokens}, 1)
+                          AS shard_id
+                 FROM d, tot)
+          SELECT shard_id, count(*) AS n_docs,
+                 CAST(sum(toks) AS BIGINT) AS n_tokens,
+                 (CAST(sum(toks) AS BIGINT) * 1000000)
+                   // ${graft.llm.Curation.ShardTokens} AS fill_ppm
+          FROM sh GROUP BY 1 ORDER BY shard_id""",
   )
 
   /** Sequential squared-euclidean fold (twin of Clustering.dist2Sql —

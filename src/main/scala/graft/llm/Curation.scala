@@ -784,6 +784,62 @@ object Curation {
     * through HUGEINT, same values). One group-keyed count/sum aggregate +
     * a 1-row broadcast total; the schedule table is groups-sized at any
     * corpus size. */
+  /** Target tokens per export shard (a dataloader-friendly shard is sized
+    * in tokens, not files: fixed-token shards give even step times). */
+  val ShardTokens = 4096L
+
+  /** q_export_shards: the DATALOADER EXPORT manifest — the last stage of a
+    * training-data pipeline, where the curated corpus is cut into
+    * fixed-token-budget shards and the manifest (docs, tokens, fill) is
+    * what the trainer's dataloader reads. Shard count derives from the
+    * total token supply (one 1-row broadcast); assignment is the
+    * deterministic md5 lottery mod n_shards — embarrassingly parallel, no
+    * ordering, no window, and hash balance keeps shard fill within
+    * sampling noise of the target (the fill_ppm column IS the balance
+    * audit; ExportShardsSpec bounds its spread). A sequential
+    * running-total cut would pack shards exactly but needs a corpus-wide
+    * ordered window — the classic scale trade, resolved the same way
+    * every distributed exporter resolves it: hash placement + a manifest
+    * that surfaces the imbalance instead of hiding it. */
+  def exportShards(s: SparkSession, dir: String): DataFrame =
+    shardManifest(t(s, dir, "documents"))
+
+  private[graft] def shardManifest(docs: DataFrame): DataFrame = {
+    val d = docs.select(col("doc_id"),
+      size(tokens(coalesce(col("text"), lit("")))).cast("long").as("toks"))
+    val tot = d.agg(sum("toks").as("total_tokens"))
+    d.crossJoin(broadcast(tot))
+      .withColumn("n_shards",
+        expr(s"greatest(total_tokens div $ShardTokens, 1L)"))
+      .withColumn("shard_id",
+        pmod(tokHash(concat_ws(":", lit("shard-v1"),
+          col("doc_id").cast("string"))), col("n_shards")))
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"))
+      .withColumn("fill_ppm", expr(s"(n_tokens * 1000000) div $ShardTokens"))
+      .select("shard_id", "n_docs", "n_tokens", "fill_ppm")
+      .orderBy("shard_id")
+  }
+
+  /** Write the shards themselves through the warehouse: one directory per
+    * shard (hive-partitioned publish — the layout a dataloader lists), doc
+    * rows carrying their shard assignment, committed atomically with the
+    * pointer swap so a trainer never reads a half-written export. */
+  def publishShards(s: SparkSession, dir: String, target: String): String = {
+    val docs = t(s, dir, "documents")
+    val d = docs.withColumn("toks",
+      size(tokens(coalesce(col("text"), lit("")))).cast("long"))
+    val tot = d.agg(sum("toks").as("total_tokens"))
+    val sharded = d.crossJoin(broadcast(tot))
+      .withColumn("n_shards",
+        expr(s"greatest(total_tokens div $ShardTokens, 1L)"))
+      .withColumn("shard_id",
+        pmod(tokHash(concat_ws(":", lit("shard-v1"),
+          col("doc_id").cast("string"))), col("n_shards")))
+      .drop("total_tokens", "n_shards")
+    graft.etl.Warehouse.publishPartitioned(s, target, sharded, "shard_id")
+  }
+
   private[graft] def epochSchedule(docs: DataFrame, grp: String): DataFrame = {
     val per = docs
       .select(col(grp),

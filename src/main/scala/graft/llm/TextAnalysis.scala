@@ -147,6 +147,35 @@ object TextAnalysis {
       .select("doc_id", "n_terms", "score")
   }
 
+  /** q_text_fertility: TOKENIZER FERTILITY per language — subword tokens
+    * per whitespace word and chars per subword token, under the engine's
+    * BPE merge table. The published tokenizer-fairness audit (a tokenizer
+    * trained on one language fragments the others into more pieces, so
+    * those languages pay more sequence length per sentence — a real
+    * training-cost and quality skew at corpus scale). Everything is an
+    * exact BIGINT sum until the two final IEEE divisions, so the oracle
+    * hash-checks the ratios. One lang-keyed aggregate over a pure map
+    * stage; the result is languages-sized at any corpus size. */
+  def fertility(s: SparkSession, dir: String): DataFrame = {
+    val (_, cnt) = bpeApplySqlParts
+    t(s, dir, "documents")
+      .select(col("lang"),
+        length(col("text")).cast("long").as("chars"),
+        size(tokens(col("text"))).cast("long").as("ws"),
+        regexp_extract_all(col("text"), lit(BpePattern), lit(0)).as("pieces"))
+      .select(col("lang"), col("chars"), col("ws"),
+        expr(s"aggregate(transform(pieces, p -> $cnt), 0L, (a, x) -> a + x)")
+          .as("bpe"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("chars").as("total_chars"),
+        sum("ws").as("total_ws_tokens"), sum("bpe").as("total_bpe_tokens"))
+      .withColumn("fertility",
+        col("total_bpe_tokens").cast("double") / col("total_ws_tokens"))
+      .withColumn("chars_per_token",
+        col("total_chars").cast("double") / col("total_bpe_tokens"))
+      .orderBy("lang")
+  }
+
   /** Corpus stats by (lang, source): doc count, char totals, token totals. */
   def stats(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
