@@ -275,6 +275,8 @@ object SparkEntry {
     // tokenizer-fairness audit + the dataloader export manifest
     "q_text_fertility"      -> (TextAnalysis.fertility _),
     "q_export_shards"       -> (graft.llm.Curation.exportShards _),
+    // the epoch schedule MATERIALIZED: realized-vs-planned audit
+    "q_mix_apply"           -> (graft.llm.Curation.mixApply _),
   )
 
   /** DECIMAL-staged exact sum, surfaced as DOUBLE (matches Tables.dsum2).
@@ -509,6 +511,23 @@ object SparkEntry {
                  / CAST(count(*) AS DOUBLE) AS recall
         FROM h GROUP BY 1 ORDER BY nprobe"""
   }
+
+  /** Shared epoch-schedule CTE block (twin of Curation.epochSchedule over
+    * lang): per/tot/j/k, with k carrying (lang, n_docs, avail_tokens,
+    * alloc_tokens, epochs_ppm). */
+  private def mixEpochsCtes: String =
+    s"""per AS (SELECT lang, count(*) AS n_docs,
+                  CAST(sum(len(string_split(coalesce(text, ''), ' '))) AS BIGINT) AS avail_tokens
+             FROM documents GROUP BY 1),
+        tot AS (SELECT CAST(sum(avail_tokens) AS BIGINT) AS total_tokens,
+                       count(*) AS n_groups FROM per),
+        j AS (SELECT lang, n_docs, avail_tokens,
+                     (total_tokens * 2) // n_groups AS alloc_tokens
+              FROM per, tot),
+        k AS (SELECT *, least(CAST(${graft.llm.Curation.MaxEpochs * 1000000L} AS BIGINT),
+                     CAST((CAST(alloc_tokens AS HUGEINT) * 1000000)
+                          // greatest(avail_tokens, 1) AS BIGINT)) AS epochs_ppm
+              FROM j)"""
 
   /** Twin of Mining.hardNegatives: exact label-filtered top-NegK under the
     * near-dup ceiling. */
@@ -3144,22 +3163,43 @@ object SparkEntry {
     // data-constrained epoch schedule (twin of Curation.mixEpochs);
     // HUGEINT staging mirrors the Spark DECIMAL(38,0) overflow discipline
     "q_mix_epochs" ->
-      s"""WITH per AS (SELECT lang, count(*) AS n_docs,
-                    CAST(sum(len(string_split(coalesce(text, ''), ' '))) AS BIGINT) AS avail_tokens
-               FROM documents GROUP BY 1),
-          tot AS (SELECT CAST(sum(avail_tokens) AS BIGINT) AS total_tokens,
-                         count(*) AS n_groups FROM per),
-          j AS (SELECT lang, n_docs, avail_tokens,
-                       (total_tokens * 2) // n_groups AS alloc_tokens
-                FROM per, tot),
-          k AS (SELECT *, least(CAST(${graft.llm.Curation.MaxEpochs * 1000000L} AS BIGINT),
-                       CAST((CAST(alloc_tokens AS HUGEINT) * 1000000)
-                            // greatest(avail_tokens, 1) AS BIGINT)) AS epochs_ppm
-                FROM j)
+      s"""WITH $mixEpochsCtes
           SELECT lang, n_docs, avail_tokens, alloc_tokens, epochs_ppm,
                  CAST((CAST(avail_tokens AS HUGEINT) * epochs_ppm) // 1000000 AS BIGINT)
                    AS planned_tokens
           FROM k ORDER BY lang""",
+    // schedule materialization (twin of Curation.mixApply): full epochs +
+    // md5-lottery fractional epoch, realized-vs-planned audit
+    "q_mix_apply" ->
+      s"""WITH $mixEpochsCtes,
+          sched AS (SELECT lang, epochs_ppm,
+                           CAST((CAST(avail_tokens AS HUGEINT) * epochs_ppm) // 1000000 AS BIGINT)
+                             AS planned_tokens
+                    FROM k),
+          d AS (SELECT doc_id, lang,
+                       len(string_split(coalesce(text, ''), ' ')) AS toks
+                FROM documents),
+          sc AS (SELECT d.doc_id, d.lang, d.toks,
+                        s.epochs_ppm // 1000000 AS full_epochs,
+                        s.epochs_ppm % 1000000 AS rem_ppm
+                 FROM d JOIN sched s USING (lang)),
+          sc2 AS (SELECT *, CASE WHEN
+                    ${dTokHash("'mix-v1:' || CAST(doc_id AS VARCHAR) || ':' || CAST(full_epochs AS VARCHAR)")}
+                      % 1000000 < rem_ppm THEN 1 ELSE 0 END AS extra
+                  FROM sc),
+          rws AS (SELECT doc_id, lang, toks,
+                         unnest(generate_series(0, CAST(full_epochs + extra - 1 AS BIGINT)))
+                           AS epoch_idx
+                  FROM sc2 WHERE full_epochs + extra > 0),
+          realized AS (SELECT lang, count(*) AS n_rows,
+                              CAST(sum(toks) AS BIGINT) AS realized_tokens
+                       FROM rws GROUP BY 1)
+          SELECT s.lang, s.epochs_ppm, s.planned_tokens,
+                 COALESCE(r.n_rows, 0) AS n_rows,
+                 COALESCE(r.realized_tokens, 0) AS realized_tokens,
+                 CAST((CAST(abs(COALESCE(r.realized_tokens, 0) - s.planned_tokens) AS HUGEINT)
+                       * 1000000) // greatest(s.planned_tokens, 1) AS BIGINT) AS gap_ppm
+          FROM sched s LEFT JOIN realized r USING (lang) ORDER BY s.lang""",
     "q_sim_ivf_sweep" -> ivfSweepSql,
     // tokenizer fertility (twin of TextAnalysis.fertility): the bpeApply
     // |sym| encoding + replace chain, aggregated per language

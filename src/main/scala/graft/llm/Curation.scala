@@ -821,6 +821,59 @@ object Curation {
       .orderBy("shard_id")
   }
 
+  /** q_mix_apply: MATERIALIZE the epoch schedule — turn q_mix_epochs'
+    * plan into actual training rows. Each document emits
+    * `epochs_ppm div 10⁶` full copies (epoch_idx 0..full-1) plus one more
+    * iff its deterministic md5 lottery clears the fractional remainder —
+    * so every language's REALIZED token count matches its planned count
+    * in expectation, with per-doc decisions reproducible on any cluster
+    * (no RNG, the sampling-family discipline). The output here is the
+    * per-language realization AUDIT (planned vs realized tokens and the
+    * ppm gap); the row-level frame is `scheduledCorpus`, a pure map stage
+    * (sequence-explode bounded by MaxEpochs) any exporter can feed to
+    * `publishShards`. One lang-keyed aggregate; the audit is
+    * languages-sized at any corpus scale. */
+  def mixApply(s: SparkSession, dir: String): DataFrame = {
+    val sched = mixEpochs(s, dir)
+      .select(col("lang"), col("epochs_ppm"), col("planned_tokens"))
+    val realized = scheduledCorpus(t(s, dir, "documents"), sched, "lang")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_rows"), sum("toks").as("realized_tokens"))
+    sched.join(realized, Seq("lang"), "left")
+      .select(col("lang"), col("epochs_ppm"), col("planned_tokens"),
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+        coalesce(col("realized_tokens"), lit(0L)).as("realized_tokens"))
+      // ABSOLUTE gap: a signed integral division would floor in DuckDB
+      // but truncate in Spark on negative gaps — abs keeps both engines
+      // on the same (positive) truncation semantics
+      .withColumn("gap_ppm",
+        expr("""CAST((CAST(abs(realized_tokens - planned_tokens) AS DECIMAL(38,0)) * 1000000)
+                     div greatest(planned_tokens, 1L) AS BIGINT)"""))
+      .orderBy("lang")
+  }
+
+  /** The scheduled corpus: (doc_id, grp, toks, epoch_idx) rows under a
+    * (grp, epochs_ppm) schedule frame (broadcast — groups-sized). The
+    * fractional-epoch lottery key includes the epoch index so re-keying
+    * the schedule re-draws independently. */
+  private[graft] def scheduledCorpus(docs: DataFrame, sched: DataFrame,
+                                     grp: String): DataFrame = {
+    val d = docs.select(col("doc_id"), col(grp),
+      size(tokens(coalesce(col("text"), lit("")))).cast("long").as("toks"))
+    d.join(broadcast(sched.select(col(grp), col("epochs_ppm"))), grp)
+      .withColumn("full_epochs", expr("epochs_ppm div 1000000"))
+      .withColumn("rem_ppm", expr("epochs_ppm % 1000000"))
+      // one lottery draw decides the fractional epoch; the sequence
+      // explode is bounded by MaxEpochs + 1, a constant fan-out
+      .withColumn("extra",
+        when(tokHash(concat_ws(":", lit("mix-v1"), col("doc_id").cast("string"),
+          col("full_epochs").cast("string"))) % 1000000L < col("rem_ppm"), 1L)
+          .otherwise(0L))
+      .filter(col("full_epochs") + col("extra") > 0)
+      .select(col("doc_id"), col(grp), col("toks"),
+        explode(expr("sequence(0L, full_epochs + extra - 1L)")).as("epoch_idx"))
+  }
+
   /** Write the shards themselves through the warehouse: one directory per
     * shard (hive-partitioned publish — the layout a dataloader lists), doc
     * rows carrying their shard assignment, committed atomically with the

@@ -31,6 +31,38 @@ class MixEpochsSpec extends SparkSpec {
     assert(bPlanned <= bAlloc, "planned never exceeds the budget share")
   }
 
+  test("materialization: integer schedules replicate exactly, fractional ones land near plan") {
+    import spark.implicits._
+    val docs = (1 to 50).map(i => (i.toLong, "g", Seq.fill(10)("w").mkString(" ")))
+      .toDF("doc_id", "grp", "text")
+    // exactly 2.0 epochs: every doc must emit exactly rows 0 and 1 — no
+    // lottery involvement at all
+    val exact = Curation.scheduledCorpus(docs,
+      Seq(("g", 2000000L)).toDF("grp", "epochs_ppm"), "grp").collect()
+    assert(exact.length == 100)
+    assert(exact.groupBy(_.getLong(0)).forall { case (_, g) =>
+      g.map(_.getLong(3)).sorted.toSeq == Seq(0L, 1L) })
+    // 0.5 epochs: kept docs have exactly epoch 0; the md5 lottery keeps
+    // roughly half (deterministic — pin the exact realized count)
+    val half = Curation.scheduledCorpus(docs,
+      Seq(("g", 500000L)).toDF("grp", "epochs_ppm"), "grp").collect()
+    assert(half.forall(_.getLong(3) == 0L))
+    assert(half.length > 10 && half.length < 40, s"lottery kept ${half.length}/50")
+    val again = Curation.scheduledCorpus(docs,
+      Seq(("g", 500000L)).toDF("grp", "epochs_ppm"), "grp").collect()
+    assert(again.map(_.getLong(0)).sorted.sameElements(
+      half.map(_.getLong(0)).sorted), "lottery must be deterministic")
+  }
+
+  test("q_mix_apply audit: realized tokens within lottery noise of planned") {
+    val rows = Curation.mixApply(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(5) <= 100000L,
+        s"${r.getString(0)} realized drifted >10% off plan: $r")
+    }
+  }
+
   test("fixture languages: dominant lang gets the lowest rate; invariants hold") {
     val rows = Curation.mixEpochs(spark, sf).collect()
     assert(rows.length > 1)

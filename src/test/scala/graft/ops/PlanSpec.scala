@@ -328,7 +328,12 @@ class PlanSpec extends SparkSpec {
       "q_text_bm25",
       // q_mix_epochs: the (total_tokens, n_groups) budget base is a 1-row
       // broadcast over the groups-sized schedule frame (Curation.epochSchedule)
-      "q_mix_epochs")
+      "q_mix_epochs",
+      // q_mix_apply embeds the same schedule (and its 1-row budget base)
+      "q_mix_apply",
+      // q_export_shards: total_tokens -> shard count is the same 1-row
+      // broadcast (Curation.shardManifest)
+      "q_export_shards")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
       val p = plan(q)
       Seq(
