@@ -804,6 +804,13 @@ object Curation {
   def exportShards(s: SparkSession, dir: String): DataFrame =
     shardManifest(t(s, dir, "documents"))
 
+  /** The placement lottery shared by the batch manifest, the published
+    * export, and the streaming twin (StreamTwins.shardAssign): one md5
+    * draw per doc mod the shard count. */
+  private[graft] def shardIdCol(nShards: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(tokHash(concat_ws(":", lit("shard-v1"),
+      col("doc_id").cast("string"))), nShards)
+
   private[graft] def shardManifest(docs: DataFrame): DataFrame = {
     val d = docs.select(col("doc_id"),
       size(tokens(coalesce(col("text"), lit("")))).cast("long").as("toks"))
@@ -811,9 +818,7 @@ object Curation {
     d.crossJoin(broadcast(tot))
       .withColumn("n_shards",
         expr(s"greatest(total_tokens div $ShardTokens, 1L)"))
-      .withColumn("shard_id",
-        pmod(tokHash(concat_ws(":", lit("shard-v1"),
-          col("doc_id").cast("string"))), col("n_shards")))
+      .withColumn("shard_id", shardIdCol(col("n_shards")))
       .groupBy("shard_id")
       .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"))
       .withColumn("fill_ppm", expr(s"(n_tokens * 1000000) div $ShardTokens"))
@@ -886,9 +891,7 @@ object Curation {
     val sharded = d.crossJoin(broadcast(tot))
       .withColumn("n_shards",
         expr(s"greatest(total_tokens div $ShardTokens, 1L)"))
-      .withColumn("shard_id",
-        pmod(tokHash(concat_ws(":", lit("shard-v1"),
-          col("doc_id").cast("string"))), col("n_shards")))
+      .withColumn("shard_id", shardIdCol(col("n_shards")))
       .drop("total_tokens", "n_shards")
     graft.etl.Warehouse.publishPartitioned(s, target, sharded, "shard_id")
   }

@@ -424,6 +424,18 @@ object StreamTwins {
       .withColumn("h1", expr(graft.llm.Binary.halfSql(graft.llm.Binary.HalfBits)))
       .select("vec_id", "h0", "h1")
 
+  /** Stateless streaming twin of the export placement (q_export_shards'
+    * assignment stage): each arriving doc draws its shard id from the SAME
+    * md5 lottery mod a FIXED shard count — the supply-derived n_shards is
+    * a corpus statistic computed by the batch manifest job and served as a
+    * literal, exactly the clusterAssign/binarySign pattern (model
+    * statistics ride in-plan, events never shuffle). Pure map — no state
+    * store, no watermark; drained output is bit-identical to the batch
+    * placement on the same rows (StreamTwinsSpec). */
+  def shardAssign(docs: DataFrame, nShards: Long): DataFrame =
+    docs.select(col("doc_id"),
+      graft.llm.Curation.shardIdCol(lit(nShards)).as("shard_id"))
+
   /** Stream-stream interval join — the streaming twin of the as-of family:
     * each purchase matches the same user's views within the preceding hour.
     * Watermarks on BOTH sides bound the join state (views older than the

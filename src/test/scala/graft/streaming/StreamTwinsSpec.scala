@@ -609,6 +609,31 @@ class StreamTwinsSpec extends SparkSpec {
     assert(got.sameElements(want))
   }
 
+  test("streaming shard placement reproduces the export manifest's doc counts") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    // batch face: the manifest (and its supply-derived shard count — the
+    // published statistic the stream serves from)
+    val manifest = graft.llm.Curation.exportShards(s, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nShards = manifest.keys.max + 1
+    val rows = graft.Tables.t(s, sf, "documents")
+      .select("doc_id").as[Long].collect()
+    val mem = MemoryStream[Long]
+    mem.addData(rows.toSeq: _*)
+    val q = StreamTwins.shardAssign(mem.toDF().toDF("doc_id"), nShards)
+      .writeStream.format("memory").queryName("shard_out")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = s.table("shard_out").groupBy("shard_id")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == manifest,
+      "drained per-shard doc counts must equal the batch manifest")
+  }
+
   test("streaming IVF cell-probe matches the trained serve's assignment stage") {
     val s = spark
     import s.implicits._
