@@ -122,6 +122,12 @@ object SparkEntry {
     "q_sim_pq_codes"       -> (graft.llm.Pq.codes _),
     "q_sim_pq_topk"        -> (graft.llm.Pq.adcTopK _),
     "q_sim_pq_rerank"      -> (graft.llm.Pq.rerankTopK _),
+    // IVF-PQ: the composite index (FAISS IVFADC) — cell-pruned scan of
+    // product-quantized RESIDUALS, per-cell ADC LUTs, exact re-rank of the
+    // shortlist, and the L2 recall audit (llm/IvfPq)
+    "q_sim_ivfpq"          -> (graft.llm.IvfPq.adcTopK _),
+    "q_sim_ivfpq_rerank"   -> (graft.llm.IvfPq.rerankTopK _),
+    "q_sim_ivfpq_recall"   -> (graft.llm.IvfPq.recallAudit _),
     // binary quantization: centered sign-bit signatures (8 bytes/vector,
     // 32x) + Hamming shortlist, exact re-rank of the shortlist (llm/Binary)
     "q_sim_binary_codes"   -> (graft.llm.Binary.codes _),
@@ -631,6 +637,103 @@ object SparkEntry {
                   FROM psv s JOIN pcf c ON c.m = s.m)
                 WHERE rn = 1)"""
   }
+
+  /** Shared IVF-PQ CTEs (DuckDB twin of graft.llm.IvfPq): the trained-IVF
+    * block (ivfTrainCtes: e/cent/rc/asg) extended with vres (grid-snapped
+    * residuals: r = (x·2^48 − ⌊c·2^48⌋)/2^48, every term an exact BIGINT so
+    * floor/multiply/divide replay bit-for-bit), vsv (residual subvectors),
+    * the unrolled residual-codebook Lloyd (vcN), vcf (final books), vcd
+    * (codes with cell id), vprob (probed cells), vqr (PER-CELL query
+    * residuals — the IVFADC detail), vlut (per-cell ADC tables) and vest
+    * (m-ordered-fold distance estimates). */
+  private def ivfPqCtes: String = {
+    import graft.llm.IvfPq.{M, SubDim => D, K, Iters, NQueries}
+    val S = Similarity.MeanScale
+    def resid(x: String, c: String) =
+      s"(CAST(CAST($x AS DOUBLE) * $S AS BIGINT) - " +
+        s"CAST(floor($c * $S) AS BIGINT)) / CAST($S AS DOUBLE)"
+    val iters = (1 to Iters).map { i =>
+      val prev = s"vc${i - 1}"
+      s"""vw$i AS (SELECT s.vec_id, s.m, s.sv, c.code,
+                 row_number() OVER (PARTITION BY s.vec_id, s.m
+                   ORDER BY ${dDist2("s.sv", "c.csv")}, c.code) AS rn
+          FROM vsv s JOIN $prev c ON c.m = s.m),
+          va$i AS (SELECT vec_id, m, sv, code FROM vw$i WHERE rn = 1),
+          vs$i AS (SELECT m, code, d, SUM(CAST(sv[d] * $S AS BIGINT)) AS sm,
+                          COUNT(*) AS n
+                   FROM va$i, generate_series(1, $D) AS g(d) GROUP BY 1, 2, 3),
+          vu$i AS (SELECT m, code, list(CAST(CAST(sm AS VARCHAR) AS DOUBLE)
+                          / (CAST(n AS DOUBLE) * $S) ORDER BY d) AS csv
+                   FROM vs$i GROUP BY 1, 2),
+          vc$i AS (SELECT p.m, p.code, COALESCE(u.csv, p.csv) AS csv
+                   FROM $prev p LEFT JOIN vu$i u USING (m, code))"""
+    }.mkString(",\n")
+    s"""$ivfTrainCtes,
+        vres AS (SELECT a.vec_id, a.cent_id,
+                   [${resid("a.embedding[d]", "c.cemb[d]")}
+                    for d in generate_series(1, len(a.embedding))] AS r
+                 FROM asg a JOIN cent c USING (cent_id)),
+        vsv AS (SELECT vec_id, cent_id, m,
+                  [r[m * $D + j] for j in generate_series(1, $D)] AS sv
+                FROM vres, generate_series(0, ${M - 1}) AS gm(m)),
+        vc0 AS (SELECT m, vec_id AS code, sv AS csv FROM vsv WHERE vec_id < $K),
+        $iters,
+        vcf AS (SELECT m, code, csv FROM vc$Iters),
+        vcd AS (SELECT vec_id, cent_id, m, code FROM (
+                  SELECT s.vec_id, s.cent_id, s.m, c.code,
+                         row_number() OVER (PARTITION BY s.vec_id, s.m
+                           ORDER BY ${dDist2("s.sv", "c.csv")}, c.code) AS rn
+                  FROM vsv s JOIN vcf c ON c.m = s.m) WHERE rn = 1),
+        vprob AS (SELECT vec_id AS q_id, cent_id FROM rc
+                  WHERE crn <= ${Similarity.NProbe} AND vec_id < $NQueries),
+        vqr AS (SELECT p.q_id, p.cent_id, m,
+                  [${resid(s"q.embedding[m * $D + j]", s"c.cemb[m * $D + j]")}
+                   for j in generate_series(1, $D)] AS qsv
+                FROM vprob p
+                JOIN cent c USING (cent_id)
+                JOIN embeddings q ON q.vec_id = p.q_id,
+                generate_series(0, ${M - 1}) AS gm(m)),
+        vlut AS (SELECT r.q_id, r.cent_id, b.m, b.code,
+                        ${dDist2("r.qsv", "b.csv")} AS pd
+                 FROM vqr r JOIN vcf b ON b.m = r.m),
+        vest AS (SELECT l.q_id, cd.vec_id AS n_id,
+                        list_sum(list(l.pd ORDER BY l.m)) AS est_d2
+                 FROM vcd cd
+                 JOIN vlut l ON l.cent_id = cd.cent_id AND l.m = cd.m
+                            AND l.code = cd.code
+                 WHERE l.q_id <> cd.vec_id
+                 GROUP BY 1, 2)"""
+  }
+
+  /** Twin of IvfPq.rerankTopK — shared by q_sim_ivfpq_rerank and the
+    * recall audit's approx side. */
+  private def ivfPqRerankSql: String =
+    s"""WITH $ivfPqCtes,
+        vsl AS (SELECT q_id, n_id FROM (
+                  SELECT *, row_number() OVER (PARTITION BY q_id
+                    ORDER BY est_d2, n_id) AS rn FROM vest)
+                WHERE rn <= ${graft.llm.IvfPq.Shortlist}),
+        vre AS (SELECT s.q_id, s.n_id,
+                       ${dDist2("qq.embedding", "nn.embedding")} AS d2
+                FROM vsl s
+                JOIN embeddings qq ON qq.vec_id = s.q_id
+                JOIN embeddings nn ON nn.vec_id = s.n_id),
+        vrr AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+                  ORDER BY d2, n_id) AS BIGINT) AS "rank" FROM vre)
+        SELECT q_id, n_id, d2, "rank" FROM vrr
+        WHERE "rank" <= 10 ORDER BY q_id, "rank""""
+
+  /** Exact euclidean brute top-10 (twin of IvfPq.bruteL2TopK) — the ground
+    * truth of the IVF-PQ recall audit. */
+  private def bruteL2Sql: String =
+    s"""WITH bq AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+                    WHERE vec_id < ${graft.llm.IvfPq.NQueries}),
+        bc AS (SELECT bq.q_id, e.vec_id AS n_id,
+                      ${dDist2("bq.qe", "e.embedding")} AS d2
+               FROM bq, embeddings e WHERE e.vec_id <> bq.q_id),
+        br AS (SELECT *, row_number() OVER (PARTITION BY q_id
+                 ORDER BY d2, n_id) AS rn FROM bc)
+        SELECT q_id, n_id FROM br WHERE rn <= 10"""
 
   /** Shared binary-quantization CTEs ending in bsig(vec_id, h0, h1) — twin
     * of Binary.signed: scaled-BIGINT per-dimension means (the q_embed_mean
@@ -1589,6 +1692,24 @@ object SparkEntry {
                     ORDER BY d2, n_id) AS BIGINT) AS "rank" FROM pre)
           SELECT q_id, n_id, d2, "rank" FROM prr
           WHERE "rank" <= 10 ORDER BY q_id, "rank"""",
+    "q_sim_ivfpq" ->
+      s"""WITH $ivfPqCtes,
+          vrk AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+                    ORDER BY est_d2, n_id) AS BIGINT) AS "rank" FROM vest)
+          SELECT q_id, n_id, est_d2, "rank" FROM vrk
+          WHERE "rank" <= 10 ORDER BY q_id, "rank"""",
+    "q_sim_ivfpq_rerank" -> ivfPqRerankSql,
+    "q_sim_ivfpq_recall" ->
+      s"""WITH exact AS (SELECT q_id, n_id FROM ($bruteL2Sql)),
+          approx AS (SELECT q_id, n_id FROM ($ivfPqRerankSql)),
+          h AS (SELECT e.q_id, count(*) AS n_exact,
+                       CAST(SUM(CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+                FROM exact e LEFT JOIN approx a
+                  ON e.q_id = a.q_id AND e.n_id = a.n_id
+                GROUP BY 1)
+          SELECT q_id, n_exact, n_hit,
+                 CAST(n_hit AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall
+          FROM h ORDER BY q_id""",
     "q_sim_binary_codes" ->
       s"""WITH $binaryCtes
           SELECT vec_id, h0, h1 FROM bsig ORDER BY vec_id""",

@@ -1,0 +1,237 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** IVF-PQ — the COMPOSITE vector index (Jégou, Douze, Schmid, TPAMI 2011
+  * §IV "IVFADC"; the layout FAISS serves billion-vector corpora from):
+  * a coarse IVF quantizer routes each vector to its nearest-centroid cell,
+  * and what the cell's inverted list stores is not the vector but the
+  * PRODUCT-QUANTIZED RESIDUAL (vector − cell centroid). Residuals are
+  * centered near zero, so the same M×K codebook budget quantizes them far
+  * more finely than raw vectors — and the serve gets BOTH prunings at once:
+  * the IVF probe skips (1 − nprobe/cells) of the corpus, and the scanned
+  * remainder costs M table lookups per candidate (ADC), not a float dot.
+  *
+  * Spark shapes (all established disciplines, composed):
+  *  - the coarse stage IS the published trained IVF (Similarity's
+  *    centroids + hive-partitioned assignments — nothing retrains here);
+  *  - residual codebooks train via the SAME Lloyd loop as raw PQ
+  *    (Pq.lloydBooks) and publish through the warehouse pointer commit;
+  *  - the code lists publish hive-partitioned BY CELL — the serve reads
+  *    only the probed cells' directories (static partition pruning, the
+  *    ivfTrainedTopK discipline) and each 64-dim float vector is 8 bytes
+  *    of codes + one bigint id on disk;
+  *  - the per-query work is nprobe×M×K LUT entries (residuals are
+  *    CELL-RELATIVE, so the LUT is per probed cell — the IVFADC detail
+  *    that distinguishes it from flat ADC) — metadata-tier, broadcast;
+  *  - candidate estimates rank through the k-bounded `top_structs` heap
+  *    (Ranking.topKPerGroup): Q×k rows cross the exchange, never Q×N.
+  *
+  * Numeric discipline — what makes a TRAINED composite oracle-checkable:
+  * raw fixture components are exact on the 2^-48 grid, but a trained
+  * centroid mean is not, so a naive residual would be an unordered-sum
+  * artifact. The residual therefore SNAPS THE CENTROID to the 2^48 grid
+  * first: r = (x·2^48 − ⌊c·2^48⌋) / 2^48. Every term is an exact BIGINT
+  * (|x·2^48| < 2^53), the division is by a power of two, and IEEE floor
+  * and multiply agree bit-for-bit across engines — so residuals, the
+  * scaled-integer recenter sums over them, and every ADC partial distance
+  * replay exactly in DuckDB. Quantization error from the snap is ≤ 2^-48
+  * per component — six orders under the PQ error it feeds. */
+object IvfPq {
+
+  /** Subspace geometry and training length: identical to the flat PQ
+    * (Pq.M/SubDim/K/Iters) so the two indexes' quality is comparable at
+    * equal code budget — the residual's win is pure geometry. */
+  val M: Int = Pq.M
+  val SubDim: Int = Pq.SubDim
+  val K: Int = Pq.K
+  val Iters: Int = Pq.Iters
+  val NQueries: Int = Pq.NQueries
+  val Shortlist: Int = Pq.Shortlist
+
+  private val S = Similarity.MeanScale
+
+  /** Grid-snapped residual of one component (see object scaladoc). Both
+    * engines evaluate the identical IEEE op sequence: double multiply,
+    * floor, exact BIGINT subtract, one power-of-two division. */
+  private def residSql(x: String, c: String): String =
+    s"(CAST(CAST($x AS DOUBLE) * $S AS BIGINT) - " +
+      s"CAST(FLOOR($c * $S) AS BIGINT)) / CAST($S AS DOUBLE)"
+
+  /** Published trained centroids (train-once/serve-many; publishes on the
+    * first call of the whole IVF family, whichever query gets there). */
+  private def cents(s: SparkSession, dir: String): DataFrame = {
+    val target = Similarity.centroidTarget(s, dir)
+    if (!graft.etl.Warehouse.exists(s, target))
+      Similarity.publishCentroids(s, dir, target)
+    graft.etl.Warehouse.read(s, target).select("cent_id", "c_emb")
+  }
+
+  /** (vec_id, cent_id, m, sv): every vector's M residual subvectors against
+    * its own cell's snapped centroid — one map pass over the published
+    * inverted lists joined to the broadcast k×d centroid frame; the M
+    * fan-out is a constant, never a shuffle. */
+  private def residualSubvecs(s: SparkSession, dir: String): DataFrame =
+    Similarity.publishedAssignments(s, dir)
+      .join(broadcast(cents(s, dir)), "cent_id")
+      .withColumn("r", expr(
+        s"zip_with(embedding, c_emb, (x, c) -> ${residSql("x", "c")})"))
+      .select(col("vec_id"), col("cent_id"), explode(expr(
+        s"transform(sequence(0, ${M - 1}), m -> struct(m AS m, " +
+          s"slice(r, m * $SubDim + 1, $SubDim) AS sv))")).as("t"))
+      .select(col("vec_id"), col("cent_id"),
+        col("t.m").as("m"), col("t.sv").as("sv"))
+
+  /** Train the M RESIDUAL codebooks — Pq.lloydBooks verbatim over the
+    * residual subvector frame (seed = first K vectors' residuals, scaled-
+    * integer recenter, empty codes coalesce). */
+  def trainBooks(s: SparkSession, dir: String): DataFrame =
+    Pq.lloydBooks(residualSubvecs(s, dir).select("vec_id", "m", "sv"))
+
+  /** Published residual-codebook location (fixture fingerprint + every
+    * constant of BOTH stages — a coarse-quantizer retrain must orphan the
+    * residual books too, since residuals are measured against it). */
+  private[graft] def booksTarget(s: SparkSession, dir: String): String = {
+    val key = graft.Tables.fixtureKey(s, dir, "embeddings",
+      s"ivfpq|${Similarity.Cells}|${Similarity.TrainIters}|$M|$SubDim|$K|$Iters|$S")
+    s"${sys.props("java.io.tmpdir")}/graft_ivf/ivfpq_books_$key"
+  }
+
+  private def books(s: SparkSession, dir: String): DataFrame = {
+    val target = booksTarget(s, dir)
+    if (!graft.etl.Warehouse.exists(s, target))
+      graft.etl.Warehouse.publish(s, target, trainBooks(s, dir))
+    graft.etl.Warehouse.read(s, target).select("m", "code", "csv")
+  }
+
+  /** Published CODE-LIST location: the per-cell inverted lists of
+    * (vec_id, m, code) rows, hive-partitioned by cell — the disk layout
+    * the serve prunes against. Keyed like booksTarget plus the list
+    * marker, so a codebook retrain orphans stale lists. */
+  private[graft] def codesTarget(s: SparkSession, dir: String): String = {
+    val key = graft.Tables.fixtureKey(s, dir, "embeddings",
+      s"ivfpqcodes|${Similarity.Cells}|${Similarity.TrainIters}|$M|$SubDim|$K|$Iters|$S")
+    s"${sys.props("java.io.tmpdir")}/graft_ivf/ivfpq_codes_$key"
+  }
+
+  /** The IVF-PQ index body: every vector's M residual codes in its cell's
+    * partition directory. Build = one assignment pass of the residual
+    * subvectors against the broadcast books; publish-once through the
+    * atomic pointer (deterministic build — racing writers publish
+    * identical bytes). */
+  private[graft] def publishedCodes(s: SparkSession, dir: String): DataFrame = {
+    val target = codesTarget(s, dir)
+    if (!graft.etl.Warehouse.exists(s, target)) {
+      val cd = Pq.assign(residualSubvecs(s, dir), books(s, dir))
+        .select("vec_id", "m", "code", "cent_id")
+      graft.etl.Warehouse.publishPartitioned(s, target, cd, "cent_id")
+    }
+    // partition-column inference reads dir names as int — restore long
+    graft.etl.Warehouse.read(s, target).select(col("vec_id"), col("m"),
+      col("code"), col("cent_id").cast("long").as("cent_id"))
+  }
+
+  /** ADC shortlist per sample query. The LUT is PER PROBED CELL (query
+    * residual re-expressed against each probed centroid): NQueries × NProbe
+    * × M × K exact partial distances — 4096 doubles at the fixture tier,
+    * broadcast. Candidates come ONLY from the probed cells' partition
+    * directories (the literal IN below is what becomes PartitionFilters);
+    * each candidate costs M lookups folded in fixed m-ascending order (the
+    * DuckDB twin's list_sum(list(pd ORDER BY m)) — bit-identical). */
+  private def adcShortlist(s: SparkSession, dir: String, k: Int): DataFrame = {
+    val dd = Clustering.dist2For(s) _
+    val probes = Similarity.probeCells(s, dir).select("q_id", "cent_id")
+    val q = t(s, dir, "embeddings").filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    val qres = probes.join(broadcast(q), "q_id")
+      .join(broadcast(cents(s, dir)), "cent_id")
+      .withColumn("qr", expr(
+        s"zip_with(embedding, c_emb, (x, c) -> ${residSql("x", "c")})"))
+      .select(col("q_id"), col("cent_id"), explode(expr(
+        s"transform(sequence(0, ${M - 1}), m -> struct(m AS m, " +
+          s"slice(qr, m * $SubDim + 1, $SubDim) AS qsv))")).as("t"))
+      .select(col("q_id"), col("cent_id"),
+        col("t.m").as("m"), col("t.qsv").as("qsv"))
+    val lut = qres.join(broadcast(books(s, dir)), "m")
+      .select(col("q_id"), col("cent_id"), col("m"), col("code"),
+        expr(dd("qsv", "csv")).as("pd"))
+    // probed cell ids: ≤ min(cells, Q·nprobe) longs — metadata tier
+    val cellIds = probes.select("cent_id").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val est = publishedCodes(s, dir)
+      .filter(col("cent_id").isInCollection(cellIds))
+      .join(broadcast(lut), Seq("cent_id", "m", "code"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .groupBy(col("q_id"), col("vec_id").as("n_id"))
+      .agg(expr("aggregate(transform(array_sort(collect_list(struct(m, pd))), " +
+        "p -> p.pd), 0D, (acc, x) -> acc + x)").as("est_d2"))
+    Ranking.topKPerGroup(est, "q_id", "est_d2", "n_id", k, asc = true,
+      "est_d2", "n_id")
+  }
+
+  /** q_sim_ivfpq: IVFADC top-10 per sample query — cell-pruned scan of the
+    * published code lists, ADC estimates, heap ranking. */
+  def adcTopK(s: SparkSession, dir: String): DataFrame =
+    adcShortlist(s, dir, 10)
+      .select("q_id", "n_id", "est_d2", "rank")
+      .orderBy("q_id", "rank")
+
+  /** q_sim_ivfpq_rerank: the production serve — ADC shortlists `Shortlist`
+    * candidates from the cell-pruned code lists, then ONLY those rows' raw
+    * embeddings are fetched for the exact euclidean re-rank. At 100 TB the
+    * exact pass touches NQueries·Shortlist vectors, never the corpus; the
+    * re-rank window runs over ≤ Q·Shortlist rows. */
+  def rerankTopK(s: SparkSession, dir: String): DataFrame = {
+    val dd = Clustering.dist2For(s) _
+    val e = t(s, dir, "embeddings")
+    adcShortlist(s, dir, Shortlist)
+      .select("q_id", "n_id")
+      .join(e.select(col("vec_id").as("n_id"), col("embedding").as("ne")), "n_id")
+      .join(broadcast(e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"))), "q_id")
+      .withColumn("d2", expr(dd("qe", "ne")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("d2"), col("n_id")))
+        .cast("long"))
+      .filter(col("rank") <= 10)
+      .select("q_id", "n_id", "d2", "rank")
+      .orderBy("q_id", "rank")
+  }
+
+  /** Exact euclidean brute-force top-10 — the ground-truth side of the
+    * recall audit (the PQ family measures in L2, so its audit anchors to
+    * the L2 exact set, not the cosine one q_sim_recall uses). Broadcast
+    * queries, heap ranking — the bruteTopK shape. */
+  private def bruteL2TopK(s: SparkSession, dir: String): DataFrame = {
+    val dd = Clustering.dist2For(s) _
+    val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+    val qq = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val cands = e.join(broadcast(qq), col("vec_id") =!= col("q_id"))
+      .withColumn("d2", expr(dd("qe", "embedding")))
+      .select("q_id", "vec_id", "d2")
+    Ranking.topKPerGroup(cands, "q_id", "d2", "vec_id", 10, asc = true,
+      "d2", "n_id")
+  }
+
+  /** q_sim_ivfpq_recall: the serve-quality audit for the composite — the
+    * re-ranked IVFADC top-10 measured against the exact L2 top-10 per
+    * query (integer hit counts, one IEEE division — hash-checkable, the
+    * q_sim_recall posture: index drift fails the driver gate). */
+  def recallAudit(s: SparkSession, dir: String): DataFrame = {
+    val exact = bruteL2TopK(s, dir).select("q_id", "n_id")
+    val approx = rerankTopK(s, dir)
+      .select(col("q_id").as("a_q"), col("n_id").as("a_n"), lit(1L).as("hit"))
+    exact.join(approx,
+        col("q_id") === col("a_q") && col("n_id") === col("a_n"), "left")
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall",
+        col("n_hit").cast("double") / col("n_exact").cast("double"))
+      .orderBy("q_id")
+  }
+}

@@ -60,8 +60,10 @@ object Pq {
       .select(col("vec_id"), col("t.m").as("m"), col("t.sv").as("sv"))
 
   /** One assignment pass: per (vector, subspace) the nearest codebook entry
-    * (ties → lower code id, the Clustering.assign tie-break). */
-  private def assign(sv: DataFrame, books: DataFrame): DataFrame = {
+    * (ties → lower code id, the Clustering.assign tie-break). Extra columns
+    * on `sv` (e.g. IvfPq's cell id) pass through untouched.
+    * `private[llm]` so the residual quantizer (IvfPq) shares it. */
+  private[llm] def assign(sv: DataFrame, books: DataFrame): DataFrame = {
     val dd = Clustering.dist2For(sv.sparkSession) _
     sv.join(broadcast(books), "m")
       .withColumn("d2", expr(dd("sv", "csv")))
@@ -74,8 +76,14 @@ object Pq {
     * integer-scaled recenter, empty codes coalesce to their previous
     * centroid. Codebooks localCheckpoint per round (M·K metadata rows;
     * constant-size plans). */
-  def trainBooks(s: SparkSession, dir: String): DataFrame = {
-    val sv = subvecs(s, dir)
+  def trainBooks(s: SparkSession, dir: String): DataFrame =
+    lloydBooks(subvecs(s, dir))
+
+  /** The Lloyd loop over an ARBITRARY (vec_id, m, sv) subvector frame —
+    * shared verbatim by the raw-vector quantizer (trainBooks) and the
+    * residual quantizer (IvfPq.trainBooks): the two differ only in what
+    * the subvectors are measured against, never in how codebooks train. */
+  private[llm] def lloydBooks(sv: DataFrame): DataFrame = {
     var books = sv.filter(col("vec_id") < K)
       .select(col("m"), col("vec_id").as("code"), col("sv").as("csv"))
     for (_ <- 1 to Iters) {
