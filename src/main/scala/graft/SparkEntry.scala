@@ -117,6 +117,9 @@ object SparkEntry {
     "q_sim_lsh_multiprobe" -> (Similarity.lshMultiProbeTopK _),
     "q_sim_ivf"            -> (Similarity.ivfTopK _),
     "q_sim_ivf_trained"    -> (Similarity.ivfTrainedTopK _),
+    // index maintenance: O(batch) incremental add against frozen centroids,
+    // served from base ∪ delta lists with no rebuild (llm/IvfMaintenance)
+    "q_sim_ivf_upsert"     -> (graft.llm.IvfMaintenance.upsertServe _),
     // product quantization: trained 4-bit codebooks + ADC lookup scoring —
     // the 64x-compressed serve path of the ANN family (llm/Pq)
     "q_sim_pq_codes"       -> (graft.llm.Pq.codes _),
@@ -703,6 +706,66 @@ object SparkEntry {
                             AND l.code = cd.code
                  WHERE l.q_id <> cd.vec_id
                  GROUP BY 1, 2)"""
+  }
+
+  /** Twin of IvfMaintenance.upsertServe — index maintenance: centroids
+    * train on the BASE corpus only (the oldest ⌊N·3/4⌋ vectors — the
+    * frozen index version), every vector (base AND the late batch) assigns
+    * against them, and the serve ranks over the union. Assignment is
+    * per-vector independent, so the union-of-slices Spark build and this
+    * all-at-once replay are exactly equal. */
+  private def ivfUpsertSql: String = {
+    val S = Similarity.MeanScale
+    val T = Similarity.TrainIters
+    def cosTo(c: String) =
+      s"${dDot("e.embedding", s"$c.cemb")} / (e.nrm * sqrt(${dDot(s"$c.cemb", s"$c.cemb")}))"
+    val iters = (1 to T).map { i =>
+      val prev = s"uc${i - 1}"
+      s"""uw$i AS (SELECT e.vec_id, e.embedding, c.cent_id,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${cosTo("c")} DESC, c.cent_id) AS rn
+          FROM ue e, $prev c),
+          ua$i AS (SELECT vec_id, embedding, cent_id FROM uw$i WHERE rn = 1),
+          us$i AS (SELECT cent_id, d,
+                      SUM(CAST(CAST(embedding[d] AS DOUBLE) * $S AS BIGINT)) AS sm,
+                      COUNT(*) AS n
+                   FROM ua$i, generate_series(1, 64) AS g(d) GROUP BY 1, 2),
+          uu$i AS (SELECT cent_id, list(CAST(CAST(sm AS VARCHAR) AS DOUBLE)
+                      / (CAST(n AS DOUBLE) * $S) ORDER BY d) AS cemb
+                   FROM us$i GROUP BY 1),
+          uc$i AS (SELECT p.cent_id, COALESCE(u.cemb, p.cemb) AS cemb
+                   FROM $prev p LEFT JOIN uu$i u USING (cent_id))"""
+    }.mkString(",\n")
+    s"""WITH ut AS (SELECT CAST(floor(count(*) * ${graft.llm.IvfMaintenance.BaseFrac}) AS BIGINT) AS t
+                    FROM embeddings),
+        ue AS (SELECT vec_id, embedding, ${dNorm("embedding")} AS nrm
+               FROM embeddings, ut WHERE vec_id < ut.t),
+        uc0 AS (SELECT vec_id AS cent_id,
+                       [CAST(embedding[i] AS DOUBLE) for i in generate_series(1, len(embedding))] AS cemb
+                FROM embeddings WHERE vec_id < ${Similarity.Cells}),
+        $iters,
+        ucent AS (SELECT cent_id, cemb, sqrt(${dDot("cemb", "cemb")}) AS c_nrm FROM uc$T),
+        uf AS (SELECT vec_id, embedding, ${dNorm("embedding")} AS nrm FROM embeddings),
+        urc AS (SELECT f.vec_id, f.embedding, f.nrm, ucent.cent_id,
+                       row_number() OVER (PARTITION BY f.vec_id
+                         ORDER BY ${dDot("f.embedding", "ucent.cemb")} / (f.nrm * ucent.c_nrm) DESC,
+                                  ucent.cent_id) AS crn
+                FROM uf f, ucent),
+        uasg AS (SELECT vec_id, embedding, nrm, cent_id FROM urc WHERE crn = 1),
+        uprob AS (SELECT vec_id AS q_id, cent_id FROM urc
+                  WHERE crn <= ${Similarity.NProbe} AND vec_id < 8),
+        uq AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
+               FROM uf WHERE vec_id < 8),
+        ucand AS (SELECT p.q_id, a.vec_id AS n_id,
+                         ${dDot("q.q_emb", "a.embedding")} / (q.q_nrm * a.nrm) AS cos
+                  FROM uprob p
+                  JOIN uasg a ON p.cent_id = a.cent_id AND a.vec_id <> p.q_id
+                  JOIN uq q ON q.q_id = p.q_id),
+        urk AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+                  ORDER BY cos DESC, n_id) AS BIGINT) AS "rank" FROM ucand)
+        SELECT q_id, n_id, cos, "rank",
+               CAST(CASE WHEN n_id >= ut.t THEN 1 ELSE 0 END AS BIGINT) AS is_new
+        FROM urk, ut WHERE "rank" <= 10 ORDER BY q_id, "rank""""
   }
 
   /** Twin of IvfPq.rerankTopK — shared by q_sim_ivfpq_rerank and the
@@ -1649,6 +1712,7 @@ object SparkEntry {
           r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS "rank" FROM c)
           SELECT q_id, n_id, cos, "rank" FROM r WHERE "rank" <= 10 ORDER BY q_id, "rank"""",
     "q_sim_ivf_trained" -> ivfTrainedSql,
+    "q_sim_ivf_upsert" -> ivfUpsertSql,
     "q_sim_pq_codes" ->
       s"""WITH $pqCtes
           SELECT vec_id, array_to_string(list(code ORDER BY m), ',') AS codes

@@ -261,8 +261,15 @@ object Similarity {
     * double division). Empty cells keep their previous centroid. Everything
     * is DataFrame algebra: the per-iteration state is k×d centroid rows,
     * never driver-collected. */
-  def trainCentroids(s: SparkSession, dir: String, cells: Int = Cells): DataFrame = {
-    val e = withNorm(s, dir)
+  def trainCentroids(s: SparkSession, dir: String, cells: Int = Cells): DataFrame =
+    trainCentroidsOn(withNorm(s, dir), cells)
+
+  /** The Lloyd loop over an ARBITRARY (vec_id, embedding, nrm) corpus frame
+    * — shared by the full-corpus training above and the base-only training
+    * of the index-maintenance path (IvfMaintenance), which freezes
+    * centroids before late batches arrive. */
+  private[llm] def trainCentroidsOn(e: DataFrame, cells: Int = Cells): DataFrame = {
+    val s = e.sparkSession
     var cents = e.filter(col("vec_id") < cells).select(
       col("vec_id").as("cent_id"),
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("c_emb"))
