@@ -72,8 +72,8 @@ object IvfMaintenance {
     * build of the base lists (pred = < cut) and the incremental add
     * (pred = >= cut). The add's plan scans ONLY the new rows: the slice
     * predicate pushes to the parquet scan (UpsertIvfSpec pins it). */
-  private[llm] def assignSlice(s: SparkSession, dir: String, cut: Long,
-                               newRows: Boolean): DataFrame = {
+  private[graft] def assignSlice(s: SparkSession, dir: String, cut: Long,
+                                 newRows: Boolean): DataFrame = {
     val e = withNorm(s, dir)
       .filter(if (newRows) col("vec_id") >= cut else col("vec_id") < cut)
     Similarity.rankAgainst(e, cents(s, dir, cut))

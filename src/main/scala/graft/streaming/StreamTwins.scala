@@ -410,6 +410,33 @@ object StreamTwins {
         col("c.cent_id").as("cent_id"))
   }
 
+  /** Streaming INCREMENTAL IVF ADD — the streaming face of the index-
+    * maintenance delta build (IvfMaintenance.assignSlice): each arriving
+    * vector is assigned to its nearest FROZEN published centroid by cosine
+    * and emitted as a complete delta-list row (vec_id, embedding, nrm,
+    * cent_id), ready to append under its cell's partition directory. One
+    * stateless expression chain (centroids ride as a k·d literal, the
+    * clusterAssign serve pattern): no state store, no watermark, the
+    * micro-batch never shuffles. The fold scans centroids in ascending
+    * cent_id order with a strict `>`, so ties keep the LOWER cent id and
+    * every division runs in the batch plan's dot/(nrm·c_nrm) order —
+    * drained output is bit-identical to the batch add on the same rows
+    * (StreamTwinsSpec). */
+  def ivfAdd(embs: DataFrame, centroids: Seq[(Long, Seq[Double])]): DataFrame = {
+    val dot = graft.llm.Similarity.dotFor(embs.sparkSession) _
+    embs.withColumn("cents", typedlit(centroids.sortBy(_._1)))
+      .withColumn("nrm", expr(s"sqrt(${dot("embedding", "embedding")})"))
+      .withColumn("best", expr(
+        s"""aggregate(
+              transform(cents, c -> struct(c._1 AS cent_id,
+                ${dot("embedding", "c._2")} / (nrm * sqrt(${dot("c._2", "c._2")})) AS c_cos)),
+              struct(CAST(-1 AS BIGINT) AS cent_id,
+                     CAST('-Infinity' AS DOUBLE) AS c_cos),
+              (acc, c) -> CASE WHEN c.c_cos > acc.c_cos THEN c ELSE acc END)"""))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("best.cent_id").as("cent_id"))
+  }
+
   /** Stateless streaming twin of the binary encode path
     * (q_sim_binary_codes): sign each arriving embedding against the
     * PUBLISHED per-dimension means (the d-row statistic a batch job

@@ -660,4 +660,33 @@ class StreamTwinsSpec extends SparkSpec {
     assert(got.length == 8 * graft.llm.Similarity.NProbe)
     assert(got.sameElements(want))
   }
+
+  test("streaming incremental IVF add matches the batch delta build") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    // batch face first: trains + publishes the frozen upsert centroids
+    val cut = graft.llm.IvfMaintenance.baseCut(s, sf)
+    val want = graft.llm.IvfMaintenance.assignSlice(s, sf, cut, newRows = true)
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getLong(3))).sorted
+    val target = graft.llm.IvfMaintenance.centsTarget(s, sf)
+    val cents = graft.etl.Warehouse.read(s, target)
+      .select("cent_id", "c_emb").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    val rows = graft.Tables.t(s, sf, "embeddings")
+      .filter($"vec_id" >= cut).select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    assert(rows.nonEmpty)
+    val mem = MemoryStream[(Long, Array[Float])]
+    mem.addData(rows.toSeq: _*)
+    val q = StreamTwins.ivfAdd(mem.toDF().toDF("vec_id", "embedding"), cents)
+      .writeStream.format("memory").queryName("ivfadd_out")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = s.table("ivfadd_out").collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getLong(3))).sorted
+    assert(got.length == rows.length,
+      "every arriving vector must emit exactly one delta-list row")
+    assert(got.sameElements(want))
+  }
 }
