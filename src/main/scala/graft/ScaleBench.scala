@@ -194,6 +194,28 @@ object ScaleBench {
         val tMineEx = med(graft.llm.Mining.hardNegatives(spark, dirM).count())
         val tMineIvf = med(graft.llm.Mining.hardNegativesIvf(spark, dirM).count())
         println(f"[scalebench] mine   m=$m%-3d vectors=$nV%-8d exact=$tMineEx%.2f s ivf_serve=$tMineIvf%.2f s")
+        // IVF-PQ composite: residual-book CONSTRUCTION measured directly
+        // (bypasses the publish cache — the honest-measurement discipline;
+        // one corpus scan per Lloyd round, must be LINEAR); the ADC and
+        // re-rank serves' rep 1 pays the one-time book+code-list publish,
+        // the MEDIAN is the post-publish serve — probed-cell directory
+        // reads of 8-byte code rows + a Q·Shortlist exact pass, which must
+        // grow only with the probed fraction (cells fixed here; a real
+        // deployment scales cells ~√N keeping it sublinear)
+        val tIvfPqTrain = med(graft.llm.IvfPq.trainBooks(spark, dirM).count())
+        val tIvfPqAdc = med(graft.llm.IvfPq.adcTopK(spark, dirM).count())
+        val tIvfPqRr = med(graft.llm.IvfPq.rerankTopK(spark, dirM).count())
+        println(f"[scalebench] ivfpq  m=$m%-3d vectors=$nV%-8d train=$tIvfPqTrain%.2f s adc_serve=$tIvfPqAdc%.2f s rerank=$tIvfPqRr%.2f s")
+        // index maintenance: the incremental ADD is one frozen-centroid
+        // assignment pass over the late quarter (rep 1 pays the base
+        // training publish; the median times the pure add — must be LINEAR
+        // in the batch); the union serve reads base ∪ delta cell-pruned
+        // (median post-publish, near-flat like the trained serve)
+        val cutM = graft.llm.IvfMaintenance.baseCut(spark, dirM)
+        val tAdd = med(graft.llm.IvfMaintenance
+          .assignSlice(spark, dirM, cutM, newRows = true).count())
+        val tUpServe = med(graft.llm.IvfMaintenance.upsertServe(spark, dirM).count())
+        println(f"[scalebench] ivfup  m=$m%-3d vectors=$nV%-8d add=$tAdd%.2f s union_serve=$tUpServe%.2f s")
       }
     }
 
