@@ -51,6 +51,17 @@ class ParallelismInvarianceSpec extends SparkSpec {
     assert(built(wide) == built(spark))
   }
 
+  // IVF-PQ residual-book CONSTRUCTION (the serve reads published bytes —
+  // trivially identical; the Lloyd loop over grid-snapped residuals is
+  // where reassociation would drift first: scaled-BIGINT recenter sums
+  // re-combined under a different exchange must still match exactly).
+  test("IVF-PQ residual-book construction is byte-identical at shuffle.partitions=197") {
+    def built(s: org.apache.spark.sql.SparkSession): Seq[String] =
+      graft.llm.IvfPq.trainBooks(s, sf)
+        .orderBy("m", "code").collect().map(_.toString).toSeq
+    assert(built(wide) == built(spark))
+  }
+
   // AQE re-plans at runtime (coalesced partitions, join-strategy swaps,
   // skew splits) — a second axis along which a float-order-sensitive plan
   // would drift. Same queries, AQE off, byte-identical output.
