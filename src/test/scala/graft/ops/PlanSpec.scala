@@ -264,7 +264,11 @@ class PlanSpec extends SparkSpec {
       "q_graph_triangles", "q_cluster_kmeans", "q_cluster_sizes",
       // PQ: every collect_list is bounded by the constant M (8 subspace
       // codes / partial distances) or SubDim (8 recenter means)
-      "q_sim_pq_codes", "q_sim_pq_topk", "q_sim_pq_rerank")
+      "q_sim_pq_codes", "q_sim_pq_topk", "q_sim_pq_rerank",
+      // IVF-PQ: the same M-bounded ADC fold (collect_list of (m, pd) pairs
+      // per candidate — exactly M rows per group) plus the SubDim-bounded
+      // residual recenter means (llm/IvfPq)
+      "q_sim_ivfpq", "q_sim_ivfpq_rerank", "q_sim_ivfpq_recall")
     // allowlisted: global SCALAR aggregates (3 labeled counts / one stats
     // row) — the final agg is one row per upstream partition into a 1-row
     // result, after map-side partial aggregation; the single partition
