@@ -72,4 +72,20 @@ class WideDimSpec extends SparkSpec {
       assert(got(id) == ((h0, h1)), s"id=$id: got ${got(id)}, want ($h0,$h1)")
     }
   }
+
+  test("IVF-PQ at d=1024: serve runs end-to-end, plan constant-size") {
+    // the composite carries NO d-sized literals: centroids and codebooks
+    // ride as warehouse-read broadcast frames; residuals are a zip_with
+    // over the (arbitrary-width) embedding; the quantizer covers the first
+    // M·SubDim dims by design (Pq scaladoc)
+    val top = IvfPq.adcTopK(spark, dir)
+    val plan = top.queryExecution.optimizedPlan.toString
+    assert(plan.length < 40000, s"plan blew up to ${plan.length} chars")
+    val rows = top.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) < 8L && r.getLong(1) < N.toLong)
+      assert(!r.getDouble(2).isNaN && !r.getDouble(2).isInfinite)
+    }
+  }
 }
