@@ -194,6 +194,12 @@ object ScaleBench {
         val tMineEx = med(graft.llm.Mining.hardNegatives(spark, dirM).count())
         val tMineIvf = med(graft.llm.Mining.hardNegativesIvf(spark, dirM).count())
         println(f"[scalebench] mine   m=$m%-3d vectors=$nV%-8d exact=$tMineEx%.2f s ivf_serve=$tMineIvf%.2f s")
+        // graph-index maintenance: HNSW-style insert of the late quarter —
+        // per-round work is batch·beam id-keyed joins into the src-clustered
+        // base graph (rep 1 pays the base graph's construct+publish; the
+        // median times the pure insert), must be LINEAR in the batch
+        val tGIns = med(graft.llm.GraphMaintenance.insert(spark, dirM).count())
+        println(f"[scalebench] gins   m=$m%-3d vectors=$nV%-8d insert=$tGIns%.2f s")
         // IVF-PQ composite: residual-book CONSTRUCTION measured directly
         // (bypasses the publish cache — the honest-measurement discipline;
         // one corpus scan per Lloyd round, must be LINEAR); the ADC and

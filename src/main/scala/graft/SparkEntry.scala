@@ -137,6 +137,9 @@ object SparkEntry {
     "q_sim_binary_topk"    -> (graft.llm.Binary.topK _),
     // graph-probe ANN: beam search over the kNN graph (llm/Similarity)
     "q_sim_graph_search"   -> (Similarity.graphSearchTopK _),
+    // graph-index maintenance: HNSW-style insert — beam-search the frozen
+    // base graph per arriving vector, link top-K (llm/GraphMaintenance)
+    "q_sim_graph_insert"   -> (graft.llm.GraphMaintenance.insert _),
     // NN-descent graph-index construction (llm/Similarity)
     "q_sim_nndescent"      -> (Similarity.nnDescent _),
     // oracle-visible recall audits for the new serve paths (the _bound
@@ -858,7 +861,12 @@ object SparkEntry {
     * 6^iters copies of the init scan — DuckDB runs out of file handles
     * (and time) at 4 rounds. Materializing each round keeps the twin
     * linear, mirroring the Spark side's per-round localCheckpoint. */
-  private def ndCtes: String = {
+  private def ndCtes: String = ndCtesFor("TRUE")
+
+  /** ndCtes over a row-predicated corpus slice — the graph-maintenance
+    * twin builds the frozen BASE graph from `vec_id < cut` only (dense
+    * base ids, so the long-link modulus is the filtered count). */
+  private def ndCtesFor(pred: String): String = {
     import Similarity.{DescentIters, DescentK}
     def ranked(sc: String, d: String) =
       s"""$d AS MATERIALIZED (SELECT src, dst, cos, CAST(rnk AS BIGINT) AS rnk FROM (
@@ -883,13 +891,13 @@ object SparkEntry {
           ${ranked(s"sc$r", s"d$r")}"""
     }.mkString(",\n")
     s"""ee AS (SELECT vec_id, embedding, ${dNorm("embedding")} AS nrm
-               FROM embeddings),
-        nn AS (SELECT count(*) AS n FROM embeddings),
+               FROM embeddings WHERE $pred),
+        nn AS (SELECT count(*) AS n FROM embeddings WHERE $pred),
         nl AS (${Similarity.LongLinkA.zip(Similarity.LongLinkB)
                   .map { case (a, b) =>
                     s"""SELECT vec_id AS src,
                         (vec_id * $a + $b) % ${TextHash.P} % n AS dst
-                        FROM embeddings, nn""" }
+                        FROM embeddings, nn WHERE $pred""" }
                   .mkString(" UNION ALL ")}),
         c0 AS (SELECT DISTINCT src, dst FROM (
                  SELECT src, dst FROM nl WHERE dst <> src
@@ -944,6 +952,54 @@ object SparkEntry {
                 FROM f$SearchIters)
         SELECT q_id, n_id, cos, "rank" FROM fin
         WHERE "rank" <= 10 ORDER BY q_id, "rank""""
+  }
+
+  /** Twin of GraphMaintenance.insert — graph-index maintenance: the base
+    * graph is the NN-descent build over the frozen base slice (ndCtesFor
+    * with the cut predicate; the Spark side's publish is deterministic, so
+    * rebuild ≡ read), the late batch is the query set, and the identical
+    * beam rounds run to each new node's top-GraphK links. */
+  private def graphInsertSql: String = {
+    import Similarity.{BeamWidth, SearchIters, NEntries, DescentIters, GraphK}
+    def scoredOf(c: String) =
+      s"""SELECT c.q_id, c.n_id,
+             ${dDot("q.q_emb", "e.embedding")} / (q.q_nrm * e.nrm) AS cos
+          FROM $c c JOIN ee e ON e.vec_id = c.n_id
+          JOIN giq q ON q.q_id = c.q_id"""
+    val rounds = (1 to SearchIters).map { t =>
+      val prev = s"f${t - 1}"
+      s"""gx$t AS (SELECT f.q_id, g.dst AS n_id
+                  FROM $prev f JOIN graph g ON f.n_id = g.src),
+          gcd$t AS (SELECT DISTINCT q_id, n_id FROM (
+                    SELECT q_id, n_id FROM $prev
+                    UNION ALL SELECT q_id, n_id FROM gx$t)),
+          gsc$t AS (${scoredOf(s"gcd$t")}),
+          f$t AS (SELECT q_id, n_id, cos FROM (
+                    SELECT *, row_number() OVER (PARTITION BY q_id
+                      ORDER BY cos DESC, n_id) AS rn FROM gsc$t)
+                  WHERE rn <= $BeamWidth)"""
+    }.mkString(",\n")
+    s"""WITH icut AS (SELECT CAST(floor(count(*) * ${graft.llm.IvfMaintenance.BaseFrac}) AS BIGINT) AS t
+                      FROM embeddings),
+        ${ndCtesFor("vec_id < (SELECT t FROM icut)")},
+        graph AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+                    SELECT src, dst FROM d$DescentIters
+                    UNION ALL SELECT src, dst FROM nl WHERE dst <> src
+                    UNION ALL SELECT dst, src FROM nl WHERE dst <> src)),
+        giq AS (SELECT vec_id AS q_id, embedding AS q_emb,
+                       ${dNorm("embedding")} AS q_nrm
+                FROM embeddings WHERE vec_id >= (SELECT t FROM icut)),
+        gdeg AS (SELECT dst, count(*) AS deg FROM d$DescentIters GROUP BY dst),
+        gent AS (SELECT dst AS n_id FROM gdeg ORDER BY deg DESC, dst LIMIT $NEntries),
+        e0 AS (SELECT q.q_id, v.n_id FROM giq q, gent v),
+        f0 AS (${scoredOf("e0")}),
+        $rounds,
+        fin AS (SELECT q_id, n_id, cos,
+                       CAST(row_number() OVER (PARTITION BY q_id
+                         ORDER BY cos DESC, n_id) AS BIGINT) AS rnk
+                FROM f$SearchIters)
+        SELECT q_id AS vec_id, rnk, n_id, cos FROM fin
+        WHERE rnk <= $GraphK ORDER BY vec_id, rnk"""
   }
 
   private def lexList(l: String): String =
@@ -2397,6 +2453,7 @@ object SparkEntry {
     // expand/score/beam rounds (fixed iteration count, fixed-order cosine,
     // ties to the lower neighbor id — the trainCentroids unroll discipline)
     "q_sim_graph_search" -> graphSearchSql,
+    "q_sim_graph_insert" -> graphInsertSql,
     // NN-descent: deterministic long-link init, then DescentIters unrolled
     // rounds of (edges ∪ reversed ∪ two-hop) → exact score → keep-GraphK
     "q_sim_nndescent" -> {

@@ -1060,9 +1060,18 @@ object Similarity {
   /** The refined graph after `iters` rounds (exposed so the spec can
     * measure the per-round quality climb). */
   private[graft] def descentGraph(s: SparkSession, dir: String,
+                                  iters: Int): DataFrame =
+    descentGraphOn(withNorm(s, dir),
+      graft.etl.TableStats.rowCount(s, dir, "embeddings"), iters)
+
+  /** The NN-descent rounds over an ARBITRARY (vec_id, embedding, nrm)
+    * corpus frame with `n` dense ids — shared by the full-corpus
+    * construction above and the BASE-graph build of the graph-maintenance
+    * path (GraphMaintenance), which freezes the graph before late batches
+    * arrive. */
+  private[llm] def descentGraphOn(e: DataFrame, n: Long,
                                   iters: Int): DataFrame = {
-    val e = withNorm(s, dir)
-    val n = graft.etl.TableStats.rowCount(s, dir, "embeddings")
+    val s = e.sparkSession
     val w = Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))
     def scoreEdges(edges: DataFrame): DataFrame =
       edges.join(e.select(col("vec_id").as("src"), col("embedding").as("se"),
