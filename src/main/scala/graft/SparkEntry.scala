@@ -131,6 +131,7 @@ object SparkEntry {
     "q_sim_ivfpq"          -> (graft.llm.IvfPq.adcTopK _),
     "q_sim_ivfpq_rerank"   -> (graft.llm.IvfPq.rerankTopK _),
     "q_sim_ivfpq_recall"   -> (graft.llm.IvfPq.recallAudit _),
+    "q_sim_ivfpq_sweep"    -> (graft.llm.IvfPq.sweep _),
     // binary quantization: centered sign-bit signatures (8 bytes/vector,
     // 32x) + Hamming shortlist, exact re-rank of the shortlist (llm/Binary)
     "q_sim_binary_codes"   -> (graft.llm.Binary.codes _),
@@ -690,20 +691,21 @@ object SparkEntry {
                          row_number() OVER (PARTITION BY s.vec_id, s.m
                            ORDER BY ${dDist2("s.sv", "c.csv")}, c.code) AS rn
                   FROM vsv s JOIN vcf c ON c.m = s.m) WHERE rn = 1),
-        vprob AS (SELECT vec_id AS q_id, cent_id FROM rc
+        vprob AS (SELECT vec_id AS q_id, crn, cent_id FROM rc
                   WHERE crn <= ${Similarity.NProbe} AND vec_id < $NQueries),
-        vqr AS (SELECT p.q_id, p.cent_id, m,
+        vqr AS (SELECT p.q_id, p.crn, p.cent_id, m,
                   [${resid(s"q.embedding[m * $D + j]", s"c.cemb[m * $D + j]")}
                    for j in generate_series(1, $D)] AS qsv
                 FROM vprob p
                 JOIN cent c USING (cent_id)
                 JOIN embeddings q ON q.vec_id = p.q_id,
                 generate_series(0, ${M - 1}) AS gm(m)),
-        vlut AS (SELECT r.q_id, r.cent_id, b.m, b.code,
+        vlut AS (SELECT r.q_id, r.crn, r.cent_id, b.m, b.code,
                         ${dDist2("r.qsv", "b.csv")} AS pd
                  FROM vqr r JOIN vcf b ON b.m = r.m),
         vest AS (SELECT l.q_id, cd.vec_id AS n_id,
-                        list_sum(list(l.pd ORDER BY l.m)) AS est_d2
+                        list_sum(list(l.pd ORDER BY l.m)) AS est_d2,
+                        min(l.crn) AS crn
                  FROM vcd cd
                  JOIN vlut l ON l.cent_id = cd.cent_id AND l.m = cd.m
                             AND l.code = cd.code
@@ -1819,6 +1821,38 @@ object SparkEntry {
           SELECT q_id, n_id, est_d2, "rank" FROM vrk
           WHERE "rank" <= 10 ORDER BY q_id, "rank"""",
     "q_sim_ivfpq_rerank" -> ivfPqRerankSql,
+    "q_sim_ivfpq_sweep" -> {
+      val npVals = Similarity.SweepProbes
+        .map(p => s"(CAST($p AS BIGINT))").mkString(", ")
+      s"""WITH $ivfPqCtes,
+          np(nprobe) AS (VALUES $npVals),
+          vfan AS (SELECT np.nprobe, v.q_id, v.n_id, v.est_d2
+                   FROM vest v CROSS JOIN np WHERE v.crn <= np.nprobe),
+          vsl AS (SELECT nprobe, q_id, n_id FROM (
+                    SELECT *, row_number() OVER (PARTITION BY nprobe, q_id
+                      ORDER BY est_d2, n_id) AS rn FROM vfan)
+                  WHERE rn <= ${graft.llm.IvfPq.Shortlist}),
+          vre AS (SELECT s.nprobe, s.q_id, s.n_id,
+                         ${dDist2("qq.embedding", "nn.embedding")} AS d2
+                  FROM vsl s
+                  JOIN embeddings qq ON qq.vec_id = s.q_id
+                  JOIN embeddings nn ON nn.vec_id = s.n_id),
+          vtop AS (SELECT nprobe, q_id, n_id FROM (
+                     SELECT *, row_number() OVER (PARTITION BY nprobe, q_id
+                       ORDER BY d2, n_id) AS rn FROM vre)
+                   WHERE rn <= 10),
+          vex AS (SELECT q_id, n_id FROM ($bruteL2Sql)),
+          vh AS (SELECT np.nprobe, e.q_id, e.n_id, a.n_id AS hit
+                 FROM vex e
+                 CROSS JOIN np
+                 LEFT JOIN vtop a ON a.nprobe = np.nprobe
+                                 AND a.q_id = e.q_id AND a.n_id = e.n_id)
+          SELECT nprobe, count(*) AS n_exact,
+                 CAST(SUM(CASE WHEN hit IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+                 CAST(SUM(CASE WHEN hit IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) AS recall
+          FROM vh GROUP BY 1 ORDER BY nprobe"""
+    },
     "q_sim_ivfpq_recall" ->
       s"""WITH exact AS (SELECT q_id, n_id FROM ($bruteL2Sql)),
           approx AS (SELECT q_id, n_id FROM ($ivfPqRerankSql)),

@@ -141,35 +141,43 @@ object IvfPq {
     * directories (the literal IN below is what becomes PartitionFilters);
     * each candidate costs M lookups folded in fixed m-ascending order (the
     * DuckDB twin's list_sum(list(pd ORDER BY m)) — bit-identical). */
-  private def adcShortlist(s: SparkSession, dir: String, k: Int): DataFrame = {
+  private def adcShortlist(s: SparkSession, dir: String, k: Int): DataFrame =
+    Ranking.topKPerGroup(estimates(s, dir).select("q_id", "n_id", "est_d2"),
+      "q_id", "est_d2", "n_id", k, asc = true, "est_d2", "n_id")
+
+  /** Every probed-cell candidate's ADC estimate, computed ONCE, carrying
+    * its cell's probe rank (crn) — the shared pass behind the fixed-nprobe
+    * serves AND the operating-curve sweep (a curve point is a crn filter
+    * over this frame, never a re-scan of the code lists). */
+  private def estimates(s: SparkSession, dir: String): DataFrame = {
     val dd = Clustering.dist2For(s) _
-    val probes = Similarity.probeCells(s, dir).select("q_id", "cent_id")
+    val probes = Similarity.probeCells(s, dir).select("q_id", "crn", "cent_id")
     val q = t(s, dir, "embeddings").filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("q_id"), col("embedding"))
     val qres = probes.join(broadcast(q), "q_id")
       .join(broadcast(cents(s, dir)), "cent_id")
       .withColumn("qr", expr(
         s"zip_with(embedding, c_emb, (x, c) -> ${residSql("x", "c")})"))
-      .select(col("q_id"), col("cent_id"), explode(expr(
+      .select(col("q_id"), col("crn"), col("cent_id"), explode(expr(
         s"transform(sequence(0, ${M - 1}), m -> struct(m AS m, " +
           s"slice(qr, m * $SubDim + 1, $SubDim) AS qsv))")).as("t"))
-      .select(col("q_id"), col("cent_id"),
+      .select(col("q_id"), col("crn"), col("cent_id"),
         col("t.m").as("m"), col("t.qsv").as("qsv"))
     val lut = qres.join(broadcast(books(s, dir)), "m")
-      .select(col("q_id"), col("cent_id"), col("m"), col("code"),
+      .select(col("q_id"), col("crn"), col("cent_id"), col("m"), col("code"),
         expr(dd("qsv", "csv")).as("pd"))
     // probed cell ids: ≤ min(cells, Q·nprobe) longs — metadata tier
     val cellIds = probes.select("cent_id").distinct()
       .collect().map(_.getLong(0)).toSeq
-    val est = publishedCodes(s, dir)
+    publishedCodes(s, dir)
       .filter(col("cent_id").isInCollection(cellIds))
       .join(broadcast(lut), Seq("cent_id", "m", "code"))
       .filter(col("q_id") =!= col("vec_id"))
       .groupBy(col("q_id"), col("vec_id").as("n_id"))
       .agg(expr("aggregate(transform(array_sort(collect_list(struct(m, pd))), " +
-        "p -> p.pd), 0D, (acc, x) -> acc + x)").as("est_d2"))
-    Ranking.topKPerGroup(est, "q_id", "est_d2", "n_id", k, asc = true,
-      "est_d2", "n_id")
+        "p -> p.pd), 0D, (acc, x) -> acc + x)").as("est_d2"),
+        // a candidate lives in exactly one cell, so min is THE probe rank
+        min(col("crn")).as("crn"))
   }
 
   /** q_sim_ivfpq: IVFADC top-10 per sample query — cell-pruned scan of the
@@ -199,6 +207,50 @@ object IvfPq {
       .filter(col("rank") <= 10)
       .select("q_id", "n_id", "d2", "rank")
       .orderBy("q_id", "rank")
+  }
+
+  /** q_sim_ivfpq_sweep: the recall@10-vs-nprobe OPERATING CURVE for the
+    * COMPOSITE's production serve (ADC shortlist + exact re-rank at each
+    * probe budget) — the number a deployment publishes for the index it
+    * actually runs, next to the plain-IVF curve (q_sim_ivf_sweep). All
+    * curve points share ONE pruned code-list read and ONE ADC estimate
+    * pass: each candidate's estimate carries its cell's probe rank, so a
+    * point is a crn filter + per-(nprobe, query) heap shortlist + the
+    * Q·|curve|·Shortlist exact re-rank — audit cost independent of corpus
+    * size (the q_sim_recall posture). Integer hit counts, one IEEE
+    * division per row — oracle-hashable. */
+  def sweep(s: SparkSession, dir: String): DataFrame = {
+    val dd = Clustering.dist2For(s) _
+    import s.implicits._
+    val np = Similarity.SweepProbes.map(_.toLong).toDF("nprobe")
+    val fanned = estimates(s, dir).crossJoin(broadcast(np))
+      .filter(col("crn") <= col("nprobe"))
+      // group key packs (nprobe, q_id): q_id < 8 << 1024, no collision
+      .withColumn("gk", col("nprobe") * lit(1024L) + col("q_id"))
+      .select("gk", "n_id", "est_d2")
+    val short = Ranking.topKPerGroup(fanned, "gk", "est_d2", "n_id",
+        Shortlist, asc = true, "est_d2", "n_id")
+      .select(expr("gk div 1024").as("nprobe"), expr("gk % 1024").as("q_id"),
+        col("n_id"))
+    val e = t(s, dir, "embeddings")
+    val reranked = short
+      .join(e.select(col("vec_id").as("n_id"), col("embedding").as("ne")), "n_id")
+      .join(broadcast(e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"))), "q_id")
+      .withColumn("d2", expr(dd("qe", "ne")))
+      .withColumn("rn", row_number().over(Window
+        .partitionBy("nprobe", "q_id").orderBy(col("d2"), col("n_id"))))
+      .filter(col("rn") <= 10)
+      .select(col("nprobe"), col("q_id"), col("n_id"), lit(1L).as("hit"))
+    bruteL2TopK(s, dir).select("q_id", "n_id")
+      .crossJoin(broadcast(np))
+      .join(reranked, Seq("nprobe", "q_id", "n_id"), "left")
+      .groupBy("nprobe")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall",
+        col("n_hit").cast("double") / col("n_exact").cast("double"))
+      .orderBy("nprobe")
   }
 
   /** Exact euclidean brute-force top-10 — the ground-truth side of the

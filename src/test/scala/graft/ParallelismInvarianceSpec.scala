@@ -62,6 +62,16 @@ class ParallelismInvarianceSpec extends SparkSpec {
     assert(built(wide) == built(spark))
   }
 
+  // Graph-index INSERT (live computation every call — only the base graph
+  // is published): batch-sized beam frontiers re-keyed at 197 partitions
+  // shuffle through different window groupings each round; fixed-order
+  // cosine + lower-id ties must keep the emitted adjacency byte-identical.
+  test("graph insert is byte-identical at shuffle.partitions=197") {
+    def ins(s: org.apache.spark.sql.SparkSession): Seq[String] =
+      graft.llm.GraphMaintenance.insert(s, sf).collect().map(_.toString).toSeq
+    assert(ins(wide) == ins(spark))
+  }
+
   // AQE re-plans at runtime (coalesced partitions, join-strategy swaps,
   // skew splits) — a second axis along which a float-order-sensitive plan
   // would drift. Same queries, AQE off, byte-identical output.

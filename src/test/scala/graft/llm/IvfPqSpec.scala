@@ -112,6 +112,23 @@ class IvfPqSpec extends SparkSpec {
     }
   }
 
+  test("operating curve is monotone and its max point IS the standing audit") {
+    val curve = IvfPq.sweep(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    val probes = Similarity.SweepProbes.map(_.toLong)
+    assert(curve.keySet == probes.toSet)
+    probes.zip(probes.tail).foreach { case (a, b) =>
+      assert(curve(a)._2 <= curve(b)._2,
+        s"recall not monotone in nprobe: $curve")
+    }
+    // the curve's NProbe point and q_sim_ivfpq_recall's aggregate are the
+    // same serve measured two ways — they must agree exactly
+    val auditHits = IvfPq.recallAudit(spark, sf).collect()
+      .map(_.getLong(2)).sum
+    assert(curve(Similarity.NProbe.toLong)._1 == auditHits,
+      s"sweep max point ${curve(Similarity.NProbe.toLong)._1} != audit $auditHits")
+  }
+
   test("recall audit rows are consistent integer counts") {
     IvfPq.recallAudit(spark, sf).collect().foreach { r =>
       assert(r.getLong(1) == 10L)
