@@ -31,9 +31,11 @@ object IvfMaintenance {
   private val NQueries = 8
 
   /** The base/late cut: ⌊N·BaseFrac⌋ — one corpus-count scalar (metadata
-    * tier; the twin's scalar subquery). */
+    * tier; the twin's scalar subquery). Served from the count-once
+    * TableStats manifest, not a per-call `.count()` scan (the planesFor
+    * discipline — a serve should never pay a corpus pass for one number). */
   private[graft] def baseCut(s: SparkSession, dir: String): Long =
-    math.floor(t(s, dir, "embeddings").count() * BaseFrac).toLong
+    math.floor(graft.etl.TableStats.rowCount(s, dir, "embeddings") * BaseFrac).toLong
 
   private def withNorm(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings").select(
