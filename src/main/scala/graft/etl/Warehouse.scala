@@ -299,6 +299,76 @@ object Warehouse {
       .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
   }
 
+  // ———— multi-table snapshots ————
+
+  /** MULTI-TABLE SNAPSHOT pointer — the transaction boundary the
+    * single-target `_CURRENT` cannot give: a snapshot ROOT holds member
+    * tables (root/<member>/v_* immutable version dirs) plus ONE
+    * `_SNAPSHOT` file whose content is `member=version` lines. Readers
+    * resolve EVERY member from that single pointer read, so a commit that
+    * must change several members at once — an index compaction folding a
+    * delta table into its base and retiring it — is still one atomic
+    * rename: no reader can ever observe the new base together with the old
+    * delta (double rows) or neither (missing rows). This is the plain-FS
+    * reimplementation of a table-format snapshot commit (what Iceberg's
+    * metadata.json / Delta's _last_checkpoint give a multi-file state),
+    * built from the same two public pieces as `publish`: materialize
+    * everything immutable first, then one FileContext.rename(OVERWRITE).
+    * A member absent from the map is absent from the snapshot — retirement
+    * is non-listing, never deletion (old versions stay readable until
+    * vacuum, the standard two-phase contract). */
+  private def snapPointer(root: String) = new Path(root, "_SNAPSHOT")
+
+  /** Materialize a fresh version dir per member (hive-partitioned on
+    * `partCol` when given), then commit the WHOLE set with one pointer
+    * rename. Returns member → version. */
+  def publishSnapshot(spark: SparkSession, root: String,
+                      members: Seq[(String, DataFrame)],
+                      partCol: Option[String] = None): Map[String, String] = {
+    val nonce = java.util.UUID.randomUUID.toString.take(8)
+    val versions = members.map { case (name, df) =>
+      val v = f"v_${System.currentTimeMillis()}%013d_$nonce"
+      val w = df.write.mode(SaveMode.Overwrite)
+      partCol.fold(w)(w.partitionBy(_)).parquet(s"$root/$name/$v")
+      name -> v
+    }
+    val content = versions.sortBy(_._1)
+      .map { case (n, v) => s"$n=$v" }.mkString("\n")
+    val f = fs(spark, root)
+    val tmp = new Path(root, s"_SNAPSHOT.$nonce.tmp")
+    val out = f.create(tmp, true)
+    try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    val fc = FileContext.getFileContext(new Path(root).toUri,
+      spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, snapPointer(root), Options.Rename.OVERWRITE)
+    versions.toMap
+  }
+
+  /** The current snapshot's member → version map (one pointer read), or
+    * None if the root has never been committed. */
+  def readSnapshot(spark: SparkSession, root: String): Option[Map[String, String]] = {
+    val f = fs(spark, root)
+    val p = snapPointer(root)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val text = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+        buf.toString(StandardCharsets.UTF_8.name())
+      } finally in.close()
+      Some(text.linesIterator.filter(_.nonEmpty).map { l =>
+        val Array(n, v) = l.split("=", 2); n -> v
+      }.toMap)
+    }
+  }
+
+  /** Read one member of a RESOLVED snapshot (callers resolve the map once
+    * per serve so every member read comes from the same commit). */
+  def readSnapshotMember(spark: SparkSession, root: String,
+                         member: String, version: String): DataFrame =
+    spark.read.parquet(s"$root/$member/$version")
+
   /** DELETE WHERE — the lakehouse delete (GDPR erasure, bad-batch rollback):
     * republish the current version minus the matching rows, through the
     * same atomic pointer commit as every write. Readers of the old version

@@ -48,16 +48,16 @@ object IvfMaintenance {
     s"${sys.props("java.io.tmpdir")}/graft_ivf/up_cents_$key"
   }
 
-  private[graft] def baseTarget(s: SparkSession, dir: String): String = {
+  /** Snapshot ROOT for the list tables: base and delta are MEMBERS of one
+    * multi-table snapshot (Warehouse.publishSnapshot), because maintenance
+    * has a commit that must change both at once — compaction folds the
+    * delta into a new base version and RETIRES the delta, and a reader
+    * must never observe the new base with the old delta (double rows) or
+    * neither. One `_SNAPSHOT` pointer resolves every member. */
+  private[graft] def listsRoot(s: SparkSession, dir: String): String = {
     val key = graft.Tables.fixtureKey(s, dir, "embeddings",
-      s"ivfup_base|$BaseFrac|${Similarity.Cells}|${Similarity.TrainIters}|${Similarity.MeanScale}")
-    s"${sys.props("java.io.tmpdir")}/graft_ivf/up_base_$key"
-  }
-
-  private[graft] def deltaTarget(s: SparkSession, dir: String): String = {
-    val key = graft.Tables.fixtureKey(s, dir, "embeddings",
-      s"ivfup_delta|$BaseFrac|${Similarity.Cells}|${Similarity.TrainIters}|${Similarity.MeanScale}")
-    s"${sys.props("java.io.tmpdir")}/graft_ivf/up_delta_$key"
+      s"ivfup_lists|$BaseFrac|${Similarity.Cells}|${Similarity.TrainIters}|${Similarity.MeanScale}")
+    s"${sys.props("java.io.tmpdir")}/graft_ivf/up_lists_$key"
   }
 
   /** Centroids trained on the BASE corpus only, published once (the frozen
@@ -83,13 +83,47 @@ object IvfMaintenance {
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"))
   }
 
-  private def lists(s: SparkSession, dir: String, cut: Long,
-                    target: String, newRows: Boolean): DataFrame = {
-    if (!graft.etl.Warehouse.exists(s, target))
-      graft.etl.Warehouse.publishPartitioned(s, target,
-        assignSlice(s, dir, cut, newRows), "cent_id")
-    graft.etl.Warehouse.read(s, target).select(col("vec_id"), col("embedding"),
-      col("nrm"), col("cent_id").cast("long").as("cent_id"))
+  /** The current snapshot (publishing the initial {base, delta} pair on
+    * first call — one atomic commit covering both members). */
+  private[graft] def currentLists(s: SparkSession, dir: String,
+                                  cut: Long): Map[String, String] = {
+    val root = listsRoot(s, dir)
+    graft.etl.Warehouse.readSnapshot(s, root).getOrElse {
+      graft.etl.Warehouse.publishSnapshot(s, root, Seq(
+        "base" -> assignSlice(s, dir, cut, newRows = false),
+        "delta" -> assignSlice(s, dir, cut, newRows = true)),
+        Some("cent_id"))
+    }
+  }
+
+  /** Union of every member the RESOLVED snapshot lists (members joined in
+    * name order — deterministic; a file-level concatenation, no shuffle).
+    * After compaction the snapshot has no delta member and this is one
+    * table. */
+  private def listsOf(s: SparkSession, dir: String,
+                      snap: Map[String, String]): DataFrame = {
+    val root = listsRoot(s, dir)
+    snap.toSeq.sortBy(_._1)
+      .map { case (m, v) => graft.etl.Warehouse.readSnapshotMember(s, root, m, v) }
+      .reduce(_ unionByName _)
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("cent_id").cast("long").as("cent_id"))
+  }
+
+  /** COMPACTION — the rebuild-cycle half of maintenance: fold the delta
+    * into a fresh base version and retire the delta member, committed with
+    * ONE snapshot-pointer swap. Serving is uninterrupted and exact at every
+    * instant: a reader resolved either the old snapshot (base + delta) or
+    * the new one (merged base) — never a mix (CompactionSpec races it).
+    * Data is unchanged — same rows, one table, bigger files; the old
+    * versions stay readable until vacuum (the two-phase contract). Cost is
+    * one partitioned rewrite of the index body, paid off the serving path
+    * at whatever cadence the delta-to-base ratio makes worth it. */
+  def compact(s: SparkSession, dir: String): Map[String, String] = {
+    val cut = baseCut(s, dir)
+    val merged = listsOf(s, dir, currentLists(s, dir, cut))
+    graft.etl.Warehouse.publishSnapshot(s, listsRoot(s, dir),
+      Seq("base" -> merged), Some("cent_id"))
   }
 
   /** q_sim_ivf_upsert: the post-add serve — top-10 per sample query over
@@ -101,8 +135,9 @@ object IvfMaintenance {
   def upsertServe(s: SparkSession, dir: String): DataFrame = {
     val cut = baseCut(s, dir)
     val cs = cents(s, dir, cut)
-    val all = lists(s, dir, cut, baseTarget(s, dir), newRows = false)
-      .unionByName(lists(s, dir, cut, deltaTarget(s, dir), newRows = true))
+    // resolve the snapshot ONCE — every member read below comes from the
+    // same commit, so a concurrent compaction can never split this serve
+    val all = listsOf(s, dir, currentLists(s, dir, cut))
     val q = withNorm(s, dir).filter(col("vec_id") < NQueries)
     val probes = Similarity.rankAgainst(q, cs)
       .filter(col("crn") <= Similarity.NProbe)

@@ -50,12 +50,18 @@ class UpsertIvfSpec extends SparkSpec {
 
   test("frozen-index versions publish once; later serves read the pointers") {
     IvfMaintenance.upsertServe(spark, sf).count()
-    val targets = Seq(IvfMaintenance.centsTarget(spark, sf),
-      IvfMaintenance.baseTarget(spark, sf), IvfMaintenance.deltaTarget(spark, sf))
-    val vs = targets.map(t => graft.etl.Warehouse.currentVersion(spark, t))
-    assert(vs.forall(_.isDefined))
+    val cv = graft.etl.Warehouse.currentVersion(spark,
+      IvfMaintenance.centsTarget(spark, sf))
+    val snap = graft.etl.Warehouse.readSnapshot(spark,
+      IvfMaintenance.listsRoot(spark, sf))
+    assert(cv.isDefined && snap.isDefined)
+    assert(snap.get.keySet == Set("base", "delta"),
+      s"fresh index must snapshot both members, got ${snap.get.keySet}")
     IvfMaintenance.upsertServe(spark, sf).count()
-    assert(targets.map(t => graft.etl.Warehouse.currentVersion(spark, t)) == vs,
-      "a later serve republished a frozen index artifact")
+    assert(graft.etl.Warehouse.currentVersion(spark,
+      IvfMaintenance.centsTarget(spark, sf)) == cv)
+    assert(graft.etl.Warehouse.readSnapshot(spark,
+      IvfMaintenance.listsRoot(spark, sf)) == snap,
+      "a later serve republished the list snapshot")
   }
 }
