@@ -446,4 +446,26 @@ object Warehouse {
           && st.getPath.getName != cur)
         .foreach(st => f.delete(st.getPath, true))
     }
+
+  /** Vacuum a SNAPSHOT root: drop every member version the current
+    * snapshot does not reference — including ALL versions of retired
+    * members (a compacted-away delta's directory empties and goes). The
+    * phase-two of snapshot retirement; run once in-flight readers of the
+    * previous snapshot drain, exactly like single-target vacuum. */
+  def vacuumSnapshot(spark: SparkSession, root: String): Unit =
+    readSnapshot(spark, root).foreach { snap =>
+      val f = fs(spark, root)
+      f.listStatus(new Path(root)).toSeq
+        .filter(st => st.isDirectory)
+        .foreach { member =>
+          val name = member.getPath.getName
+          val keep = snap.get(name)
+          f.listStatus(member.getPath).toSeq
+            .filter(st => st.isDirectory && st.getPath.getName.startsWith("v_")
+              && !keep.contains(st.getPath.getName))
+            .foreach(st => f.delete(st.getPath, true))
+          if (f.listStatus(member.getPath).isEmpty)
+            f.delete(member.getPath, false)
+        }
+    }
 }

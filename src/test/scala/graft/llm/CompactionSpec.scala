@@ -51,6 +51,16 @@ class CompactionSpec extends SparkSpec {
     }.sum
     val n = graft.Tables.t(spark, sf, "embeddings").count()
     assert(oldRows == n, "old snapshot versions must stay readable until vacuum")
+
+    // phase two: vacuum drops every unreferenced version — including the
+    // retired delta member's whole directory — and the serve still works
+    graft.etl.Warehouse.vacuumSnapshot(spark, root)
+    assert(!new java.io.File(s"$root/delta").exists(),
+      "vacuum must remove the retired member's directory")
+    assert(!new java.io.File(s"$root/base/${snapBefore("base")}").exists(),
+      "vacuum must remove the superseded base version")
+    assert(IvfMaintenance.upsertServe(spark, sf).collect().toSeq == before,
+      "post-vacuum serve changed results")
     resetRoot()
   }
 
