@@ -141,6 +141,7 @@ object SparkEntry {
     // graph-index maintenance: HNSW-style insert — beam-search the frozen
     // base graph per arriving vector, link top-K (llm/GraphMaintenance)
     "q_sim_graph_insert"   -> (graft.llm.GraphMaintenance.insert _),
+    "q_sim_graph_upsert"   -> (graft.llm.GraphMaintenance.upsertSearch _),
     // NN-descent graph-index construction (llm/Similarity)
     "q_sim_nndescent"      -> (Similarity.nnDescent _),
     // oracle-visible recall audits for the new serve paths (the _bound
@@ -962,7 +963,18 @@ object SparkEntry {
     * rebuild ≡ read), the late batch is the query set, and the identical
     * beam rounds run to each new node's top-GraphK links. */
   private def graphInsertSql: String = {
-    import Similarity.{BeamWidth, SearchIters, NEntries, DescentIters, GraphK}
+    import Similarity.GraphK
+    s"""WITH $graphInsertCtes
+        SELECT q_id AS vec_id, rnk, n_id, cos FROM fin
+        WHERE rnk <= $GraphK ORDER BY vec_id, rnk"""
+  }
+
+  /** The insert twin's CTE body (icut/base ndCtes/graph/beam rounds/fin) —
+    * shared by q_sim_graph_insert and the freshness serve
+    * (q_sim_graph_upsert), which walks the base graph PLUS the inserted
+    * delta edges. */
+  private def graphInsertCtes: String = {
+    import Similarity.{BeamWidth, SearchIters, NEntries, DescentIters}
     def scoredOf(c: String) =
       s"""SELECT c.q_id, c.n_id,
              ${dDot("q.q_emb", "e.embedding")} / (q.q_nrm * e.nrm) AS cos
@@ -981,8 +993,8 @@ object SparkEntry {
                       ORDER BY cos DESC, n_id) AS rn FROM gsc$t)
                   WHERE rn <= $BeamWidth)"""
     }.mkString(",\n")
-    s"""WITH icut AS (SELECT CAST(floor(count(*) * ${graft.llm.IvfMaintenance.BaseFrac}) AS BIGINT) AS t
-                      FROM embeddings),
+    s"""icut AS (SELECT CAST(floor(count(*) * ${graft.llm.IvfMaintenance.BaseFrac}) AS BIGINT) AS t
+                 FROM embeddings),
         ${ndCtesFor("vec_id < (SELECT t FROM icut)")},
         graph AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
                     SELECT src, dst FROM d$DescentIters
@@ -999,9 +1011,55 @@ object SparkEntry {
         fin AS (SELECT q_id, n_id, cos,
                        CAST(row_number() OVER (PARTITION BY q_id
                          ORDER BY cos DESC, n_id) AS BIGINT) AS rnk
-                FROM f$SearchIters)
-        SELECT q_id AS vec_id, rnk, n_id, cos FROM fin
-        WHERE rnk <= $GraphK ORDER BY vec_id, rnk"""
+                FROM f$SearchIters)"""
+  }
+
+  /** Twin of GraphMaintenance.upsertSearch — the graph freshness serve:
+    * the 8-query beam walks base graph + base long links + the inserted
+    * delta edges (both directions), scoring against the FULL corpus;
+    * `is_new` flags late nodes in the served top-10s. */
+  private def graphUpsertSql: String = {
+    import Similarity.{BeamWidth, SearchIters, GraphK}
+    def scoredOf(c: String) =
+      s"""SELECT c.q_id, c.n_id,
+             ${dDot("q.q_emb", "e.embedding")} / (q.q_nrm * e.nrm) AS cos
+          FROM $c c JOIN fe e ON e.vec_id = c.n_id
+          JOIN uq q ON q.q_id = c.q_id"""
+    val rounds = (1 to SearchIters).map { t =>
+      val prev = s"uf${t - 1}"
+      s"""ugx$t AS (SELECT f.q_id, g.dst AS n_id
+                  FROM $prev f JOIN ugraph g ON f.n_id = g.src),
+          ugcd$t AS (SELECT DISTINCT q_id, n_id FROM (
+                    SELECT q_id, n_id FROM $prev
+                    UNION ALL SELECT q_id, n_id FROM ugx$t)
+                  WHERE n_id <> q_id),
+          ugsc$t AS (${scoredOf(s"ugcd$t")}),
+          uf$t AS (SELECT q_id, n_id, cos FROM (
+                    SELECT *, row_number() OVER (PARTITION BY q_id
+                      ORDER BY cos DESC, n_id) AS rn FROM ugsc$t)
+                  WHERE rn <= $BeamWidth)"""
+    }.mkString(",\n")
+    s"""WITH $graphInsertCtes,
+        ins AS (SELECT q_id AS src, n_id AS dst FROM fin WHERE rnk <= $GraphK),
+        ugraph AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+                    SELECT src, dst FROM graph
+                    UNION ALL SELECT src, dst FROM ins
+                    UNION ALL SELECT dst, src FROM ins)),
+        fe AS (SELECT vec_id, embedding, ${dNorm("embedding")} AS nrm
+               FROM embeddings),
+        uq AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
+               FROM fe WHERE vec_id < 8),
+        ue0 AS (SELECT q.q_id, v.n_id FROM uq q, gent v
+                WHERE v.n_id <> q.q_id),
+        uf0 AS (${scoredOf("ue0")}),
+        $rounds,
+        ufin AS (SELECT q_id, n_id, cos,
+                        CAST(row_number() OVER (PARTITION BY q_id
+                          ORDER BY cos DESC, n_id) AS BIGINT) AS "rank"
+                 FROM uf$SearchIters)
+        SELECT q_id, n_id, cos, "rank",
+               CAST(CASE WHEN n_id >= icut.t THEN 1 ELSE 0 END AS BIGINT) AS is_new
+        FROM ufin, icut WHERE "rank" <= 10 ORDER BY q_id, "rank""""
   }
 
   private def lexList(l: String): String =
@@ -2488,6 +2546,7 @@ object SparkEntry {
     // ties to the lower neighbor id — the trainCentroids unroll discipline)
     "q_sim_graph_search" -> graphSearchSql,
     "q_sim_graph_insert" -> graphInsertSql,
+    "q_sim_graph_upsert" -> graphUpsertSql,
     // NN-descent: deterministic long-link init, then DescentIters unrolled
     // rounds of (edges ∪ reversed ∪ two-hop) → exact score → keep-GraphK
     "q_sim_nndescent" -> {

@@ -65,6 +65,60 @@ object GraphMaintenance {
     graft.etl.Warehouse.read(s, target).select("src", "dst", "cos", "rnk")
   }
 
+  /** Published DELTA-adjacency location (the inserted nodes' links —
+    * deterministic insert, so publish-once through the pointer commit). */
+  private[graft] def insTarget(s: SparkSession, dir: String): String = {
+    val key = graft.Tables.fixtureKey(s, dir, "embeddings",
+      s"nndins|${IvfMaintenance.BaseFrac}|${Similarity.DescentIters}|${Similarity.DescentK}|" +
+        s"${Similarity.GraphK}|${Similarity.BeamWidth}|${Similarity.SearchIters}")
+    s"${sys.props("java.io.tmpdir")}/graft_ivf/nndins_$key"
+  }
+
+  private def publishedInserted(s: SparkSession, dir: String): DataFrame = {
+    val target = insTarget(s, dir)
+    if (!graft.etl.Warehouse.exists(s, target))
+      graft.etl.Warehouse.publish(s, target, insert(s, dir))
+    graft.etl.Warehouse.read(s, target).select("vec_id", "rnk", "n_id", "cos")
+  }
+
+  /** q_sim_graph_upsert: the FRESHNESS serve — the standard 8-query beam
+    * search over base graph + base long links + the inserted delta edges
+    * (both directions: a base node's back-link is what makes a late node
+    * REACHABLE, the HNSW bidirectional-link effect), scoring against the
+    * FULL corpus. `is_new` flags late nodes in served top-10s: the proof
+    * the graph add is live with no rebuild — the graph family's twin of
+    * q_sim_ivf_upsert's flag. */
+  def upsertSearch(s: SparkSession, dir: String): DataFrame = {
+    val cut = cutOf(s, dir)
+    val e = withNorm(s, dir)
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val base = e.filter(col("vec_id") < cut)
+    val longLinks = base.select(col("vec_id").as("src"))
+      .select(col("src"), explode(array(
+        Similarity.LongLinkA.zip(Similarity.LongLinkB).map { case (a, b) =>
+          (col("src") * lit(a) + lit(b)) % lit(TextHash.P) % lit(cut)
+        }: _*)).as("dst"))
+      .filter(col("dst") =!= col("src"))
+    val delta = publishedInserted(s, dir)
+      .select(col("vec_id").as("src"), col("n_id").as("dst"))
+    val graph = publishedBaseGraph(s, dir).select("src", "dst")
+      .unionByName(longLinks)
+      .unionByName(longLinks.select(col("dst").as("src"), col("src").as("dst")))
+      .unionByName(delta)
+      .unionByName(delta.select(col("dst").as("src"), col("src").as("dst")))
+    val entries = publishedBaseGraph(s, dir)
+      .groupBy("dst").agg(count(lit(1)).as("deg"))
+      .orderBy(col("deg").desc, col("dst"))
+      .limit(Similarity.NEntries)
+      .select(col("dst").as("n_id"))
+    Similarity.beamServe(e, q, graph, entries)
+      .withColumn("is_new", when(col("n_id") >= cut, 1L).otherwise(0L))
+      .select("q_id", "n_id", "cos", "rank", "is_new")
+      .orderBy("q_id", "rank")
+  }
+
   /** q_sim_graph_insert: the late batch's new adjacency — for every
     * arriving vector, `SearchIters` beam rounds over the frozen base graph
     * (+ its long-link layer), then the top-`GraphK` scored candidates

@@ -913,13 +913,6 @@ object Similarity {
   def graphSearchTopK(s: SparkSession, dir: String): DataFrame = {
     val e = withNorm(s, dir)
     val q = queries(e)
-    def score(cand: DataFrame): DataFrame =
-      cand.join(e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
-          col("nrm").as("n_nrm")), "n_id")
-        .join(broadcast(q), "q_id")
-        .withColumn("cos", expr(dotFor(s)("q_emb", "n_emb")) /
-          (col("q_nrm") * col("n_nrm")))
-        .select("q_id", "n_id", "cos")
     // search graph = published refined layer (local quality, degree
     // DescentK) + symmetrized long-link layer (global navigability; see
     // LongLinkA). Long links key on the dense fixture ids; a production
@@ -937,7 +930,27 @@ object Similarity {
       .select("src", "dst")
       .unionByName(longLinks)
       .unionByName(longLinks.select(col("dst").as("src"), col("src").as("dst")))
-    val entries = q.select(col("q_id")).crossJoin(broadcast(entryNodes(s, dir)))
+    beamServe(e, q, graph, entryNodes(s, dir))
+  }
+
+  /** The QUERY-SAMPLE beam serve over an arbitrary (corpus, queries,
+    * graph, entries) — shared by the standing full-corpus serve above and
+    * the freshness serve after a graph insert (GraphMaintenance
+    * .upsertSearch, whose graph unions the inserted delta edges). Uses the
+    * collect-and-prune frontier expansion, so it is for METADATA-SIZED
+    * query sets (the 8-query sample contract); batch-cardinality walks use
+    * GraphMaintenance.insert's plain-join expansion instead. */
+  private[llm] def beamServe(e: DataFrame, q: DataFrame, graph: DataFrame,
+                             entryNds: DataFrame): DataFrame = {
+    val s = e.sparkSession
+    def score(cand: DataFrame): DataFrame =
+      cand.join(e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+          col("nrm").as("n_nrm")), "n_id")
+        .join(broadcast(q), "q_id")
+        .withColumn("cos", expr(dotFor(s)("q_emb", "n_emb")) /
+          (col("q_nrm") * col("n_nrm")))
+        .select("q_id", "n_id", "cos")
+    val entries = q.select(col("q_id")).crossJoin(broadcast(entryNds))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
     // per-round localCheckpoint is LOAD-BEARING, not just plan hygiene:
     // each round references the previous frontier THREE times (expansion,
@@ -946,7 +959,8 @@ object Similarity {
     // sf0.1: checkpointed rounds 2.7-3.7 s; single-DAG variant 4.6-10 s
     // and climbing with variance. (The frontier is Q·BeamWidth metadata
     // rows — checkpoint cost is a no-op at any corpus size.)
-    var frontier = score(entries).filter(col("n_id") =!= col("q_id"))
+    var frontier = score(entries)
+      .filter(col("n_id") =!= col("q_id"))
       .localCheckpoint()
     for (_ <- 1 to SearchIters) {
       val expanded = expandFrontier(graph, frontier)

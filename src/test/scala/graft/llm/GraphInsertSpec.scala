@@ -61,6 +61,23 @@ class GraphInsertSpec extends SparkSpec {
       "a later insert rebuilt the frozen base graph")
   }
 
+  test("freshness serve: late nodes are reachable and served, no rebuild") {
+    val rows = GraphMaintenance.upsertSearch(spark, sf).collect()
+    assert(rows.length == 8 * 10)
+    rows.foreach { r =>
+      assert(r.getLong(4) == (if (r.getLong(1) >= cut) 1L else 0L))
+    }
+    val newServed = rows.map(_.getLong(4)).sum
+    assert(newServed > 0L,
+      "no late node reached any top-10 — the delta edges are not live")
+    // publish-once for the delta adjacency
+    val t = GraphMaintenance.insTarget(spark, sf)
+    val v = graft.etl.Warehouse.currentVersion(spark, t)
+    assert(v.isDefined)
+    GraphMaintenance.upsertSearch(spark, sf).count()
+    assert(graft.etl.Warehouse.currentVersion(spark, t) == v)
+  }
+
   test("the final plan is constant-size: every round rode a checkpoint") {
     // the per-round localCheckpoint discipline (graphSearchTopK A/B) means
     // the RETURNED plan contains no embeddings scan and no round lineage —
