@@ -120,6 +120,9 @@ object SparkEntry {
     // index maintenance: O(batch) incremental add against frozen centroids,
     // served from base ∪ delta lists with no rebuild (llm/IvfMaintenance)
     "q_sim_ivf_upsert"     -> (graft.llm.IvfMaintenance.upsertServe _),
+    // staleness monitor: frozen-centroid fit per base/late segment — the
+    // retrain trigger an index deployment watches (llm/IvfMaintenance)
+    "q_index_drift"        -> (graft.llm.IvfMaintenance.drift _),
     // product quantization: trained 4-bit codebooks + ADC lookup scoring —
     // the 64x-compressed serve path of the ANN family (llm/Pq)
     "q_sim_pq_codes"       -> (graft.llm.Pq.codes _),
@@ -720,7 +723,27 @@ object SparkEntry {
     * against them, and the serve ranks over the union. Assignment is
     * per-vector independent, so the union-of-slices Spark build and this
     * all-at-once replay are exactly equal. */
-  private def ivfUpsertSql: String = {
+  private def ivfUpsertSql: String =
+    s"""WITH $ivfUpCtes,
+        uprob AS (SELECT vec_id AS q_id, cent_id FROM urc
+                  WHERE crn <= ${Similarity.NProbe} AND vec_id < 8),
+        uq AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
+               FROM uf WHERE vec_id < 8),
+        ucand AS (SELECT p.q_id, a.vec_id AS n_id,
+                         ${dDot("q.q_emb", "a.embedding")} / (q.q_nrm * a.nrm) AS cos
+                  FROM uprob p
+                  JOIN uasg a ON p.cent_id = a.cent_id AND a.vec_id <> p.q_id
+                  JOIN uq q ON q.q_id = p.q_id),
+        urk AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+                  ORDER BY cos DESC, n_id) AS BIGINT) AS "rank" FROM ucand)
+        SELECT q_id, n_id, cos, "rank",
+               CAST(CASE WHEN n_id >= ut.t THEN 1 ELSE 0 END AS BIGINT) AS is_new
+        FROM urk, ut WHERE "rank" <= 10 ORDER BY q_id, "rank""""
+
+  /** Shared base-trained-IVF CTE block of the maintenance twins: ut (the
+    * split scalar), base-only Lloyd (ue/ucN), ucent, uf (full corpus),
+    * urc (full ranking vs frozen centroids, c_cos carried), uasg. */
+  private def ivfUpCtes: String = {
     val S = Similarity.MeanScale
     val T = Similarity.TrainIters
     def cosTo(c: String) =
@@ -742,8 +765,8 @@ object SparkEntry {
           uc$i AS (SELECT p.cent_id, COALESCE(u.cemb, p.cemb) AS cemb
                    FROM $prev p LEFT JOIN uu$i u USING (cent_id))"""
     }.mkString(",\n")
-    s"""WITH ut AS (SELECT CAST(floor(count(*) * ${graft.llm.IvfMaintenance.BaseFrac}) AS BIGINT) AS t
-                    FROM embeddings),
+    s"""ut AS (SELECT CAST(floor(count(*) * ${graft.llm.IvfMaintenance.BaseFrac}) AS BIGINT) AS t
+               FROM embeddings),
         ue AS (SELECT vec_id, embedding, ${dNorm("embedding")} AS nrm
                FROM embeddings, ut WHERE vec_id < ut.t),
         uc0 AS (SELECT vec_id AS cent_id,
@@ -753,25 +776,12 @@ object SparkEntry {
         ucent AS (SELECT cent_id, cemb, sqrt(${dDot("cemb", "cemb")}) AS c_nrm FROM uc$T),
         uf AS (SELECT vec_id, embedding, ${dNorm("embedding")} AS nrm FROM embeddings),
         urc AS (SELECT f.vec_id, f.embedding, f.nrm, ucent.cent_id,
+                       ${dDot("f.embedding", "ucent.cemb")} / (f.nrm * ucent.c_nrm) AS c_cos,
                        row_number() OVER (PARTITION BY f.vec_id
                          ORDER BY ${dDot("f.embedding", "ucent.cemb")} / (f.nrm * ucent.c_nrm) DESC,
                                   ucent.cent_id) AS crn
                 FROM uf f, ucent),
-        uasg AS (SELECT vec_id, embedding, nrm, cent_id FROM urc WHERE crn = 1),
-        uprob AS (SELECT vec_id AS q_id, cent_id FROM urc
-                  WHERE crn <= ${Similarity.NProbe} AND vec_id < 8),
-        uq AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
-               FROM uf WHERE vec_id < 8),
-        ucand AS (SELECT p.q_id, a.vec_id AS n_id,
-                         ${dDot("q.q_emb", "a.embedding")} / (q.q_nrm * a.nrm) AS cos
-                  FROM uprob p
-                  JOIN uasg a ON p.cent_id = a.cent_id AND a.vec_id <> p.q_id
-                  JOIN uq q ON q.q_id = p.q_id),
-        urk AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
-                  ORDER BY cos DESC, n_id) AS BIGINT) AS "rank" FROM ucand)
-        SELECT q_id, n_id, cos, "rank",
-               CAST(CASE WHEN n_id >= ut.t THEN 1 ELSE 0 END AS BIGINT) AS is_new
-        FROM urk, ut WHERE "rank" <= 10 ORDER BY q_id, "rank""""
+        uasg AS (SELECT vec_id, embedding, nrm, cent_id FROM urc WHERE crn = 1)"""
   }
 
   /** Twin of IvfPq.rerankTopK — shared by q_sim_ivfpq_rerank and the
@@ -1829,6 +1839,17 @@ object SparkEntry {
           SELECT q_id, n_id, cos, "rank" FROM r WHERE "rank" <= 10 ORDER BY q_id, "rank"""",
     "q_sim_ivf_trained" -> ivfTrainedSql,
     "q_sim_ivf_upsert" -> ivfUpsertSql,
+    "q_index_drift" ->
+      s"""WITH $ivfUpCtes,
+          ub AS (SELECT vec_id, c_cos FROM urc WHERE crn = 1),
+          useg AS (SELECT CASE WHEN ub.vec_id >= ut.t THEN 'late' ELSE 'base' END AS segment,
+                          c_cos
+                   FROM ub, ut)
+          SELECT segment, count(*) AS n,
+                 CAST(CAST(SUM(CAST(floor(c_cos * ${Similarity.MeanScale}) AS BIGINT)) AS VARCHAR) AS DOUBLE)
+                   / (CAST(count(*) AS DOUBLE) * ${Similarity.MeanScale}) AS mean_cos,
+                 min(c_cos) AS min_cos
+          FROM useg GROUP BY 1 ORDER BY 1""",
     "q_sim_pq_codes" ->
       s"""WITH $pqCtes
           SELECT vec_id, array_to_string(list(code ORDER BY m), ',') AS codes

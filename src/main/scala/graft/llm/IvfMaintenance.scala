@@ -158,6 +158,33 @@ object IvfMaintenance {
       .orderBy("q_id", "rank")
   }
 
+  /** q_index_drift: the STALENESS MONITOR every frozen index needs — how
+    * well do the frozen centroids still fit the data, segmented into the
+    * corpus they trained on vs everything that arrived after? Per segment:
+    * count, MEAN best-centroid cosine (floor-quantized at 2^-48 so the
+    * cross-row sum is order-free integer math — explicit floor, because
+    * cosines go negative and a raw long cast truncates toward zero), and
+    * the exact MIN. A widening base→late gap is the retrain trigger; the
+    * audit is one assignment-shaped scan + a 2-row aggregate, so a
+    * deployment runs it per batch at scan cost. */
+  def drift(s: SparkSession, dir: String): DataFrame = {
+    val cut = baseCut(s, dir)
+    val cs = cents(s, dir, cut)
+    val S = Similarity.MeanScale
+    Similarity.rankAgainst(withNorm(s, dir), cs)
+      .filter(col("crn") === 1)
+      .withColumn("segment",
+        when(col("vec_id") >= cut, lit("late")).otherwise(lit("base")))
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n"),
+        (sum(floor(col("c_cos") * S)
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .cast("string").cast("double") /
+          (count(lit(1)).cast("double") * lit(S.toDouble))).as("mean_cos"),
+        min(col("c_cos")).as("min_cos"))
+      .orderBy("segment")
+  }
+
   /** The from-scratch control for UpsertIvfSpec: one assignment pass over
     * the FULL corpus against the same frozen centroids, served identically
     * — what a rebuild-per-batch would cost to reproduce what the O(batch)

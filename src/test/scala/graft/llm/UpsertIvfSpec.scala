@@ -48,6 +48,21 @@ class UpsertIvfSpec extends SparkSpec {
       s"expected cell pruning on base AND delta list scans, got $pruned:\n$plan")
   }
 
+  test("drift monitor: exact segment counts, and the base fits its own index better") {
+    val cut = IvfMaintenance.baseCut(spark, sf)
+    val n = graft.Tables.t(spark, sf, "embeddings").count()
+    val rows = IvfMaintenance.drift(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(rows.keySet == Set("base", "late"))
+    assert(rows("base")._1 == cut && rows("late")._1 == n - cut)
+    // the centroids trained on the base — their fit to the late batch can
+    // only trail it (measured 0.34 vs 0.22 at sf0.001); a late segment that
+    // FIT BETTER would mean the monitor's segments are swapped
+    assert(rows("base")._2 >= rows("late")._2,
+      s"drift direction inverted: $rows")
+    rows.values.foreach { case (_, mean, mn) => assert(mn <= mean) }
+  }
+
   test("frozen-index versions publish once; later serves read the pointers") {
     IvfMaintenance.upsertServe(spark, sf).count()
     val cv = graft.etl.Warehouse.currentVersion(spark,
