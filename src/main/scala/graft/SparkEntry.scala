@@ -135,6 +135,7 @@ object SparkEntry {
     "q_sim_ivfpq_rerank"   -> (graft.llm.IvfPq.rerankTopK _),
     "q_sim_ivfpq_recall"   -> (graft.llm.IvfPq.recallAudit _),
     "q_sim_ivfpq_sweep"    -> (graft.llm.IvfPq.sweep _),
+    "q_sim_ivfpq_upsert"   -> (graft.llm.IvfPq.upsertAdcTopK _),
     // binary quantization: centered sign-bit signatures (8 bytes/vector,
     // 32x) + Hamming shortlist, exact re-rank of the shortlist (llm/Binary)
     "q_sim_binary_codes"   -> (graft.llm.Binary.codes _),
@@ -782,6 +783,76 @@ object SparkEntry {
                                   ucent.cent_id) AS crn
                 FROM uf f, ucent),
         uasg AS (SELECT vec_id, embedding, nrm, cent_id FROM urc WHERE crn = 1)"""
+  }
+
+  /** Twin of IvfPq.upsertAdcTopK — the COMPOSITE's maintenance serve:
+    * coarse centroids train on the base slice (ivfUpCtes), residual books
+    * train on the BASE residuals only (the ww/wa/ws/wu/wc Lloyd carries a
+    * training-row filter), every vector encodes against the frozen books,
+    * and the IVFADC serve ranks base ∪ late codes with the is_new flag. */
+  private def ivfPqUpsertSql: String = {
+    import graft.llm.IvfPq.{M, SubDim => D, K, Iters, NQueries}
+    val S = Similarity.MeanScale
+    def resid(x: String, c: String) =
+      s"(CAST(CAST($x AS DOUBLE) * $S AS BIGINT) - " +
+        s"CAST(floor($c * $S) AS BIGINT)) / CAST($S AS DOUBLE)"
+    val iters = (1 to Iters).map { i =>
+      val prev = s"wc${i - 1}"
+      s"""ww$i AS (SELECT s.vec_id, s.m, s.sv, c.code,
+                 row_number() OVER (PARTITION BY s.vec_id, s.m
+                   ORDER BY ${dDist2("s.sv", "c.csv")}, c.code) AS rn
+          FROM wsv s JOIN $prev c ON c.m = s.m
+          WHERE s.vec_id < (SELECT t FROM ut)),
+          wa$i AS (SELECT vec_id, m, sv, code FROM ww$i WHERE rn = 1),
+          ws$i AS (SELECT m, code, d, SUM(CAST(sv[d] * $S AS BIGINT)) AS sm,
+                          COUNT(*) AS n
+                   FROM wa$i, generate_series(1, $D) AS g(d) GROUP BY 1, 2, 3),
+          wu$i AS (SELECT m, code, list(CAST(CAST(sm AS VARCHAR) AS DOUBLE)
+                          / (CAST(n AS DOUBLE) * $S) ORDER BY d) AS csv
+                   FROM ws$i GROUP BY 1, 2),
+          wc$i AS (SELECT p.m, p.code, COALESCE(u.csv, p.csv) AS csv
+                   FROM $prev p LEFT JOIN wu$i u USING (m, code))"""
+    }.mkString(",\n")
+    s"""WITH $ivfUpCtes,
+        wres AS (SELECT a.vec_id, a.cent_id,
+                   [${resid("a.embedding[d]", "c.cemb[d]")}
+                    for d in generate_series(1, len(a.embedding))] AS r
+                 FROM uasg a JOIN ucent c USING (cent_id)),
+        wsv AS (SELECT vec_id, cent_id, m,
+                  [r[m * $D + j] for j in generate_series(1, $D)] AS sv
+                FROM wres, generate_series(0, ${M - 1}) AS gm(m)),
+        wc0 AS (SELECT m, vec_id AS code, sv AS csv FROM wsv WHERE vec_id < $K),
+        $iters,
+        wcf AS (SELECT m, code, csv FROM wc$Iters),
+        wcd AS (SELECT vec_id, cent_id, m, code FROM (
+                  SELECT s.vec_id, s.cent_id, s.m, c.code,
+                         row_number() OVER (PARTITION BY s.vec_id, s.m
+                           ORDER BY ${dDist2("s.sv", "c.csv")}, c.code) AS rn
+                  FROM wsv s JOIN wcf c ON c.m = s.m) WHERE rn = 1),
+        wprob AS (SELECT vec_id AS q_id, cent_id FROM urc
+                  WHERE crn <= ${Similarity.NProbe} AND vec_id < $NQueries),
+        wqr AS (SELECT p.q_id, p.cent_id, m,
+                  [${resid(s"q.embedding[m * $D + j]", s"c.cemb[m * $D + j]")}
+                   for j in generate_series(1, $D)] AS qsv
+                FROM wprob p
+                JOIN ucent c USING (cent_id)
+                JOIN embeddings q ON q.vec_id = p.q_id,
+                generate_series(0, ${M - 1}) AS gm(m)),
+        wlut AS (SELECT r.q_id, r.cent_id, b.m, b.code,
+                        ${dDist2("r.qsv", "b.csv")} AS pd
+                 FROM wqr r JOIN wcf b ON b.m = r.m),
+        west AS (SELECT l.q_id, cd.vec_id AS n_id,
+                        list_sum(list(l.pd ORDER BY l.m)) AS est_d2
+                 FROM wcd cd
+                 JOIN wlut l ON l.cent_id = cd.cent_id AND l.m = cd.m
+                            AND l.code = cd.code
+                 WHERE l.q_id <> cd.vec_id
+                 GROUP BY 1, 2),
+        wrk AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+                  ORDER BY est_d2, n_id) AS BIGINT) AS "rank" FROM west)
+        SELECT q_id, n_id, est_d2, "rank",
+               CAST(CASE WHEN n_id >= ut.t THEN 1 ELSE 0 END AS BIGINT) AS is_new
+        FROM wrk, ut WHERE "rank" <= 10 ORDER BY q_id, "rank""""
   }
 
   /** Twin of IvfPq.rerankTopK — shared by q_sim_ivfpq_rerank and the
@@ -1900,6 +1971,7 @@ object SparkEntry {
           SELECT q_id, n_id, est_d2, "rank" FROM vrk
           WHERE "rank" <= 10 ORDER BY q_id, "rank"""",
     "q_sim_ivfpq_rerank" -> ivfPqRerankSql,
+    "q_sim_ivfpq_upsert" -> ivfPqUpsertSql,
     "q_sim_ivfpq_sweep" -> {
       val npVals = Similarity.SweepProbes
         .map(p => s"(CAST($p AS BIGINT))").mkString(", ")

@@ -61,8 +61,10 @@ object IvfMaintenance {
   }
 
   /** Centroids trained on the BASE corpus only, published once (the frozen
-    * index version late batches are measured against). */
-  private def cents(s: SparkSession, dir: String, cut: Long): DataFrame = {
+    * index version late batches are measured against). `private[llm]`:
+    * the composite's maintenance path (IvfPq.upsertAdcTopK) freezes the
+    * SAME coarse stage. */
+  private[llm] def cents(s: SparkSession, dir: String, cut: Long): DataFrame = {
     val target = centsTarget(s, dir)
     if (!graft.etl.Warehouse.exists(s, target))
       graft.etl.Warehouse.publish(s, target,
@@ -94,6 +96,13 @@ object IvfMaintenance {
         "delta" -> assignSlice(s, dir, cut, newRows = true)),
         Some("cent_id"))
     }
+  }
+
+  /** Every vector with its frozen-centroid cell id — the current snapshot's
+    * full membership (the composite's residual stage reads this too). */
+  private[llm] def allLists(s: SparkSession, dir: String): DataFrame = {
+    val cut = baseCut(s, dir)
+    listsOf(s, dir, currentLists(s, dir, cut))
   }
 
   /** Union of every member the RESOLVED snapshot lists (members joined in

@@ -253,6 +253,116 @@ object IvfPq {
       .orderBy("nprobe")
   }
 
+  // ———— composite maintenance: freeze coarse AND books, encode-add ————
+
+  /** Published location of the maintenance books (trained on BASE
+    * residuals only — frozen before the late batch arrives). */
+  private[graft] def upBooksTarget(s: SparkSession, dir: String): String = {
+    val key = graft.Tables.fixtureKey(s, dir, "embeddings",
+      s"ivfpqup_books|${IvfMaintenance.BaseFrac}|${Similarity.Cells}|${Similarity.TrainIters}|$M|$SubDim|$K|$Iters|$S")
+    s"${sys.props("java.io.tmpdir")}/graft_ivf/ivfpqup_books_$key"
+  }
+
+  private[graft] def upCodesTarget(s: SparkSession, dir: String): String = {
+    val key = graft.Tables.fixtureKey(s, dir, "embeddings",
+      s"ivfpqup_codes|${IvfMaintenance.BaseFrac}|${Similarity.Cells}|${Similarity.TrainIters}|$M|$SubDim|$K|$Iters|$S")
+    s"${sys.props("java.io.tmpdir")}/graft_ivf/ivfpqup_codes_$key"
+  }
+
+  /** Residual subvectors of EVERY vector against the FROZEN base-trained
+    * coarse stage: the snapshot's full membership (cell ids from the
+    * IvfMaintenance lists — base assignment and the O(batch) adds alike)
+    * joined to the broadcast frozen centroids, grid-snap residuals, M-way
+    * split. One map pass. */
+  private def upResidualSubvecs(s: SparkSession, dir: String): DataFrame = {
+    val cut = IvfMaintenance.baseCut(s, dir)
+    IvfMaintenance.allLists(s, dir)
+      .join(broadcast(IvfMaintenance.cents(s, dir, cut)
+        .select(col("cent_id"), col("c_emb"))), "cent_id")
+      .withColumn("r", expr(
+        s"zip_with(embedding, c_emb, (x, c) -> ${residSql("x", "c")})"))
+      .select(col("vec_id"), col("cent_id"), explode(expr(
+        s"transform(sequence(0, ${M - 1}), m -> struct(m AS m, " +
+          s"slice(r, m * $SubDim + 1, $SubDim) AS sv))")).as("t"))
+      .select(col("vec_id"), col("cent_id"),
+        col("t.m").as("m"), col("t.sv").as("sv"))
+  }
+
+  /** Books trained on the BASE slice's residuals only (Pq.lloydBooks over
+    * the filtered frame — the freeze), published once. */
+  private def upBooks(s: SparkSession, dir: String): DataFrame = {
+    val target = upBooksTarget(s, dir)
+    if (!graft.etl.Warehouse.exists(s, target)) {
+      val cut = IvfMaintenance.baseCut(s, dir)
+      graft.etl.Warehouse.publish(s, target, Pq.lloydBooks(
+        upResidualSubvecs(s, dir).filter(col("vec_id") < cut)
+          .select("vec_id", "m", "sv")))
+    }
+    graft.etl.Warehouse.read(s, target).select("m", "code", "csv")
+  }
+
+  /** Per-cell code lists for EVERY vector — the late batch's codes are one
+    * assignment map pass against the FROZEN books (the encode-add: no
+    * retrain anywhere; at a deployment this is the delta member of the
+    * list snapshot, exactly the IvfMaintenance discipline). */
+  private[graft] def upPublishedCodes(s: SparkSession, dir: String): DataFrame = {
+    val target = upCodesTarget(s, dir)
+    if (!graft.etl.Warehouse.exists(s, target)) {
+      val cd = Pq.assign(upResidualSubvecs(s, dir), upBooks(s, dir))
+        .select("vec_id", "m", "code", "cent_id")
+      graft.etl.Warehouse.publishPartitioned(s, target, cd, "cent_id")
+    }
+    graft.etl.Warehouse.read(s, target).select(col("vec_id"), col("m"),
+      col("code"), col("cent_id").cast("long").as("cent_id"))
+  }
+
+  /** q_sim_ivfpq_upsert: the COMPOSITE's post-add serve — IVFADC top-10
+    * over base ∪ late codes where BOTH stages froze before the late
+    * quarter arrived (coarse centroids on the base corpus, residual books
+    * on the base residuals); `is_new` flags late vectors served from codes
+    * no training ever saw. The composite's add is two map passes per batch
+    * (assign cell, encode residual) — the full maintenance symmetry with
+    * q_sim_ivf_upsert at the composite's 8-bytes-per-vector scan cost. */
+  def upsertAdcTopK(s: SparkSession, dir: String): DataFrame = {
+    val dd = Clustering.dist2For(s) _
+    val cut = IvfMaintenance.baseCut(s, dir)
+    val cs = IvfMaintenance.cents(s, dir, cut).select("cent_id", "c_emb")
+    val e = t(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id"), col("embedding"),
+        expr(Similarity.normFor(s)("embedding")).as("nrm"))
+    val probes = Similarity.rankAgainst(q, cs)
+      .filter(col("crn") <= Similarity.NProbe)
+      .select(col("vec_id").as("q_id"), col("cent_id"))
+    val qres = probes
+      .join(broadcast(q.select(col("vec_id").as("q_id"), col("embedding"))), "q_id")
+      .join(broadcast(cs), "cent_id")
+      .withColumn("qr", expr(
+        s"zip_with(embedding, c_emb, (x, c) -> ${residSql("x", "c")})"))
+      .select(col("q_id"), col("cent_id"), explode(expr(
+        s"transform(sequence(0, ${M - 1}), m -> struct(m AS m, " +
+          s"slice(qr, m * $SubDim + 1, $SubDim) AS qsv))")).as("t"))
+      .select(col("q_id"), col("cent_id"),
+        col("t.m").as("m"), col("t.qsv").as("qsv"))
+    val lut = qres.join(broadcast(upBooks(s, dir)), "m")
+      .select(col("q_id"), col("cent_id"), col("m"), col("code"),
+        expr(dd("qsv", "csv")).as("pd"))
+    val cellIds = probes.select("cent_id").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val est = upPublishedCodes(s, dir)
+      .filter(col("cent_id").isInCollection(cellIds))
+      .join(broadcast(lut), Seq("cent_id", "m", "code"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .groupBy(col("q_id"), col("vec_id").as("n_id"))
+      .agg(expr("aggregate(transform(array_sort(collect_list(struct(m, pd))), " +
+        "p -> p.pd), 0D, (acc, x) -> acc + x)").as("est_d2"))
+    Ranking.topKPerGroup(est, "q_id", "est_d2", "n_id", 10, asc = true,
+        "est_d2", "n_id")
+      .withColumn("is_new", when(col("n_id") >= cut, 1L).otherwise(0L))
+      .select("q_id", "n_id", "est_d2", "rank", "is_new")
+      .orderBy("q_id", "rank")
+  }
+
   /** Exact euclidean brute-force top-10 — the ground-truth side of the
     * recall audit (the PQ family measures in L2, so its audit anchors to
     * the L2 exact set, not the cosine one q_sim_recall uses). Broadcast

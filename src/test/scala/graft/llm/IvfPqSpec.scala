@@ -129,6 +129,27 @@ class IvfPqSpec extends SparkSpec {
       s"sweep max point ${curve(Similarity.NProbe.toLong)._1} != audit $auditHits")
   }
 
+  test("composite maintenance: frozen-stage encode-add serves late vectors") {
+    val cut = IvfMaintenance.baseCut(spark, sf)
+    val rows = IvfPq.upsertAdcTopK(spark, sf).collect()
+    assert(rows.length == IvfPq.NQueries * 10)
+    rows.foreach { r =>
+      assert(r.getLong(4) == (if (r.getLong(1) >= cut) 1L else 0L))
+    }
+    assert(rows.map(_.getLong(4)).sum > 0L,
+      "no late vector served from the frozen-book codes")
+    // ADC quality with books that never saw the late quarter still clears
+    // the raw-ADC floor (full-trained ADC measures ~0.34 here)
+    val rec = recall(topSets(IvfPq.upsertAdcTopK(spark, sf)))
+    assert(rec >= 0.2, s"frozen-book ADC recall $rec under floor")
+    // both maintenance artifacts publish once
+    val ts = Seq(IvfPq.upBooksTarget(spark, sf), IvfPq.upCodesTarget(spark, sf))
+    val vs = ts.map(t => graft.etl.Warehouse.currentVersion(spark, t))
+    assert(vs.forall(_.isDefined))
+    IvfPq.upsertAdcTopK(spark, sf).count()
+    assert(ts.map(t => graft.etl.Warehouse.currentVersion(spark, t)) == vs)
+  }
+
   test("recall audit rows are consistent integer counts") {
     IvfPq.recallAudit(spark, sf).collect().foreach { r =>
       assert(r.getLong(1) == 10L)

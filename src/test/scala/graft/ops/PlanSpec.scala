@@ -269,7 +269,7 @@ class PlanSpec extends SparkSpec {
       // per candidate — exactly M rows per group) plus the SubDim-bounded
       // residual recenter means (llm/IvfPq)
       "q_sim_ivfpq", "q_sim_ivfpq_rerank", "q_sim_ivfpq_recall",
-      "q_sim_ivfpq_sweep")
+      "q_sim_ivfpq_sweep", "q_sim_ivfpq_upsert")
     // allowlisted: global SCALAR aggregates (3 labeled counts / one stats
     // row) — the final agg is one row per upstream partition into a 1-row
     // result, after map-side partial aggregation; the single partition
