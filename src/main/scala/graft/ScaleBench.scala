@@ -221,7 +221,13 @@ object ScaleBench {
         val tAdd = med(graft.llm.IvfMaintenance
           .assignSlice(spark, dirM, cutM, newRows = true).count())
         val tUpServe = med(graft.llm.IvfMaintenance.upsertServe(spark, dirM).count())
-        println(f"[scalebench] ivfup  m=$m%-3d vectors=$nV%-8d add=$tAdd%.2f s union_serve=$tUpServe%.2f s")
+        // the composite's maintenance serve (frozen coarse + frozen books;
+        // rep 1 pays the book/code publish, the median is the serve) and
+        // the per-batch staleness monitor — both must stay near-flat /
+        // scan-linear respectively
+        val tPqUp = med(graft.llm.IvfPq.upsertAdcTopK(spark, dirM).count())
+        val tDrift = med(graft.llm.IvfMaintenance.drift(spark, dirM).count())
+        println(f"[scalebench] ivfup  m=$m%-3d vectors=$nV%-8d add=$tAdd%.2f s union_serve=$tUpServe%.2f s pq_serve=$tPqUp%.2f s drift=$tDrift%.2f s")
       }
     }
 
