@@ -31,7 +31,8 @@ class ParallelismInvarianceSpec extends SparkSpec {
     "q_sim_binary_codes", // sign bits against scaled-BIGINT per-dim means
     "q_text_bpe_train",   // iterative vocabulary-domain merge rounds
     "q_agg_theta_ops",    // K-minima heap + θ-threshold set estimates (r8)
-    "q_text_bm25"))       // decimal-staged multi-term score sums (r8)
+    "q_text_bm25",        // decimal-staged multi-term score sums (r8)
+    "q_index_drift"))     // floor-scaled segment means over cosines (r8s3)
     test(s"$q is byte-identical at shuffle.partitions=197") {
       val fn = SparkEntry.queries(q)
       val want = fn(spark, sf).collect().map(_.toString).toSeq
