@@ -66,16 +66,36 @@ object Bench {
     // so round-over-round regressions are checkable from the artifacts
     // alone instead of via prose about which hour was noisy. The nominal is
     // the repeatedly-measured quiet-window probe time on this machine.
-    val CalibNominal = 1.13
-    val calibFactor = math.max(1.0, (calibBefore + calibAfter) / 2.0 / CalibNominal)
+    // The nominal is machine-specific (the repeatedly-measured quiet-window
+    // probe time on THIS machine, 1.13 s); another machine overrides it via
+    // SPARK_GRAFT_CALIB_NOMINAL. calib_factor_raw is the UNCLAMPED ratio —
+    // emitted so an artifact where normalization was inert (raw < 1, floored)
+    // records that fact instead of silently equating calibrated and raw
+    // totals (ADVICE r8).
+    val CalibNominal = sys.env.get("SPARK_GRAFT_CALIB_NOMINAL")
+      .map(_.toDouble).getOrElse(1.13)
+    val calibRaw = (calibBefore + calibAfter) / 2.0 / CalibNominal
+    val calibFactor = math.max(1.0, calibRaw)
     val calibTotal = total / calibFactor
     val ctx =
       s""""loadavg_before":"$loadBefore","loadavg_after":"$loadAfter",""" +
         s""""calib_before_sec":${r3(calibBefore)},"calib_after_sec":${r3(calibAfter)},""" +
         s""""calib_nominal_sec":${r3(CalibNominal)},"calib_factor":${r3(calibFactor)},""" +
-        s""""calibrated_value":${r3(calibTotal)}"""
+        s""""calib_factor_raw":${r3(calibRaw)},"calibrated_value":${r3(calibTotal)}"""
+    // Per-family subtotals (VERDICT r8 item 6): a regression in the next
+    // artifact is attributable in one read — audits (recall/sweep/drift/
+    // bound twins) and index builds are separated from standing serves, and
+    // everything else groups by its q_<family>_ prefix.
+    def familyOf(name: String): String =
+      if (Seq("_recall", "_sweep", "_bound", "_drift").exists(name.contains)) "audit"
+      else if (Set("q_sim_nndescent", "q_sim_knn_graph", "q_cluster_kmeans",
+        "q_text_bpe_train")(name)) "ann_build"
+      else name.stripPrefix("q_").takeWhile(_ != '_')
+    val families = results.groupBy { case (n, _) => familyOf(n) }
+      .view.mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+    val famJson = qsJson(families)
     val fullLine =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${qsJson(results)},$ctx,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${qsJson(results)},"families":$famJson,$ctx,"sf":"$sfDir"}"""
     // The complete artifact always goes to a PER-SF file, so a dev sf0.001 or
     // subset run can never clobber the canonical sf0.1 artifact the round is
     // judged on (ADVICE r4: a committed bench_out.json was from a dev run).

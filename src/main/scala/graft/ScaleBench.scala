@@ -263,7 +263,11 @@ object ScaleBench {
         // keys fixed): the distinct pass grows with the scan, the K-minima
         // exchange stays |segments|·K — cost must stay scan-linear-or-flat
         val tTheta = med(graft.ops.Aggregates.thetaOps(spark, dirM).count())
-        println(f"[scalebench] theta  m=$m%-3d orders=$nL%-9d theta_ops=$tTheta%.2f s")
+        // label with the table theta_ops actually scans (ADVICE r8: nL is
+        // the replicated LINEITEM count — printing it as orders= mislabeled
+        // the corpus the timing ran against)
+        val nO = spark.read.parquet(s"$dirM/orders.parquet").count()
+        println(f"[scalebench] theta  m=$m%-3d orders=$nO%-9d theta_ops=$tTheta%.2f s")
       }
     }
 

@@ -146,6 +146,9 @@ object SparkEntry {
     // base graph per arriving vector, link top-K (llm/GraphMaintenance)
     "q_sim_graph_insert"   -> (graft.llm.GraphMaintenance.insert _),
     "q_sim_graph_upsert"   -> (graft.llm.GraphMaintenance.upsertSearch _),
+    // graph staleness monitor: per base/late segment best-link quality —
+    // the graph family's retrain trigger (llm/GraphMaintenance)
+    "q_graph_drift"        -> (graft.llm.GraphMaintenance.drift _),
     // NN-descent graph-index construction (llm/Similarity)
     "q_sim_nndescent"      -> (Similarity.nnDescent _),
     // oracle-visible recall audits for the new serve paths (the _bound
@@ -2640,6 +2643,22 @@ object SparkEntry {
     "q_sim_graph_search" -> graphSearchSql,
     "q_sim_graph_insert" -> graphInsertSql,
     "q_sim_graph_upsert" -> graphUpsertSql,
+    // twin of GraphMaintenance.drift: base best links from the frozen base
+    // descent graph (d{DescentIters} rnk=1), late best links from the
+    // insert twin's fin (rnk=1); the floor-quantized mean is the
+    // q_index_drift discipline (DuckDB SUM(BIGINT) is HUGEINT — matches
+    // Spark's Decimal(38,0) accumulator)
+    "q_graph_drift" ->
+      s"""WITH $graphInsertCtes,
+          gdb AS (SELECT cos, 'base' AS segment
+                  FROM d${Similarity.DescentIters} WHERE rnk = 1
+                  UNION ALL
+                  SELECT cos, 'late' AS segment FROM fin WHERE rnk = 1)
+          SELECT segment, count(*) AS n,
+                 CAST(CAST(SUM(CAST(floor(cos * ${Similarity.MeanScale}) AS BIGINT)) AS VARCHAR) AS DOUBLE)
+                   / (CAST(count(*) AS DOUBLE) * ${Similarity.MeanScale}) AS mean_cos,
+                 min(cos) AS min_cos
+          FROM gdb GROUP BY 1 ORDER BY 1""",
     // NN-descent: deterministic long-link init, then DescentIters unrolled
     // rounds of (edges ∪ reversed ∪ two-hop) → exact score → keep-GraphK
     "q_sim_nndescent" -> {

@@ -32,10 +32,15 @@ object Verify {
     val wanted =
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(only).toMap
+    // per-query failures keep dumping the rest (the driver's DuckDB compare
+    // reports the missing parquet as err) but are COUNTED: a local run must
+    // fail loudly, not look green with dumps silently missing (VERDICT r8)
+    var failed = 0
     wanted.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed += 1
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -55,5 +60,9 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    if (failed > 0) {
+      System.err.println(s"[verify] $failed quer${if (failed == 1) "y" else "ies"} failed to dump")
+      sys.exit(1)
+    }
   }
 }

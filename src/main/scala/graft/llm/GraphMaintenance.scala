@@ -81,33 +81,98 @@ object GraphMaintenance {
     graft.etl.Warehouse.read(s, target).select("vec_id", "rnk", "n_id", "cos")
   }
 
+  /** Snapshot ROOT for the graph family's SERVE-EDGE segments — base and
+    * delta are MEMBERS of one multi-table snapshot (the IvfMaintenance
+    * listsRoot discipline): compaction folds the delta edges into a new
+    * base version and RETIRES the delta in the same pointer swap, so a
+    * reader never sees the new base with the old delta (double edges) or
+    * neither. */
+  private[graft] def serveRoot(s: SparkSession, dir: String): String = {
+    val key = graft.Tables.fixtureKey(s, dir, "embeddings",
+      s"nndsrv|${IvfMaintenance.BaseFrac}|${Similarity.DescentIters}|${Similarity.DescentK}|" +
+        s"${Similarity.GraphK}|${Similarity.BeamWidth}|${Similarity.SearchIters}|" +
+        s"${Similarity.LongLinkA.mkString("_")}|${Similarity.LongLinkB.mkString("_")}")
+    s"${sys.props("java.io.tmpdir")}/graft_ivf/nndsrv_$key"
+  }
+
+  /** Range-shape an edge frame so every part-file owns a narrow src range
+    * (row-group min/max stats make the serve's In(src) frontier filter
+    * selective — the publishClustered layout, applied to snapshot
+    * members). */
+  private def bySrc(edges: DataFrame): DataFrame =
+    edges.repartitionByRange(Similarity.DescentFiles, col("src"))
+      .sortWithinPartitions("src")
+
+  /** The current serve-edge snapshot, publishing the initial {base, delta}
+    * pair on first call — one atomic commit covering both members.
+    * base = frozen base descent layer ∪ symmetrized base long links (the
+    * full navigable base layer, so no serve round ever recomputes the
+    * long-link explode — the publishedServeGraph discipline); delta = the
+    * inserted adjacency SYMMETRIZED (a base node's back-link is what makes
+    * a late node REACHABLE, the HNSW bidirectional-link effect). */
+  private[graft] def currentServeGraph(s: SparkSession, dir: String): Map[String, String] = {
+    val root = serveRoot(s, dir)
+    graft.etl.Warehouse.readSnapshot(s, root).getOrElse {
+      val cut = cutOf(s, dir)
+      val longLinks = withNorm(s, dir).filter(col("vec_id") < cut)
+        .select(col("vec_id").as("src"))
+        .select(col("src"), explode(array(
+          Similarity.LongLinkA.zip(Similarity.LongLinkB).map { case (a, b) =>
+            (col("src") * lit(a) + lit(b)) % lit(TextHash.P) % lit(cut)
+          }: _*)).as("dst"))
+        .filter(col("dst") =!= col("src"))
+      val base = publishedBaseGraph(s, dir).select("src", "dst")
+        .unionByName(longLinks)
+        .unionByName(longLinks.select(col("dst").as("src"), col("src").as("dst")))
+      val delta = publishedInserted(s, dir)
+        .select(col("vec_id").as("src"), col("n_id").as("dst"))
+      graft.etl.Warehouse.publishSnapshot(s, root, Seq(
+        "base" -> bySrc(base),
+        "delta" -> bySrc(delta.unionByName(
+          delta.select(col("dst").as("src"), col("src").as("dst"))))))
+    }
+  }
+
+  /** Union of every member the RESOLVED snapshot lists — a file-level
+    * concatenation; after compaction this is one table. */
+  private def serveEdgesOf(s: SparkSession, dir: String,
+                           snap: Map[String, String]): DataFrame = {
+    val root = serveRoot(s, dir)
+    snap.toSeq.sortBy(_._1)
+      .map { case (m, v) => graft.etl.Warehouse.readSnapshotMember(s, root, m, v) }
+      .reduce(_ unionByName _)
+      .select("src", "dst")
+  }
+
+  /** COMPACTION — the graph family's rebuild-cycle half (VERDICT r8 item
+    * 2): fold the delta edges into a fresh base version and retire the
+    * delta member, committed with ONE snapshot-pointer swap. The fold is
+    * file-level — same edge multiset, one src-clustered table — so
+    * serve-before ≡ serve-after bit-for-bit (GraphCompactionSpec pins it)
+    * and the walk's per-round In(src) prune now reads exactly one segment.
+    * A deployment alternates this with the full NN-descent refinement
+    * (which also inter-links the late batch); the refinement is a RETRAIN,
+    * not a compaction — it changes served results, so it publishes as a
+    * new index version, never through this fold. */
+  def compact(s: SparkSession, dir: String): Map[String, String] = {
+    val merged = serveEdgesOf(s, dir, currentServeGraph(s, dir))
+    graft.etl.Warehouse.publishSnapshot(s, serveRoot(s, dir),
+      Seq("base" -> bySrc(merged)))
+  }
+
   /** q_sim_graph_upsert: the FRESHNESS serve — the standard 8-query beam
-    * search over base graph + base long links + the inserted delta edges
-    * (both directions: a base node's back-link is what makes a late node
-    * REACHABLE, the HNSW bidirectional-link effect), scoring against the
-    * FULL corpus. `is_new` flags late nodes in served top-10s: the proof
-    * the graph add is live with no rebuild — the graph family's twin of
-    * q_sim_ivf_upsert's flag. */
+    * search over the serve-edge snapshot (base layer + symmetrized delta),
+    * scoring against the FULL corpus. `is_new` flags late nodes in served
+    * top-10s: the proof the graph add is live with no rebuild — the graph
+    * family's twin of q_sim_ivf_upsert's flag. The snapshot is resolved
+    * ONCE, so a concurrent compaction can never split this serve. */
   def upsertSearch(s: SparkSession, dir: String): DataFrame = {
     val cut = cutOf(s, dir)
     val e = withNorm(s, dir)
     val q = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"))
-    val base = e.filter(col("vec_id") < cut)
-    val longLinks = base.select(col("vec_id").as("src"))
-      .select(col("src"), explode(array(
-        Similarity.LongLinkA.zip(Similarity.LongLinkB).map { case (a, b) =>
-          (col("src") * lit(a) + lit(b)) % lit(TextHash.P) % lit(cut)
-        }: _*)).as("dst"))
-      .filter(col("dst") =!= col("src"))
-    val delta = publishedInserted(s, dir)
-      .select(col("vec_id").as("src"), col("n_id").as("dst"))
-    val graph = publishedBaseGraph(s, dir).select("src", "dst")
-      .unionByName(longLinks)
-      .unionByName(longLinks.select(col("dst").as("src"), col("src").as("dst")))
-      .unionByName(delta)
-      .unionByName(delta.select(col("dst").as("src"), col("src").as("dst")))
+    val graph = serveEdgesOf(s, dir, currentServeGraph(s, dir))
     val entries = publishedBaseGraph(s, dir)
       .groupBy("dst").agg(count(lit(1)).as("deg"))
       .orderBy(col("deg").desc, col("dst"))
@@ -117,6 +182,34 @@ object GraphMaintenance {
       .withColumn("is_new", when(col("n_id") >= cut, 1L).otherwise(0L))
       .select("q_id", "n_id", "cos", "rank", "is_new")
       .orderBy("q_id", "rank")
+  }
+
+  /** q_graph_drift: the graph family's STALENESS MONITOR — the twin of
+    * q_index_drift (VERDICT r8 item 3). Per base/late segment: node count,
+    * floor-quantized mean BEST-LINK cosine (each node's rnk=1 served
+    * neighbor — base links come from the full NN-descent refinement, late
+    * links from the one-shot beam insert, so a widening base→late gap
+    * measures exactly what the insert's single search pass loses vs the
+    * refinement the base enjoyed; when the gap exceeds policy, the
+    * documented response is retrain-and-publish), and the exact MIN. Reads
+    * two published adjacency tables and aggregates to 2 rows — monitoring
+    * at metadata cost, no beam pass, so a deployment runs it per batch. */
+  def drift(s: SparkSession, dir: String): DataFrame = {
+    val S = Similarity.MeanScale
+    val best = publishedBaseGraph(s, dir)
+      .filter(col("rnk") === 1)
+      .select(col("cos"), lit("base").as("segment"))
+      .unionByName(publishedInserted(s, dir)
+        .filter(col("rnk") === 1)
+        .select(col("cos"), lit("late").as("segment")))
+    best.groupBy("segment")
+      .agg(count(lit(1)).as("n"),
+        (sum(floor(col("cos") * S)
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .cast("string").cast("double") /
+          (count(lit(1)).cast("double") * lit(S.toDouble))).as("mean_cos"),
+        min(col("cos")).as("min_cos"))
+      .orderBy("segment")
   }
 
   /** q_sim_graph_insert: the late batch's new adjacency — for every
