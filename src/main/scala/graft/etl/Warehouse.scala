@@ -451,10 +451,28 @@ object Warehouse {
     * snapshot does not reference — including ALL versions of retired
     * members (a compacted-away delta's directory empties and goes). The
     * phase-two of snapshot retirement; run once in-flight readers of the
-    * previous snapshot drain, exactly like single-target vacuum. */
-  def vacuumSnapshot(spark: SparkSession, root: String): Unit =
+    * previous snapshot drain, exactly like single-target vacuum.
+    *
+    * Publish race (ADVICE r8): a concurrent publishSnapshot materializes
+    * its member version dirs BEFORE its pointer rename lands, so a naive
+    * "delete everything unreferenced" sweep during that window destroys
+    * the data a commit is about to reference. Version names embed their
+    * creation millisecond (`v_<ms13>_<nonce>`), so vacuum skips any
+    * unreferenced version younger than `graceMs` — older than any sane
+    * publish's materialize-to-commit window (the same age-based guard
+    * Delta's VACUUM retention period gives tombstoned files). A version
+    * that is BOTH unreferenced and older than the grace window is either
+    * superseded or belongs to a publish that died mid-flight — both are
+    * correct to drop. */
+  def vacuumSnapshot(spark: SparkSession, root: String,
+                     graceMs: Long = 15L * 60 * 1000): Unit =
     readSnapshot(spark, root).foreach { snap =>
       val f = fs(spark, root)
+      val cutoff = System.currentTimeMillis() - graceMs
+      def bornAt(v: String): Long =
+        // v_<13-digit-ms>_<nonce>; an unparseable name is treated as young
+        // (never deleted) — fail safe
+        try v.stripPrefix("v_").take(13).toLong catch { case _: Throwable => Long.MaxValue }
       f.listStatus(new Path(root)).toSeq
         .filter(st => st.isDirectory)
         .foreach { member =>
@@ -462,7 +480,8 @@ object Warehouse {
           val keep = snap.get(name)
           f.listStatus(member.getPath).toSeq
             .filter(st => st.isDirectory && st.getPath.getName.startsWith("v_")
-              && !keep.contains(st.getPath.getName))
+              && !keep.contains(st.getPath.getName)
+              && bornAt(st.getPath.getName) < cutoff)
             .foreach(st => f.delete(st.getPath, true))
           if (f.listStatus(member.getPath).isEmpty)
             f.delete(member.getPath, false)

@@ -56,8 +56,10 @@ object IvfPq {
 
   /** Grid-snapped residual of one component (see object scaladoc). Both
     * engines evaluate the identical IEEE op sequence: double multiply,
-    * floor, exact BIGINT subtract, one power-of-two division. */
-  private def residSql(x: String, c: String): String =
+    * floor, exact BIGINT subtract, one power-of-two division.
+    * `private[graft]`: the streaming encode-add twin (StreamTwins.ivfpqAdd)
+    * splices the IDENTICAL string so drained codes are bit-equal. */
+  private[graft] def residSql(x: String, c: String): String =
     s"(CAST(CAST($x AS DOUBLE) * $S AS BIGINT) - " +
       s"CAST(FLOOR($c * $S) AS BIGINT)) / CAST($S AS DOUBLE)"
 
@@ -150,6 +152,18 @@ object IvfPq {
     * serves AND the operating-curve sweep (a curve point is a crn filter
     * over this frame, never a re-scan of the code lists). */
   private def estimates(s: SparkSession, dir: String): DataFrame = {
+    // The probe frame below is capped at crn <= NProbe (probeCells'
+    // contract, shared with the trained IVF serve, the streaming routing
+    // twin, and this file's DuckDB twin CTEs). The sweep fans curve points
+    // over SweepProbes from this SAME frame, so a sweep probe budget beyond
+    // NProbe would silently reuse NProbe-capped candidates — and the twin
+    // carries the identical cap, so the oracle would CONFIRM the wrong
+    // curve (ADVICE r8). Fail loudly at the exact coupling instead: to
+    // widen the curve, raise NProbe (or rank probes to SweepProbes.max
+    // here AND in the twin's vprob CTE together).
+    require(Similarity.SweepProbes.max <= Similarity.NProbe,
+      s"SweepProbes max ${Similarity.SweepProbes.max} exceeds NProbe " +
+        s"${Similarity.NProbe}: estimates() only carries NProbe-deep probes")
     val dd = Clustering.dist2For(s) _
     val probes = Similarity.probeCells(s, dir).select("q_id", "crn", "cent_id")
     val q = t(s, dir, "embeddings").filter(col("vec_id") < NQueries)
@@ -263,10 +277,14 @@ object IvfPq {
     s"${sys.props("java.io.tmpdir")}/graft_ivf/ivfpqup_books_$key"
   }
 
-  private[graft] def upCodesTarget(s: SparkSession, dir: String): String = {
+  /** Snapshot ROOT for the composite's code lists: base and delta codes
+    * are MEMBERS of one multi-table snapshot (the IvfMaintenance listsRoot
+    * discipline) so compaction can fold the delta and retire it in ONE
+    * pointer swap. */
+  private[graft] def upListsRoot(s: SparkSession, dir: String): String = {
     val key = graft.Tables.fixtureKey(s, dir, "embeddings",
-      s"ivfpqup_codes|${IvfMaintenance.BaseFrac}|${Similarity.Cells}|${Similarity.TrainIters}|$M|$SubDim|$K|$Iters|$S")
-    s"${sys.props("java.io.tmpdir")}/graft_ivf/ivfpqup_codes_$key"
+      s"ivfpqup_lists|${IvfMaintenance.BaseFrac}|${Similarity.Cells}|${Similarity.TrainIters}|$M|$SubDim|$K|$Iters|$S")
+    s"${sys.props("java.io.tmpdir")}/graft_ivf/ivfpqup_lists_$key"
   }
 
   /** Residual subvectors of EVERY vector against the FROZEN base-trained
@@ -301,19 +319,62 @@ object IvfPq {
     graft.etl.Warehouse.read(s, target).select("m", "code", "csv")
   }
 
+  /** One frozen-book encode pass over an id slice — the shared build of
+    * the base code lists (pred = < cut) and the encode-add (pred = >= cut;
+    * the slice predicate pushes through the residual map to the list
+    * scan, so the add's plan touches ONLY the new rows — the
+    * IvfMaintenance.assignSlice discipline at the code tier). */
+  private def upCodesSlice(s: SparkSession, dir: String,
+                           newRows: Boolean): DataFrame = {
+    val cut = IvfMaintenance.baseCut(s, dir)
+    val sv = upResidualSubvecs(s, dir)
+      .filter(if (newRows) col("vec_id") >= cut else col("vec_id") < cut)
+    Pq.assign(sv, upBooks(s, dir)).select("vec_id", "m", "code", "cent_id")
+  }
+
+  /** The current code-list snapshot (publishing the initial {base, delta}
+    * pair on first call — one atomic commit covering both members, each
+    * hive-partitioned by cell). */
+  private[graft] def currentUpCodes(s: SparkSession, dir: String): Map[String, String] = {
+    val root = upListsRoot(s, dir)
+    graft.etl.Warehouse.readSnapshot(s, root).getOrElse {
+      graft.etl.Warehouse.publishSnapshot(s, root, Seq(
+        "base" -> upCodesSlice(s, dir, newRows = false),
+        "delta" -> upCodesSlice(s, dir, newRows = true)),
+        Some("cent_id"))
+    }
+  }
+
+  /** Union of every member the RESOLVED snapshot lists — a file-level
+    * concatenation of per-cell partitioned tables; after compaction this
+    * is one table. */
+  private def upCodesOf(s: SparkSession, dir: String,
+                        snap: Map[String, String]): DataFrame = {
+    val root = upListsRoot(s, dir)
+    snap.toSeq.sortBy(_._1)
+      .map { case (m, v) => graft.etl.Warehouse.readSnapshotMember(s, root, m, v) }
+      .reduce(_ unionByName _)
+      .select(col("vec_id"), col("m"), col("code"),
+        col("cent_id").cast("long").as("cent_id"))
+  }
+
   /** Per-cell code lists for EVERY vector — the late batch's codes are one
     * assignment map pass against the FROZEN books (the encode-add: no
-    * retrain anywhere; at a deployment this is the delta member of the
-    * list snapshot, exactly the IvfMaintenance discipline). */
-  private[graft] def upPublishedCodes(s: SparkSession, dir: String): DataFrame = {
-    val target = upCodesTarget(s, dir)
-    if (!graft.etl.Warehouse.exists(s, target)) {
-      val cd = Pq.assign(upResidualSubvecs(s, dir), upBooks(s, dir))
-        .select("vec_id", "m", "code", "cent_id")
-      graft.etl.Warehouse.publishPartitioned(s, target, cd, "cent_id")
-    }
-    graft.etl.Warehouse.read(s, target).select(col("vec_id"), col("m"),
-      col("code"), col("cent_id").cast("long").as("cent_id"))
+    * retrain anywhere; the delta member of the list snapshot, exactly the
+    * IvfMaintenance discipline). */
+  private[graft] def upPublishedCodes(s: SparkSession, dir: String): DataFrame =
+    upCodesOf(s, dir, currentUpCodes(s, dir))
+
+  /** COMPACTION — the composite's rebuild-cycle half (VERDICT r8 item 4):
+    * fold the delta code lists into a fresh base version and retire the
+    * delta member with ONE snapshot-pointer swap. Books are FROZEN, so the
+    * fold is file-level — no re-encode, same code rows, one partitioned
+    * table — and the serve is bit-identical before/after with exactly one
+    * cell-pruned scan after (IvfPqCompactionSpec pins both). */
+  def compactCodes(s: SparkSession, dir: String): Map[String, String] = {
+    val merged = upCodesOf(s, dir, currentUpCodes(s, dir))
+    graft.etl.Warehouse.publishSnapshot(s, upListsRoot(s, dir),
+      Seq("base" -> merged), Some("cent_id"))
   }
 
   /** q_sim_ivfpq_upsert: the COMPOSITE's post-add serve — IVFADC top-10

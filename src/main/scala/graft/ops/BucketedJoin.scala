@@ -41,20 +41,19 @@ object BucketedJoin {
     * bytes / target task input (the shuffle.partitions sizing rule). */
   val Buckets = 8
 
-  private def tableName(s: SparkSession, dir: String, table: String): String =
-    s"bkt_${table}_" + graft.Tables.fixtureKey(s, dir, table, s"bkt|$Buckets")
-
-  /** The catalog is session-scoped (in-memory) but the managed-table FILES
-    * persist under spark.sql.warehouse.dir: a later session sees no table
-    * yet an occupied location, which saveAsTable refuses. Clearing the
-    * stale location is safe by construction — the fingerprinted name means
-    * the bytes there can only be a previous session's identical layout,
-    * and this session is about to rewrite it. */
-  private def clearStaleLocation(s: SparkSession, name: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(
-      s.conf.get("spark.sql.warehouse.dir"), name.toLowerCase)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) fs.delete(p, true)
+  /** Table names carry the fixture fingerprint AND the application id: the
+    * catalog is session-scoped (in-memory) but managed-table FILES persist
+    * under spark.sql.warehouse.dir, so a name shared across applications
+    * would leave a later app staring at an occupied location — and
+    * force-deleting it (the pre-r9 shape) could rip files out from under a
+    * CONCURRENT application's active bucketed scan (ADVICE r8). Scoping the
+    * name to the app means every application writes a fresh location and
+    * never touches another's; a prior app's orphaned layout directories are
+    * tmp-dir garbage for the host's cleanup, exactly like the warehouse
+    * pointer targets' superseded versions awaiting vacuum. */
+  private[graft] def tableName(s: SparkSession, dir: String, table: String): String = {
+    val app = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+    s"bkt_${table}_${app}_" + graft.Tables.fixtureKey(s, dir, table, s"bkt|$Buckets")
   }
 
   /** Create the bucketed twins of lineitem/orders for `dir` if this session
@@ -64,7 +63,6 @@ object BucketedJoin {
     val lt = tableName(s, dir, "lineitem")
     val ot = tableName(s, dir, "orders")
     if (!s.catalog.tableExists(lt)) {
-      clearStaleLocation(s, lt)
       t(s, dir, "lineitem")
         .select("l_orderkey", "l_extendedprice", "l_discount")
         .repartition(Buckets, col("l_orderkey"))
@@ -73,7 +71,6 @@ object BucketedJoin {
         .saveAsTable(lt)
     }
     if (!s.catalog.tableExists(ot)) {
-      clearStaleLocation(s, ot)
       t(s, dir, "orders")
         .select("o_orderkey", "o_orderstatus")
         .repartition(Buckets, col("o_orderkey"))

@@ -437,6 +437,55 @@ object StreamTwins {
         col("best.cent_id").as("cent_id"))
   }
 
+  /** Streaming COMPOSITE (IVF-PQ) ADD — the streaming face of the
+    * encode-add (IvfPq's delta member build): each arriving vector is
+    * (1) assigned to its nearest FROZEN coarse centroid by cosine (the
+    * ivfAdd fold, additionally carrying the winning centroid vector),
+    * (2) residual-snapped against that centroid (the IDENTICAL grid-snap
+    * string as the batch path — IvfPq.residSql), and (3) encoded per
+    * subspace against the FROZEN residual books by squared-distance argmin
+    * (strict `<` over a code-ascending book scan keeps the LOWER code on
+    * ties — Pq.assign's (d2, code) order). Both model artifacts ride as
+    * literals (k·d + M·K·SubDim doubles — dimension-tier metadata, the
+    * clusterAssign serve pattern): one stateless expression chain, no
+    * state store, no watermark, the micro-batch never shuffles. Drained
+    * codes are bit-identical to the batch delta member on the same rows
+    * (StreamTwinsSpec). */
+  def ivfpqAdd(embs: DataFrame, centroids: Seq[(Long, Seq[Double])],
+               books: Seq[(Int, Long, Seq[Double])]): DataFrame = {
+    val s = embs.sparkSession
+    val dot = graft.llm.Similarity.dotFor(s) _
+    val dd = graft.llm.Clustering.dist2For(s) _
+    val m = graft.llm.IvfPq.M
+    val sub = graft.llm.IvfPq.SubDim
+    embs.withColumn("cents", typedlit(centroids.sortBy(_._1)))
+      .withColumn("bks", typedlit(books.sortBy(b => (b._1, b._2))))
+      .withColumn("nrm", expr(s"sqrt(${dot("embedding", "embedding")})"))
+      .withColumn("best", expr(
+        s"""aggregate(
+              transform(cents, c -> struct(c._1 AS cent_id,
+                ${dot("embedding", "c._2")} / (nrm * sqrt(${dot("c._2", "c._2")})) AS c_cos,
+                c._2 AS cv)),
+              struct(CAST(-1 AS BIGINT) AS cent_id,
+                     CAST('-Infinity' AS DOUBLE) AS c_cos,
+                     CAST(NULL AS ARRAY<DOUBLE>) AS cv),
+              (acc, c) -> CASE WHEN c.c_cos > acc.c_cos THEN c ELSE acc END)"""))
+      .withColumn("r", expr(
+        s"zip_with(embedding, best.cv, (x, c) -> ${graft.llm.IvfPq.residSql("x", "c")})"))
+      .withColumn("codes", expr(
+        s"""transform(sequence(0, ${m - 1}), mm ->
+              aggregate(
+                transform(filter(bks, b -> b._1 = mm),
+                  b -> struct(b._2 AS code,
+                    ${dd(s"slice(r, mm * $sub + 1, $sub)", "b._3")} AS d2)),
+                struct(CAST(-1 AS BIGINT) AS code,
+                       CAST('Infinity' AS DOUBLE) AS d2),
+                (acc, c) -> CASE WHEN c.d2 < acc.d2 THEN c ELSE acc END).code)"""))
+      .select(col("vec_id"), col("best.cent_id").as("cent_id"),
+        posexplode(col("codes")).as(Seq("m", "code")))
+      .select(col("vec_id"), col("m"), col("code"), col("cent_id"))
+  }
+
   /** Stateless streaming twin of the binary encode path
     * (q_sim_binary_codes): sign each arriving embedding against the
     * PUBLISHED per-dimension means (the d-row statistic a batch job

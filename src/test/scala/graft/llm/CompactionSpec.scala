@@ -54,7 +54,15 @@ class CompactionSpec extends SparkSpec {
 
     // phase two: vacuum drops every unreferenced version — including the
     // retired delta member's whole directory — and the serve still works
+    // the publish-race grace window (ADVICE r8) protects versions younger
+    // than graceMs: the default leaves the seconds-old superseded versions
+    // in place; an explicit graceMs=0 (readers drained, no publish in
+    // flight — this spec's situation) drops them
     graft.etl.Warehouse.vacuumSnapshot(spark, root)
+    assert(new java.io.File(s"$root/base/${snapBefore("base")}").exists(),
+      "default grace window must protect fresh unreferenced versions " +
+        "(a concurrent publish's members look exactly like this)")
+    graft.etl.Warehouse.vacuumSnapshot(spark, root, graceMs = 0)
     assert(!new java.io.File(s"$root/delta").exists(),
       "vacuum must remove the retired member's directory")
     assert(!new java.io.File(s"$root/base/${snapBefore("base")}").exists(),

@@ -142,12 +142,15 @@ class IvfPqSpec extends SparkSpec {
     // the raw-ADC floor (full-trained ADC measures ~0.34 here)
     val rec = recall(topSets(IvfPq.upsertAdcTopK(spark, sf)))
     assert(rec >= 0.2, s"frozen-book ADC recall $rec under floor")
-    // both maintenance artifacts publish once
-    val ts = Seq(IvfPq.upBooksTarget(spark, sf), IvfPq.upCodesTarget(spark, sf))
-    val vs = ts.map(t => graft.etl.Warehouse.currentVersion(spark, t))
-    assert(vs.forall(_.isDefined))
+    // both maintenance artifacts publish once (the code lists live in a
+    // snapshot root — same pointer-stability contract)
+    val bt = IvfPq.upBooksTarget(spark, sf)
+    val bv = graft.etl.Warehouse.currentVersion(spark, bt)
+    val cs = graft.etl.Warehouse.readSnapshot(spark, IvfPq.upListsRoot(spark, sf))
+    assert(bv.isDefined && cs.isDefined)
     IvfPq.upsertAdcTopK(spark, sf).count()
-    assert(ts.map(t => graft.etl.Warehouse.currentVersion(spark, t)) == vs)
+    assert(graft.etl.Warehouse.currentVersion(spark, bt) == bv)
+    assert(graft.etl.Warehouse.readSnapshot(spark, IvfPq.upListsRoot(spark, sf)) == cs)
   }
 
   test("recall audit rows are consistent integer counts") {

@@ -89,8 +89,6 @@ class BucketedJoinSpec extends SparkSpec {
       s"${files.length} part files for ${BucketedJoin.Buckets} buckets — a bucket wrote >1 file, the scan cannot report sortedness")
   }
 
-  private def tableNameOf(table: String): String = {
-    val key = graft.Tables.fixtureKey(spark, sf, table, s"bkt|${BucketedJoin.Buckets}")
-    s"bkt_${table}_$key"
-  }
+  private def tableNameOf(table: String): String =
+    BucketedJoin.tableName(spark, sf, table)
 }

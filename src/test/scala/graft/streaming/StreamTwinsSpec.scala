@@ -689,4 +689,39 @@ class StreamTwinsSpec extends SparkSpec {
       "every arriving vector must emit exactly one delta-list row")
     assert(got.sameElements(want))
   }
+
+  test("streaming composite add matches the batch delta codes bit-for-bit") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    // batch face first: publishes the frozen cents + books + code snapshot
+    val cut = graft.llm.IvfMaintenance.baseCut(s, sf)
+    val want = graft.llm.IvfPq.upPublishedCodes(s, sf)
+      .filter($"vec_id" >= cut).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).sorted
+    assert(want.nonEmpty)
+    val cents = graft.etl.Warehouse.read(s,
+        graft.llm.IvfMaintenance.centsTarget(s, sf))
+      .select("cent_id", "c_emb").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    val books = graft.etl.Warehouse.read(s,
+        graft.llm.IvfPq.upBooksTarget(s, sf))
+      .select("m", "code", "csv").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2))).toSeq
+    val rows = graft.Tables.t(s, sf, "embeddings")
+      .filter($"vec_id" >= cut).select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val mem = MemoryStream[(Long, Array[Float])]
+    mem.addData(rows.toSeq: _*)
+    val q = StreamTwins.ivfpqAdd(mem.toDF().toDF("vec_id", "embedding"),
+        cents, books)
+      .writeStream.format("memory").queryName("ivfpqadd_out")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = s.table("ivfpqadd_out").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).sorted
+    assert(got.length == rows.length * graft.llm.IvfPq.M,
+      "every arriving vector must emit exactly M code rows")
+    assert(got.sameElements(want))
+  }
 }
