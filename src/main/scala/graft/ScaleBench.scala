@@ -200,6 +200,15 @@ object ScaleBench {
         // median times the pure insert), must be LINEAR in the batch
         val tGIns = med(graft.llm.GraphMaintenance.insert(spark, dirM).count())
         println(f"[scalebench] gins   m=$m%-3d vectors=$nV%-8d insert=$tGIns%.2f s")
+        // graph-family lifecycle tail (r9): drift = two published-adjacency
+        // reads + a 2-row aggregate (LINEAR in N, tiny constant — the
+        // per-batch monitoring budget); compaction = one range-clustered
+        // rewrite of the serve edges behind a pointer swap (LINEAR in
+        // edges, paid off the serving path at rebuild cadence; rep 1 pays
+        // the initial snapshot publish, the median times the fold)
+        val tGDrift = med(graft.llm.GraphMaintenance.drift(spark, dirM).count())
+        val tGComp = med { graft.llm.GraphMaintenance.compact(spark, dirM); 1L }
+        println(f"[scalebench] glife  m=$m%-3d vectors=$nV%-8d drift=$tGDrift%.2f s compact=$tGComp%.2f s")
         // IVF-PQ composite: residual-book CONSTRUCTION measured directly
         // (bypasses the publish cache — the honest-measurement discipline;
         // one corpus scan per Lloyd round, must be LINEAR); the ADC and

@@ -253,8 +253,11 @@ object GraphMaintenance {
       .limit(Similarity.NEntries)
       .select(col("dst").as("n_id"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
-    // per-round localCheckpoint: the frontier is batch·beam rows and each
-    // round references it three times (the graphSearchTopK discipline)
+    // per-round localCheckpoint: the frontier is batch·beam rows — TOO BIG
+    // for the 8-query serve's driver-state walk — and each round references
+    // it three times, so a lazily-composed walk recomputes round r-1 per
+    // reference (combinatorial in depth; the pre-r9 beamServe A/B measured
+    // 2.7-3.7 s checkpointed vs 4.6-10 s composed at sf0.1)
     var frontier = score(
         q.select("q_id").crossJoin(broadcast(entries)))
       .localCheckpoint()

@@ -895,21 +895,17 @@ object Similarity {
     * corpus-size-independent once the graph exists, which is why
     * graph-based serving wins at high recall targets.
     *
-    * Spark shapes: the serve READS the published graph — src-CLUSTERED on
-    * disk (publishedDescent uses Warehouse.publishClustered, so every
-    * part-file owns a narrow src range with selective row-group
-    * statistics), and each round's expansion pushes the frontier's id set
-    * as an In(src) filter into that scan (`expandFrontier`): the round
-    * reads only the row groups owning the frontier's sources, never the
-    * whole graph — no construction anywhere in the serve plan after the
-    * first call. The per-round frontier is Q·BeamWidth rows of metadata,
-    * localCheckpointed so plans stay constant (the trainCentroids
-    * discipline); scoring joins the candidate set back to raw embeddings —
-    * the planner broadcasts the tiny candidate side, so each round reads
-    * the corpus once and shuffles nothing corpus-sized. Every score is the
-    * fixed-order cosine; ties break on neighbor id, so the beam evolution
-    * is fully deterministic and the DuckDB twin replays the identical
-    * rounds bit-for-bit. */
+    * Spark shapes: the serve READS the published SERVE graph — descent ∪
+    * symmetrized long links, src-CLUSTERED on disk (publishedServeGraph
+    * uses Warehouse.publishClustered, so every part-file owns a narrow
+    * src range with selective row-group statistics) — and runs the
+    * driver-state walk (`beamServe`): each round is one In(src)-pruned
+    * graph read and one In(vec_id)-pruned corpus scoring read, nothing
+    * else — no construction anywhere in the serve after the first call,
+    * no shuffle, no read bounded by N. Every score is the fixed-order
+    * cosine; ties break on neighbor id, so the beam evolution is fully
+    * deterministic and the DuckDB twin replays the identical rounds
+    * bit-for-bit. */
   def graphSearchTopK(s: SparkSession, dir: String): DataFrame = {
     val e = withNorm(s, dir)
     beamServe(e, queries(e), publishedServeGraph(s, dir), entryNodes(s, dir))

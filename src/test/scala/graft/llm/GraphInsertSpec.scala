@@ -79,7 +79,8 @@ class GraphInsertSpec extends SparkSpec {
   }
 
   test("the final plan is constant-size: every round rode a checkpoint") {
-    // the per-round localCheckpoint discipline (graphSearchTopK A/B) means
+    // the per-round localCheckpoint discipline (see the A/B recorded at
+    // GraphMaintenance.insert's checkpoint site) means
     // the RETURNED plan contains no embeddings scan and no round lineage —
     // just the checkpointed final beam plus the GraphK ranking; a
     // lazily-composed walk would drag SearchIters rounds of corpus joins
