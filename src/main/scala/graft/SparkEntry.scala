@@ -151,6 +151,10 @@ object SparkEntry {
     "q_graph_drift"        -> (graft.llm.GraphMaintenance.drift _),
     // NN-descent graph-index construction (llm/Similarity)
     "q_sim_nndescent"      -> (Similarity.nnDescent _),
+    // ensemble retrieval: reciprocal-rank fusion across the three
+    // published index families + its recall audit (llm/Fusion)
+    "q_sim_fused"          -> (graft.llm.Fusion.fusedTopK _),
+    "q_sim_fused_recall"   -> (graft.llm.Fusion.recallFused _),
     // oracle-visible recall audits for the new serve paths (the _bound
     // twin discipline applied to ANN quality)
     "q_sim_graph_recall"   -> (Similarity.recallGraph _),
@@ -3534,6 +3538,55 @@ object SparkEntry {
                 CAST(CAST(v AS VARCHAR) AS DOUBLE) AS supply_value
          FROM pp, tot WHERE v * n > total * 2
          ORDER BY supply_value DESC, p_partkey""",
+    // twin of Fusion.fusedTopK: the three member twins as subqueries, two
+    // chained FULL JOIN USING (coalesced keys, the standard semantics Spark's
+    // full_outer-with-Seq mirrors), the RRF terms added in the IDENTICAL
+    // textual order (ivf + graph + binary) with explicit double division
+    // (DuckDB's bare 1.0 literal is DECIMAL — the CAST keeps both engines on
+    // one correctly-rounded IEEE op per term)
+    "q_sim_fused" ->
+      s"""WITH fi AS (SELECT q_id, n_id, "rank" AS r_ivf FROM ($ivfTrainedSql)),
+          fg AS (SELECT q_id, n_id, "rank" AS r_graph FROM ($graphSearchSql)),
+          fb AS (SELECT q_id, n_id, "rank" AS r_bin FROM ($binaryTopkSql)),
+          fj AS (SELECT q_id, n_id, r_ivf, r_graph, r_bin
+                 FROM fi
+                 FULL OUTER JOIN fg USING (q_id, n_id)
+                 FULL OUTER JOIN fb USING (q_id, n_id)),
+          fs AS (SELECT q_id, n_id,
+                        coalesce(CAST(1 AS DOUBLE) / (${graft.llm.Fusion.FusionK} + r_ivf), CAST(0 AS DOUBLE)) +
+                        coalesce(CAST(1 AS DOUBLE) / (${graft.llm.Fusion.FusionK} + r_graph), CAST(0 AS DOUBLE)) +
+                        coalesce(CAST(1 AS DOUBLE) / (${graft.llm.Fusion.FusionK} + r_bin), CAST(0 AS DOUBLE)) AS rrf
+                 FROM fj),
+          fr AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+                   ORDER BY rrf DESC, n_id) AS BIGINT) AS "rank" FROM fs)
+          SELECT q_id, n_id, rrf, "rank" FROM fr
+          WHERE "rank" <= 10 ORDER BY q_id, "rank"""",
+    "q_sim_fused_recall" ->
+      s"""WITH exact AS (SELECT q_id, n_id FROM ($simTopkSql)),
+          fi AS (SELECT q_id, n_id, "rank" AS r_ivf FROM ($ivfTrainedSql)),
+          fg AS (SELECT q_id, n_id, "rank" AS r_graph FROM ($graphSearchSql)),
+          fb AS (SELECT q_id, n_id, "rank" AS r_bin FROM ($binaryTopkSql)),
+          fj AS (SELECT q_id, n_id, r_ivf, r_graph, r_bin
+                 FROM fi
+                 FULL OUTER JOIN fg USING (q_id, n_id)
+                 FULL OUTER JOIN fb USING (q_id, n_id)),
+          fs AS (SELECT q_id, n_id,
+                        coalesce(CAST(1 AS DOUBLE) / (${graft.llm.Fusion.FusionK} + r_ivf), CAST(0 AS DOUBLE)) +
+                        coalesce(CAST(1 AS DOUBLE) / (${graft.llm.Fusion.FusionK} + r_graph), CAST(0 AS DOUBLE)) +
+                        coalesce(CAST(1 AS DOUBLE) / (${graft.llm.Fusion.FusionK} + r_bin), CAST(0 AS DOUBLE)) AS rrf
+                 FROM fj),
+          approx AS (SELECT q_id, n_id FROM (
+                       SELECT *, row_number() OVER (PARTITION BY q_id
+                         ORDER BY rrf DESC, n_id) AS rn FROM fs)
+                     WHERE rn <= 10),
+          h AS (SELECT e.q_id, count(*) AS n_exact,
+                       CAST(SUM(CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+                FROM exact e LEFT JOIN approx a
+                  ON e.q_id = a.q_id AND e.n_id = a.n_id
+                GROUP BY 1)
+          SELECT q_id, n_exact, n_hit,
+                 CAST(n_hit AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall
+          FROM h ORDER BY q_id""",
     // recall@10 audit: both sides are the already-oracle-checked exact and
     // trained-IVF queries; hit counts are integers, recall one IEEE division
     "q_sim_recall" ->

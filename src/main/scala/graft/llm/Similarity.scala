@@ -1177,7 +1177,7 @@ object Similarity {
   def recallBinary(s: SparkSession, dir: String): DataFrame =
     recallOf(s, dir, Binary.topK(s, dir))
 
-  private def recallOf(s: SparkSession, dir: String,
+  private[llm] def recallOf(s: SparkSession, dir: String,
                        approxTopK: DataFrame): DataFrame = {
     val exact = bruteTopK(s, dir).select(col("q_id"), col("n_id"))
     val approx = approxTopK
