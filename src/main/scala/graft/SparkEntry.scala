@@ -155,6 +155,9 @@ object SparkEntry {
     // published index families + its recall audit (llm/Fusion)
     "q_sim_fused"          -> (graft.llm.Fusion.fusedTopK _),
     "q_sim_fused_recall"   -> (graft.llm.Fusion.recallFused _),
+    // hybrid retrieval: per-query BM25 lexical ranking + the published
+    // trained-IVF dense serve, RRF-fused (llm/Fusion)
+    "q_retrieve_hybrid"    -> (graft.llm.Fusion.hybridTopK _),
     // oracle-visible recall audits for the new serve paths (the _bound
     // twin discipline applied to ANN quality)
     "q_sim_graph_recall"   -> (Similarity.recallGraph _),
@@ -3561,6 +3564,50 @@ object SparkEntry {
                    ORDER BY rrf DESC, n_id) AS BIGINT) AS "rank" FROM fs)
           SELECT q_id, n_id, rrf, "rank" FROM fr
           WHERE "rank" <= 10 ORDER BY q_id, "rank"""",
+    // twin of Fusion.hybridTopK: per-query selective terms (the bm25 twin's
+    // derivation, partitioned by query doc), posting-list BM25 with the
+    // shared bm25ScoreSql + decimal-staged per-(q, doc) sum, the trained-IVF
+    // twin as the dense side, and the fused queries' RRF shape
+    "q_retrieve_hybrid" -> {
+      import graft.llm.Fusion.{HybridQTerms, HybridQueries, FusionK}
+      s"""WITH dt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+          tfx AS (SELECT doc_id, token, count(*) AS tf FROM dt GROUP BY 1, 2),
+          dfx AS (SELECT token, count(*) AS df FROM tfx GROUP BY 1),
+          hqt AS (SELECT q_id, token, df FROM (
+                    SELECT t.doc_id AS q_id, t.token, d.df,
+                           row_number() OVER (PARTITION BY t.doc_id
+                             ORDER BY d.df, t.token) AS trn
+                    FROM tfx t JOIN dfx d USING (token)
+                    WHERE t.doc_id < $HybridQueries)
+                  WHERE trn <= $HybridQTerms),
+          dlx AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+          st AS (SELECT count(*) AS n_docs, SUM(len(string_split(text, ' '))) AS tot
+                 FROM documents),
+          hsc AS (SELECT q.q_id, tfx.doc_id, ${graft.llm.TextAnalysis.bm25ScoreSql} AS score_t
+                  FROM tfx JOIN hqt q USING (token)
+                  JOIN dlx ON dlx.doc_id = tfx.doc_id, st
+                  WHERE tfx.doc_id <> q.q_id),
+          hlx AS (SELECT q_id, doc_id,
+                         CAST(CAST(SUM(CAST(score_t AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS score
+                  FROM hsc GROUP BY 1, 2),
+          hl AS (SELECT q_id, n_id, r_lex FROM (
+                   SELECT q_id, doc_id AS n_id,
+                          CAST(row_number() OVER (PARTITION BY q_id
+                            ORDER BY score DESC, doc_id) AS BIGINT) AS r_lex
+                   FROM hlx)
+                 WHERE r_lex <= 10),
+          hd AS (SELECT q_id, n_id, "rank" AS r_dense FROM ($ivfTrainedSql)),
+          hj AS (SELECT q_id, n_id, r_lex, r_dense
+                 FROM hl FULL OUTER JOIN hd USING (q_id, n_id)),
+          hs AS (SELECT q_id, n_id,
+                        coalesce(CAST(1 AS DOUBLE) / ($FusionK + r_lex), CAST(0 AS DOUBLE)) +
+                        coalesce(CAST(1 AS DOUBLE) / ($FusionK + r_dense), CAST(0 AS DOUBLE)) AS rrf
+                 FROM hj),
+          hr AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+                   ORDER BY rrf DESC, n_id) AS BIGINT) AS "rank" FROM hs)
+          SELECT q_id, n_id, rrf, "rank" FROM hr
+          WHERE "rank" <= 10 ORDER BY q_id, "rank""""
+    },
     "q_sim_fused_recall" ->
       s"""WITH exact AS (SELECT q_id, n_id FROM ($simTopkSql)),
           fi AS (SELECT q_id, n_id, "rank" AS r_ivf FROM ($ivfTrainedSql)),

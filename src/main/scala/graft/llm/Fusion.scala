@@ -57,4 +57,71 @@ object Fusion {
     * consensus win (or loss) is an oracle-checked number, not a claim. */
   def recallFused(s: SparkSession, dir: String): DataFrame =
     Similarity.recallOf(s, dir, fusedTopK(s, dir))
+
+  /** Hybrid query-term budget and sample-query count (the established
+    * 8-query serve contract; doc_id ≡ vec_id in the corpus, so a sample
+    * doc is both a text query and an embedding query). */
+  val HybridQTerms = 4
+  val HybridQueries = 8
+
+  /** q_retrieve_hybrid: HYBRID RETRIEVAL — the RAG-standard two-tower
+    * serve: a BM25 lexical ranking and a dense vector-index ranking for
+    * the SAME query, RRF-fused (lexical catches exact terminology the
+    * embedding smooths away; dense catches paraphrase the lexicon
+    * misses; rank fusion needs no score calibration between them). Each
+    * sample doc queries as itself: its `HybridQTerms` most SELECTIVE
+    * tokens (lowest df, ties token asc — the q_text_bm25 query
+    * derivation, per query doc) drive the lexical side; its embedding
+    * drives the published trained-IVF serve.
+    *
+    * Scale topology: tf/df reuse the tfidf vocabulary-exchange shape
+    * (corpus tokenizes once; df derives from tf); the Q·4-row query-term
+    * frame BROADCASTS against tf so the lexical scored frame is the
+    * query terms' POSTING LISTS, never doc×vocab; the dense side reads
+    * the published cell-pruned index; the fusion is the q_sim_fused
+    * metadata-tier join. Per-(query, doc) BM25 sums are decimal-staged
+    * (order-free, exact); every division is one correctly-rounded IEEE
+    * op — hash-checked end to end. */
+  def hybridTopK(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.t(s, dir, "documents")
+    val docToks = docs.select(col("doc_id"),
+      explode(TextHash.tokens(col("text"))).as("token"))
+    val tf = docToks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfx = tf.select("token").groupBy("token").agg(count(lit(1)).as("df"))
+    // per-query terms: the query doc's most selective tokens (tf rows ARE
+    // the distinct (doc, token) pairs — no second distinct needed)
+    val wq = Window.partitionBy("q_id").orderBy(col("df"), col("token"))
+    val qt = tf.filter(col("doc_id") < HybridQueries)
+      .select(col("doc_id").as("q_id"), col("token"))
+      .join(dfx, "token")
+      .withColumn("trn", row_number().over(wq))
+      .filter(col("trn") <= HybridQTerms)
+      .select("q_id", "token", "df")
+    val dl = docs.select(col("doc_id"),
+      size(TextHash.tokens(col("text"))).cast("long").as("dl"))
+    val st = docs.agg(count(lit(1)).as("n_docs"),
+      sum(size(TextHash.tokens(col("text"))).cast("long")).as("tot"))
+    val wl = Window.partitionBy("q_id").orderBy(col("score").desc, col("doc_id"))
+    val lex = tf.join(broadcast(qt), "token")
+      .filter(col("doc_id") =!= col("q_id"))
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(st))
+      .withColumn("score_t", expr(TextAnalysis.bm25ScoreSql))
+      .groupBy("q_id", "doc_id")
+      .agg(graft.Tables.dsum10(col("score_t")).as("score"))
+      .withColumn("r_lex", row_number().over(wl).cast("long"))
+      .filter(col("r_lex") <= 10)
+      .select(col("q_id"), col("doc_id").as("n_id"), col("r_lex"))
+    val dense = Similarity.ivfTrainedTopK(s, dir)
+      .select(col("q_id"), col("n_id"), col("rank").as("r_dense"))
+    val w = Window.partitionBy("q_id").orderBy(col("rrf").desc, col("n_id"))
+    lex.join(dense, Seq("q_id", "n_id"), "full_outer")
+      .withColumn("rrf", expr(
+        s"coalesce(CAST(1 AS DOUBLE) / ($FusionK + r_lex), 0D) + " +
+          s"coalesce(CAST(1 AS DOUBLE) / ($FusionK + r_dense), 0D)"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+      .select("q_id", "n_id", "rrf", "rank")
+      .orderBy("q_id", "rank")
+  }
 }

@@ -39,6 +39,36 @@ class FusionSpec extends SparkSpec {
     }
   }
 
+  test("hybrid retrieval fuses genuinely mixed evidence") {
+    val hybrid = Fusion.hybridTopK(spark, sf).collect()
+    val byQ = hybrid.groupBy(_.getLong(0))
+    assert(byQ.keySet == (0L until 8L).toSet)
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_.getLong(3)).sorted.toSeq == (1L to 10L))
+      assert(!rs.map(_.getLong(1)).contains(q), s"query $q returned itself")
+      assert(rs.map(_.getLong(1)).distinct.length == rs.length)
+    }
+    // both towers contribute: some fused neighbors are NOT in the dense
+    // top-10 (lexical-only evidence surfaced them) and some are (the dense
+    // side is not drowned out)
+    val dense = Similarity.ivfTrainedTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pairs = hybrid.map(r => (r.getLong(0), r.getLong(1)))
+    val lexOnly = pairs.count(!dense.contains(_))
+    val denseHit = pairs.count(dense.contains)
+    info(s"hybrid fused pairs: $denseHit dense-backed, $lexOnly lexical-only")
+    assert(lexOnly > 0, "no lexical-only neighbor surfaced — the text tower is dead")
+    assert(denseHit > 0, "no dense neighbor survived — the vector tower is dead")
+    // a pair at rank 1 in BOTH towers is unbeatable by any single-tower pair
+    val maxSingle = 1.0 / (Fusion.FusionK + 1)
+    hybrid.foreach { r =>
+      assert(r.getDouble(2) <= 2.0 / (Fusion.FusionK + 1) + 1e-12)
+      if (r.getDouble(2) > maxSingle + 1e-12)
+        assert(dense.contains((r.getLong(0), r.getLong(1))),
+          "a score above the single-tower bound requires both towers")
+    }
+  }
+
   test("the consensus does not fall below the member families") {
     def avgRecall(df: org.apache.spark.sql.DataFrame): Double = {
       val rs = df.collect().map(_.getDouble(3))
