@@ -91,6 +91,10 @@ object SparkEntry {
     "q_dedup_clusters"     -> (Dedup.clusters _),
     "q_dedup_shingle"      -> (Dedup.shinglePairs _),
     "q_dedup_winnow"       -> (Dedup.winnowPairs _),
+    // exact-substring duplication audit: every W-token window hashed and
+    // checked cross-doc (Lee et al. 2022 — exhaustive, where winnowing
+    // samples; llm/Dedup)
+    "q_dedup_substring"    -> (Dedup.substringAudit _),
     "q_stats_profile"      -> (graft.ops.Profile.profile _),
     "q_decontaminate"      -> (graft.llm.Curation.decontaminate _),
     "q_decontaminate_audit" -> (graft.llm.Curation.decontaminateAudit _),
@@ -1618,6 +1622,27 @@ object SparkEntry {
           FROM kept x JOIN kept y ON x.fp = y.fp AND x.doc_id < y.doc_id
           GROUP BY 1, 2 HAVING count(*) >= $WinnowMinShared
           ORDER BY doc_a, doc_b"""
+    },
+    // exact-substring audit: every W-token window hashed (identical window
+    // string: array slice joined on ' '), cross-doc frequency over DISTINCT
+    // (doc, hash) postings, per-doc exact fraction
+    "q_dedup_substring" -> {
+      val w = graft.llm.Dedup.SubstringW
+      s"""WITH sdt AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS tk
+                       FROM documents),
+          sdw AS (SELECT doc_id, unnest(generate_series(1, len(tk) - ${w - 1})) AS j, tk
+                  FROM sdt WHERE len(tk) >= $w),
+          sdh AS (SELECT doc_id,
+                         ${dTokHash(s"array_to_string(tk[j:j+${w - 1}], ' ')")} % ${TextHash.P} AS wh
+                  FROM sdw),
+          sdd AS (SELECT wh, count(*) AS dfd FROM (SELECT DISTINCT doc_id, wh FROM sdh)
+                  GROUP BY 1)
+          SELECT h.doc_id, count(*) AS n_windows,
+                 CAST(SUM(CASE WHEN d.dfd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+                 CAST(SUM(CASE WHEN d.dfd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) AS dup_frac
+          FROM sdh h JOIN sdd d USING (wh)
+          GROUP BY 1 ORDER BY 1"""
     },
     // transitive closure via a recursive CTE: reach(s, d) = d reachable from
     // s through jaccard-verified edges; component = min reachable doc.

@@ -292,6 +292,55 @@ object Dedup {
     * partitions on fp — the same key the self-join shuffles on, so the
     * exchange is computed once and reused. All counts are exact integers;
     * no floats anywhere. */
+  /** Exact-substring window length in TOKENS (Lee et al. use 50 BPE tokens
+    * at web scale; the fixture's docs run 10-99 whitespace tokens, so 8
+    * keeps every doc auditable while the method is unchanged). */
+  val SubstringW: Int = 8
+
+  /** q_dedup_substring: EXACT-SUBSTRING duplication audit (Lee, Ippolito
+    * et al., "Deduplicating Training Data Makes Language Models Better",
+    * ACL 2022, public method: any W-token span that occurs elsewhere in
+    * the corpus is duplicated text worth cutting) — the EXHAUSTIVE
+    * counterpart of the winnowing fingerprints, which SAMPLE ~2/(w+1) of
+    * positions: here every one of a doc's len−W+1 token windows is hashed
+    * and checked against the whole corpus, so the emitted per-doc
+    * duplicated-window fraction is exact, not an estimate. (The suffix
+    * array Lee et al. build serves arbitrary-length matches; fixed-W
+    * window hashing detects the same ≥W-token spans with one shuffle — the
+    * standard distributed reformulation, and W is the same knob as their
+    * minimum match length.)
+    *
+    * Scale shape: the window table is Σ(len−W+1) ≈ corpus-token rows —
+    * LINEAR, built in one codegen'd map stage (transform over the token
+    * array, md5 per window); the cross-doc frequency is a distinct +
+    * count keyed on the 60-bit window hash (shuffle carries the distinct
+    * (doc, hash) postings, never window text); the verdict join rides the
+    * same hash key. All counts are exact integers; the fraction is one
+    * IEEE division — hash-checked. Within-doc repeats do NOT mark a doc
+    * (dfd counts DISTINCT docs per window): the audit measures cross-doc
+    * contamination, the q_text_repetition gate owns self-repetition. */
+  def substringAudit(s: SparkSession, dir: String): DataFrame = {
+    val W = SubstringW
+    // per-window hashing is the CPU-heavy stage; spread() unserializes it
+    // when the scan under-splits (the winnowPairs rationale)
+    val docs = graft.Tables.spread(t(s, dir, "documents"))
+    val wt = docs
+      .select(col("doc_id"), tokens(coalesce(col("text"), lit(""))).as("tk"))
+      .filter(size(col("tk")) >= W)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(tk) - ${W - 1}), " +
+          s"j -> ${tokHashSql(s"concat_ws(' ', slice(tk, j, $W))")} % ${P}L)")).as("wh"))
+    val dfd = wt.select("doc_id", "wh").distinct()
+      .groupBy("wh").agg(count(lit(1)).as("dfd"))
+    wt.join(dfd, "wh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("dfd") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_frac",
+        col("n_dup").cast("double") / col("n_windows").cast("double"))
+      .orderBy("doc_id")
+  }
+
   def winnowPairs(s: SparkSession, dir: String): DataFrame = {
     val w = WinnowWindow
     // positional hashing is the CPU-heavy stage; spread() unserializes it
