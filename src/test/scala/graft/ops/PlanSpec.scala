@@ -331,6 +331,9 @@ class PlanSpec extends SparkSpec {
       // q_text_bm25: the (n_docs, total_tokens) corpus statistics are the
       // tf-idf 1-row broadcast — one partial per partition, never rows
       "q_text_bm25",
+      // q_retrieve_hybrid: inherits bm25's (n_docs, total_tokens) 1-row
+      // broadcast for its lexical tower (Fusion.hybridTopK)
+      "q_retrieve_hybrid",
       // q_mix_epochs: the (total_tokens, n_groups) budget base is a 1-row
       // broadcast over the groups-sized schedule frame (Curation.epochSchedule)
       "q_mix_epochs",
