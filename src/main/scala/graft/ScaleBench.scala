@@ -105,6 +105,13 @@ object ScaleBench {
         // grows linearly); the query-term probe is a 4-row broadcast
         val tBm25 = med(graft.llm.TextAnalysis.bm25(spark, dirM).count())
         println(f"[scalebench] bm25   m=$m%-3d docs=$nD%-7d bm25=$tBm25%.2f s")
+        // exact-substring audit (r9): the window table is corpus-token rows
+        // (one codegen'd md5 map stage) and the cross-doc frequency is a
+        // distinct+count on the window hash — must be LINEAR in tokens;
+        // replication multiplies every class, so boilerplate hashes gain
+        // df = m·k but the postings stay one row per (doc, hash)
+        val tSub = med(graft.llm.Dedup.substringAudit(spark, dirM).count())
+        println(f"[scalebench] substr m=$m%-3d docs=$nD%-7d substring_audit=$tSub%.2f s")
       }
     }
 
