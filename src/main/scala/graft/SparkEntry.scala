@@ -102,6 +102,10 @@ object SparkEntry {
     "q_text_commonness"    -> (graft.llm.Curation.commonness _),
     "q_sample_stratified"  -> (graft.llm.Curation.stratifiedSample _),
     "q_split_assign"       -> (graft.llm.Curation.splitAssign _),
+    // split-contamination audit: near-dup class members straddling the
+    // train/eval boundary — the internal leak the content-keyed split
+    // cannot prevent (llm/Curation + the published near-dup closure)
+    "q_split_leakage"      -> (graft.llm.Curation.splitLeakage _),
     "q_stats_skew"         -> (graft.ops.Profile.skew _),
     "q_sample_per_group"   -> (graft.llm.Curation.samplePerGroup _),
     "q_text_repetition"    -> (graft.llm.Curation.repetition _),
@@ -950,6 +954,33 @@ object SparkEntry {
         SELECT q_id, n_id, hd, cos, "rank" FROM brr
         WHERE "rank" <= 10 ORDER BY q_id, "rank""""
 
+  /** Transitive-closure twin of Dedup.components (recursive CTE over the
+    * jaccard-verified near-dup edges; component = min reachable doc) —
+    * shared by q_dedup_components and the split-leakage audit, which joins
+    * the closure to the content-keyed split rule. */
+  private def dedupComponentsSql: String =
+    s"""WITH RECURSIVE $minhashCtes,
+        toks AS (SELECT doc_id, list_distinct(h) AS ths, len(list_distinct(h)) AS nt FROM th),
+        edges AS (SELECT p.doc_a, p.doc_b,
+               CAST(len(list_intersect(a.ths, b.ths)) AS DOUBLE)
+                 / (a.nt + b.nt - len(list_intersect(a.ths, b.ths))) AS jac
+              FROM pairs p
+              JOIN toks a ON p.doc_a = a.doc_id
+              JOIN toks b ON p.doc_b = b.doc_id
+              WHERE jac >= 0.95),
+        und AS (SELECT doc_a AS s, doc_b AS d FROM edges
+                UNION ALL SELECT doc_b, doc_a FROM edges),
+        reach(s, d) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT u.s, r.d FROM und u JOIN reach r ON u.d = r.s),
+        comp AS (SELECT s AS doc_id, min(d) AS component_id FROM reach GROUP BY s)
+        SELECT c.doc_id, CAST(c.component_id AS BIGINT) AS component_id,
+               CAST(z.n AS BIGINT) AS n_members
+        FROM comp c JOIN (SELECT component_id, count(*) AS n FROM comp GROUP BY 1) z
+          ON c.component_id = z.component_id
+        ORDER BY c.doc_id"""
+
   /** Shared NN-descent CTEs ending in the refined WORKING graph
     * d{DescentIters}(src, dst, cos, rnk ≤ DescentK) — twin of
     * Similarity.descentGraph, reused by the nndescent emit query and the
@@ -1646,28 +1677,24 @@ object SparkEntry {
     },
     // transitive closure via a recursive CTE: reach(s, d) = d reachable from
     // s through jaccard-verified edges; component = min reachable doc.
-    "q_dedup_components" ->
-      s"""WITH RECURSIVE $minhashCtes,
-          toks AS (SELECT doc_id, list_distinct(h) AS ths, len(list_distinct(h)) AS nt FROM th),
-          edges AS (SELECT p.doc_a, p.doc_b,
-                 CAST(len(list_intersect(a.ths, b.ths)) AS DOUBLE)
-                   / (a.nt + b.nt - len(list_intersect(a.ths, b.ths))) AS jac
-                FROM pairs p
-                JOIN toks a ON p.doc_a = a.doc_id
-                JOIN toks b ON p.doc_b = b.doc_id
-                WHERE jac >= 0.95),
-          und AS (SELECT doc_a AS s, doc_b AS d FROM edges
-                  UNION ALL SELECT doc_b, doc_a FROM edges),
-          reach(s, d) AS (
-            SELECT doc_id, doc_id FROM documents
-            UNION
-            SELECT u.s, r.d FROM und u JOIN reach r ON u.d = r.s),
-          comp AS (SELECT s AS doc_id, min(d) AS component_id FROM reach GROUP BY s)
-          SELECT c.doc_id, CAST(c.component_id AS BIGINT) AS component_id,
-                 CAST(z.n AS BIGINT) AS n_members
-          FROM comp c JOIN (SELECT component_id, count(*) AS n FROM comp GROUP BY 1) z
-            ON c.component_id = z.component_id
-          ORDER BY c.doc_id""",
+    "q_dedup_components" -> dedupComponentsSql,
+    // split-leakage audit: the components twin wrapped as a subquery joined
+    // to the content-keyed split rule — a near-dup class whose members
+    // carry different text can straddle splits (exact dups cannot)
+    "q_split_leakage" ->
+      s"""WITH comp AS (SELECT doc_id, component_id FROM ($dedupComponentsSql)),
+          spl AS (SELECT doc_id,
+                    CASE WHEN ${dTokHash("'split-v1' || '|' || text")} % 100 < 80 THEN 'train'
+                         WHEN ${dTokHash("'split-v1' || '|' || text")} % 100 < 90 THEN 'val'
+                         ELSE 'test' END AS split
+                  FROM documents),
+          lj AS (SELECT c.component_id, s.split
+                 FROM comp c JOIN spl s USING (doc_id))
+          SELECT component_id, count(*) AS n_members,
+                 CAST(count(DISTINCT split) AS BIGINT) AS n_splits,
+                 CAST(CASE WHEN count(DISTINCT split) > 1 THEN 1 ELSE 0 END AS BIGINT) AS leaks
+          FROM lj GROUP BY 1 HAVING count(*) > 1
+          ORDER BY component_id""",
     // incremental dedup: the twin band-joins ALL docs, then restricts to
     // (corpus, batch) candidate pairs. The Spark side collapses the corpus
     // to distinct sets first — identical sets share every band, and rep =

@@ -256,6 +256,32 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** q_split_leakage: SPLIT-CONTAMINATION audit — the leak the content-
+    * keyed split rule CANNOT prevent: byte-identical duplicates land in one
+    * split by construction (splitAssign hashes the text), but NEAR-dup
+    * class members carry different bytes, hash independently, and can
+    * straddle the train/eval boundary — a paraphrase of a training doc
+    * sitting in the test split is eval contamination every serious corpus
+    * audits for (the q_decontaminate family checks against an EXTERNAL
+    * benchmark; this closes the INTERNAL split leak). One join of the
+    * published near-dup closure (Dedup.components — doc → component) to
+    * the split assignment, then a component-keyed rollup: multi-member
+    * components with members in >1 split are the leaks, and the documented
+    * response is split-by-component (assign the whole class the REP's
+    * bucket). All counts exact integers — hash-checked. */
+  def splitLeakage(s: SparkSession, dir: String): DataFrame = {
+    val comp = Dedup.components(s, dir).select("doc_id", "component_id")
+    val splits = splitAssign(s, dir).select("doc_id", "split")
+    comp.join(splits, "doc_id")
+      .groupBy("component_id")
+      .agg(count(lit(1)).as("n_members"),
+        countDistinct("split").as("n_splits"))
+      .filter(col("n_members") > 1)
+      .withColumn("leaks", when(col("n_splits") > 1, 1L).otherwise(0L))
+      .select("component_id", "n_members", "n_splits", "leaks")
+      .orderBy("component_id")
+  }
+
   /** Deterministic per-source sampling rates (percent): the "data mixing"
     * weights of a training recipe. Keyed on the digits of the source name so
     * the rule is pure expression (no lookup table shuffle). */
