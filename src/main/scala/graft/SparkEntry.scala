@@ -163,6 +163,9 @@ object SparkEntry {
     // published index families + its recall audit (llm/Fusion)
     "q_sim_fused"          -> (graft.llm.Fusion.fusedTopK _),
     "q_sim_fused_recall"   -> (graft.llm.Fusion.recallFused _),
+    // ensemble ablation: recall at each member-set prefix — the marginal
+    // contribution of each index family (llm/Fusion)
+    "q_sim_fused_sweep"    -> (graft.llm.Fusion.fusedSweep _),
     // hybrid retrieval: per-query BM25 lexical ranking + the published
     // trained-IVF dense serve, RRF-fused (llm/Fusion)
     "q_retrieve_hybrid"    -> (graft.llm.Fusion.hybridTopK _),
@@ -3659,6 +3662,47 @@ object SparkEntry {
                    ORDER BY rrf DESC, n_id) AS BIGINT) AS "rank" FROM hs)
           SELECT q_id, n_id, rrf, "rank" FROM hr
           WHERE "rank" <= 10 ORDER BY q_id, "rank""""
+    },
+    // ensemble ablation twin: the k=1 fused top-10 IS the ivf top-10 (rrf
+    // is monotone in one rank), k=2/3 are the fixed-order coalesce fusions;
+    // hit counts aggregate over all queries into one row per member count
+    "q_sim_fused_sweep" -> {
+      val k = graft.llm.Fusion.FusionK
+      s"""WITH exact AS (SELECT q_id, n_id FROM ($simTopkSql)),
+          fi AS (SELECT q_id, n_id, "rank" AS r_ivf FROM ($ivfTrainedSql)),
+          fg AS (SELECT q_id, n_id, "rank" AS r_graph FROM ($graphSearchSql)),
+          fb AS (SELECT q_id, n_id, "rank" AS r_bin FROM ($binaryTopkSql)),
+          f2 AS (SELECT q_id, n_id,
+                        coalesce(CAST(1 AS DOUBLE) / ($k + r_ivf), CAST(0 AS DOUBLE)) +
+                        coalesce(CAST(1 AS DOUBLE) / ($k + r_graph), CAST(0 AS DOUBLE)) AS rrf
+                 FROM fi FULL OUTER JOIN fg USING (q_id, n_id)),
+          t2 AS (SELECT q_id, n_id FROM (
+                   SELECT *, row_number() OVER (PARTITION BY q_id
+                     ORDER BY rrf DESC, n_id) AS rn FROM f2)
+                 WHERE rn <= 10),
+          f3 AS (SELECT q_id, n_id,
+                        coalesce(CAST(1 AS DOUBLE) / ($k + r_ivf), CAST(0 AS DOUBLE)) +
+                        coalesce(CAST(1 AS DOUBLE) / ($k + r_graph), CAST(0 AS DOUBLE)) +
+                        coalesce(CAST(1 AS DOUBLE) / ($k + r_bin), CAST(0 AS DOUBLE)) AS rrf
+                 FROM fi FULL OUTER JOIN fg USING (q_id, n_id)
+                 FULL OUTER JOIN fb USING (q_id, n_id)),
+          t3 AS (SELECT q_id, n_id FROM (
+                   SELECT *, row_number() OVER (PARTITION BY q_id
+                     ORDER BY rrf DESC, n_id) AS rn FROM f3)
+                 WHERE rn <= 10),
+          h1 AS (SELECT CAST(1 AS BIGINT) AS n_members, count(*) AS n_exact,
+                        CAST(SUM(CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+                 FROM exact e LEFT JOIN fi a ON e.q_id = a.q_id AND e.n_id = a.n_id),
+          h2 AS (SELECT CAST(2 AS BIGINT) AS n_members, count(*) AS n_exact,
+                        CAST(SUM(CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+                 FROM exact e LEFT JOIN t2 a ON e.q_id = a.q_id AND e.n_id = a.n_id),
+          h3 AS (SELECT CAST(3 AS BIGINT) AS n_members, count(*) AS n_exact,
+                        CAST(SUM(CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+                 FROM exact e LEFT JOIN t3 a ON e.q_id = a.q_id AND e.n_id = a.n_id)
+          SELECT n_members, n_exact, n_hit,
+                 CAST(n_hit AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall
+          FROM (SELECT * FROM h1 UNION ALL SELECT * FROM h2 UNION ALL SELECT * FROM h3)
+          ORDER BY n_members"""
     },
     "q_sim_fused_recall" ->
       s"""WITH exact AS (SELECT q_id, n_id FROM ($simTopkSql)),

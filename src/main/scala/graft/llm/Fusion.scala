@@ -58,6 +58,51 @@ object Fusion {
   def recallFused(s: SparkSession, dir: String): DataFrame =
     Similarity.recallOf(s, dir, fusedTopK(s, dir))
 
+  /** q_sim_fused_sweep: the ensemble ABLATION — recall@10 of the RRF
+    * consensus at each member-set PREFIX (ivf; ivf+graph;
+    * ivf+graph+binary), the marginal-contribution curve an ensemble
+    * publishes next to its operating point (is the third index paying
+    * for its serve cost?). Every member ranking is Q·10 rows of metadata,
+    * so the three fusions fold on the DRIVER (the beamServe discipline)
+    * after one run of each serve + one exact side: absent-member terms
+    * add an explicit 0.0 — exact identity on finite doubles — so the
+    * k-member sum equals the twin's fixed-order coalesce chain
+    * bit-for-bit. */
+  def fusedSweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def localize(df: DataFrame): Seq[(Long, Long, Long)] =
+      df.select("q_id", "n_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val members = Seq(
+      localize(Similarity.ivfTrainedTopK(s, dir)),
+      localize(Similarity.graphSearchTopK(s, dir)),
+      localize(Binary.topK(s, dir)))
+    val exact = Similarity.bruteTopK(s, dir).select("q_id", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = (1 to members.length).map { k =>
+      val ms = members.take(k)
+      val pairs = ms.flatMap(_.map(t => (t._1, t._2))).distinct
+      val rankOf = ms.map(_.map(t => (t._1, t._2) -> t._3).toMap)
+      val fused = pairs
+        .map { p =>
+          // fixed member order, absent terms contribute an explicit 0.0 —
+          // the identical left-assoc sum as the twin's coalesce chain
+          val score = rankOf.foldLeft(0.0) { (acc, m) =>
+            acc + m.get(p).map(r => 1.0 / (FusionK + r)).getOrElse(0.0)
+          }
+          (p._1, p._2, score)
+        }
+        .groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+          rs.sortBy(t => (-t._3, t._2)).take(10)
+        }
+      val hits = fused.count(t => exact.contains((t._1, t._2)))
+      (k.toLong, exact.size.toLong, hits.toLong,
+        hits.toDouble / exact.size.toDouble)
+    }
+    rows.toDF("n_members", "n_exact", "n_hit", "recall")
+      .orderBy("n_members")
+  }
+
   /** Hybrid query-term budget and sample-query count (the established
     * 8-query serve contract; doc_id ≡ vec_id in the corpus, so a sample
     * doc is both a text query and an embedding query). */

@@ -69,6 +69,23 @@ class FusionSpec extends SparkSpec {
     }
   }
 
+  test("the ablation's k=1 point equals the ivf family's own recall") {
+    val sweep = Fusion.fusedSweep(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(sweep.keySet == Set(1L, 2L, 3L))
+    sweep.values.foreach { case (nx, nh, rec) =>
+      assert(nx == 80L && nh >= 0L && nh <= nx)
+      assert(rec == nh.toDouble / nx.toDouble)
+    }
+    // RRF over one member is a monotone transform of its rank — the k=1
+    // curve point must equal the member's standing recall audit
+    val ivf = Similarity.recallIvf(spark, sf).collect().map(_.getLong(2)).sum
+    assert(sweep(1L)._2 == ivf,
+      s"k=1 ablation hits ${sweep(1L)._2} != ivf audit hits $ivf")
+    info(sweep.toSeq.sortBy(_._1)
+      .map { case (k, (_, _, r)) => f"k=$k: $r%.3f" }.mkString("  "))
+  }
+
   test("the consensus does not fall below the member families") {
     def avgRecall(df: org.apache.spark.sql.DataFrame): Double = {
       val rs = df.collect().map(_.getDouble(3))
