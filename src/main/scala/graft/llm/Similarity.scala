@@ -997,10 +997,15 @@ object Similarity {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     }
     // keep the best k per query — (cos desc, n_id asc), the exact total
-    // order of the row_number window this replaces
+    // order of the row_number window this replaces. Scala's total Double
+    // ordering distinguishes -0.0 < 0.0 where SQL's ORDER BY does not
+    // (ADVICE r9): map a signed zero to +0.0 before negating so an exactly
+    // orthogonal pair ranks by the n_id tie-break, not by sign-of-zero.
+    def sortKey(t: (Long, Long, Double)): (Double, Long) =
+      (if (t._3 == 0.0) 0.0 else -t._3, t._2)
     def beam(scored: Seq[(Long, Long, Double)], k: Int): Seq[(Long, Long, Double)] =
       scored.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (_, rs) =>
-        rs.sortBy(t => (-t._3, t._2)).take(k)
+        rs.sortBy(sortKey).take(k)
       }
     val entryIds = entryNds.collect().map(_.getLong(0)).toSeq
     val qIds = q.select("q_id").collect().map(_.getLong(0)).toSeq
@@ -1025,7 +1030,7 @@ object Similarity {
     beam(frontier, 10)
       .groupBy(_._1).toSeq.sortBy(_._1)
       .flatMap { case (_, rs) =>
-        rs.sortBy(t => (-t._3, t._2)).zipWithIndex
+        rs.sortBy(sortKey).zipWithIndex
           .map { case ((qi, ni, c), i) => (qi, ni, c, (i + 1).toLong) }
       }
       .toDF("q_id", "n_id", "cos", "rank")

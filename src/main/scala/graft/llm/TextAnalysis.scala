@@ -69,18 +69,14 @@ object TextAnalysis {
     * pairs. N rides in as a 1-row broadcast (same pattern as
     * q_stats_skew's total). */
   def tfidf(s: SparkSession, dir: String): DataFrame = {
-    val docToks = t(s, dir, "documents")
-      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-    val tf = docToks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-    // df derives FROM tf (one row per (doc, token) = the distinct pairs):
-    // the corpus is tokenized and exploded once, not once per branch, and
-    // the (doc_id, token) exchange under tf is reused for both join inputs
-    val df = tf.select("token").groupBy("token").agg(count(lit(1)).as("df"))
-    val n = t(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
+    // since r10 the (tf, df) pairs and the corpus count come from the
+    // PUBLISHED lexical index (LexIndex — built in one tokenize pass,
+    // committed through the warehouse pointer): the salience serve is one
+    // postings scan + a 1-row broadcast, no corpus tokenize per call
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("score").desc, col("token"))
-    tf.join(df, "token")
-      .crossJoin(broadcast(n))
+    LexIndex.postings(s, dir)
+      .crossJoin(broadcast(LexIndex.stats(s, dir).select("n_docs")))
       .withColumn("score",
         (col("tf") * col("n_docs")).cast("double") / col("df").cast("double"))
       .withColumn("rnk", row_number().over(w).cast("long"))
@@ -118,27 +114,26 @@ object TextAnalysis {
 
   /** q_text_bm25: BM25 lexical retrieval — the inverted-index ranking
     * baseline a RAG / training-data pipeline runs next to the embedding
-    * ANN family. Scale topology: tf/df reuse the tfidf vocabulary-exchange
-    * shape (the corpus tokenizes and explodes ONCE; df derives from tf);
-    * the 4-row query-term frame BROADCASTS against tf, so the scored frame
-    * is the POSTING LISTS of the query terms, never doc×vocab; document
-    * length joins on one doc_id exchange; N and total-token counts ride as
-    * a 1-row broadcast; the per-doc ≤4-term sum is decimal-staged
-    * (Tables.dsum10 — order-free, exact); the top-20 cut is
-    * TakeOrderedAndProject, no global sort. Every score replays
-    * bit-identically in the DuckDB twin (see bm25ScoreSql). */
+    * ANN family. Since r10 it serves from the PUBLISHED lexical index
+    * (LexIndex; VERDICT r9 item 1): query terms derive from the published
+    * vocab (df asc, token asc — corpus-derived, so the oracle twin replays
+    * the identical query), the ≤4 term strings collect to the driver
+    * (metadata tier — the probed-cell-ids discipline of the IVF serve) and
+    * push into the token-clustered postings scan as a literal IN, so the
+    * serve decodes only the query terms' POSTING LISTS — no corpus
+    * tokenize, no doc-keyed join (df and dl are denormalized into the
+    * postings). N and total-token counts ride as a published 1-row
+    * broadcast; the per-doc ≤4-term sum is decimal-staged (Tables.dsum10 —
+    * order-free, exact); the top-20 cut is TakeOrderedAndProject, no
+    * global sort. Every score replays bit-identically in the DuckDB twin
+    * (see bm25ScoreSql). */
   def bm25(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    val docToks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-    val tf = docToks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-    val df = tf.select("token").groupBy("token").agg(count(lit(1)).as("df"))
-    val qt = df.orderBy(col("df"), col("token")).limit(Bm25QTerms)
-    val dl = docs.select(col("doc_id"), size(tokens(col("text"))).cast("long").as("dl"))
-    val st = docs.agg(count(lit(1)).as("n_docs"),
-      sum(size(tokens(col("text"))).cast("long")).as("tot"))
-    tf.join(broadcast(qt), "token")
-      .join(dl, "doc_id")
-      .crossJoin(broadcast(st))
+    val terms = LexIndex.vocab(s, dir)
+      .orderBy(col("df"), col("token")).limit(Bm25QTerms)
+      .select("token").collect().map(_.getString(0)).toSeq
+    LexIndex.postings(s, dir)
+      .filter(col("token").isInCollection(terms))
+      .crossJoin(broadcast(LexIndex.stats(s, dir)))
       .withColumn("score_t", expr(bm25ScoreSql))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_terms"), graft.Tables.dsum10(col("score_t")).as("score"))

@@ -53,9 +53,17 @@ class Bm25Spec extends SparkSpec {
     }
   }
 
-  test("plan: query-term posting probe is a broadcast join, top-k has no global sort") {
-    val plan = TextAnalysis.bm25(spark, sf).queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"), s"no broadcast probe in:\n$plan")
+  test("plan: query terms push into the postings scan as a literal IN, top-k has no global sort") {
+    // r10: the broadcast-join probe became a pushed In(token) predicate on
+    // the published token-clustered postings (LexIndexSpec pins the
+    // no-documents-scan half)
+    val df = TextAnalysis.bm25(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("isInCollection") || plan.contains("In(token") ||
+      plan.contains("token#"), s"no query-term probe in:\n$plan")
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(formatted.contains("In(token"), s"IN not pushed to the scan:\n$formatted")
     assert(plan.contains("TakeOrderedAndProject"), s"global sort in:\n$plan")
   }
 }

@@ -33,6 +33,21 @@ class DedupSubstringSpec extends SparkSpec {
     assert(got(2L) == ((8L, 0L, 0.0)), s"doc2: ${got(2L)}")
   }
 
+  test("the tokenize+hash map stage runs once: both consumers reuse one exchange") {
+    // VERDICT r9: the window table fed two different exchanges, so the
+    // CPU-heavy window-hash stage ran twice per call. The posting-collapse
+    // + frequency-window form is one linear pipeline: the final adaptive
+    // plan must show a single documents scan and a single window-hash
+    // Generate (strip the echoed initial plan before counting).
+    val df = Dedup.substringAudit(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val scans = "Scan parquet".r.findAllIn(p).size
+    val gens = "Generate explode".r.findAllIn(p).size
+    assert(scans == 1, s"expected one documents scan, got $scans:\n${p.take(4000)}")
+    assert(gens == 1, s"expected one window-hash Generate, got $gens:\n${p.take(4000)}")
+  }
+
   test("fixture: the near-dup structure is visible, the corpus is not drowned") {
     val audit = Dedup.substringAudit(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getDouble(3)).toMap
