@@ -86,21 +86,50 @@ object Warehouse {
   /** Materialize a COMPLETE version dir via `write`, then commit it with the
     * one atomic pointer replace. Everything `write` puts in the dir —
     * part-files, layout sidecars — is immutable together: readers never see
-    * a version without its metadata. */
+    * a version without its metadata.
+    *
+    * The staged pointer file doubles as the publish's INTENT MARKER
+    * (ADVICE r9): it is created BEFORE any data is materialized, and the
+    * commit rename consumes it — so for the entire materialize window a
+    * live `_CURRENT.<nonce>.tmp` names the in-flight nonce, and `vacuum`
+    * skips that nonce's version dirs no matter how long the write takes.
+    * No wall-clock assumption: a publish protected by its marker can run
+    * for hours (a large compaction) without a concurrent vacuum deleting
+    * the dirs it is about to reference. A marker with no rename is a
+    * publish that died mid-flight; vacuum reclaims it only after
+    * `abandonedMs` (default 24 h — far beyond any real write). */
   private def publishVersion(spark: SparkSession, target: String)
                             (write: String => Unit): String = {
     val nonce = java.util.UUID.randomUUID.toString.take(8)
     val v = f"v_${System.currentTimeMillis()}%013d_$nonce"
-    write(s"$target/$v")
     val f = fs(spark, target)
     val tmp = new Path(target, s"_CURRENT.$nonce.tmp")
-    val out = f.create(tmp, true)
-    try out.write(v.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    val intent = f.create(tmp, true)
+    try intent.write(v.getBytes(StandardCharsets.UTF_8)) finally intent.close()
+    write(s"$target/$v")
     val fc = FileContext.getFileContext(new Path(target).toUri,
       spark.sparkContext.hadoopConfiguration)
     fc.rename(tmp, pointer(target), Options.Rename.OVERWRITE)
     v
   }
+
+  /** Nonces of live in-flight publish markers (`<prefix>.<nonce>.tmp`)
+    * under `dir`, deleting markers older than `abandonedMs` (a publish
+    * that died between writing its intent and its commit rename). */
+  private def liveMarkerNonces(f: FileSystem, dir: Path, prefix: String,
+                               abandonedMs: Long): Set[String] = {
+    val cutoff = System.currentTimeMillis() - abandonedMs
+    f.listStatus(dir).toSeq
+      .filter(st => st.isFile && st.getPath.getName.startsWith(prefix + ".")
+        && st.getPath.getName.endsWith(".tmp"))
+      .flatMap { st =>
+        if (st.getModificationTime < cutoff) { f.delete(st.getPath, false); None }
+        else Some(st.getPath.getName.stripPrefix(prefix + ".").stripSuffix(".tmp"))
+      }.toSet
+  }
+
+  /** The publish nonce embedded in a version name (`v_<ms13>_<nonce>`). */
+  private def nonceOf(v: String): String = v.split('_').last
 
   private def clusteringSidecar(dir: String) = new Path(dir, "_CLUSTERING")
 
@@ -326,6 +355,14 @@ object Warehouse {
                       members: Seq[(String, DataFrame)],
                       partCol: Option[String] = None): Map[String, String] = {
     val nonce = java.util.UUID.randomUUID.toString.take(8)
+    // Intent marker FIRST (ADVICE r9): a live _SNAPSHOT.<nonce>.tmp
+    // protects this publish's version dirs from a concurrent
+    // vacuumSnapshot for the whole materialize window — however long the
+    // member writes take. The commit rename below consumes the marker.
+    val f = fs(spark, root)
+    val tmp = new Path(root, s"_SNAPSHOT.$nonce.tmp")
+    val intent = f.create(tmp, true)
+    try intent.write(nonce.getBytes(StandardCharsets.UTF_8)) finally intent.close()
     val versions = members.map { case (name, df) =>
       val v = f"v_${System.currentTimeMillis()}%013d_$nonce"
       val w = df.write.mode(SaveMode.Overwrite)
@@ -334,8 +371,6 @@ object Warehouse {
     }
     val content = versions.sortBy(_._1)
       .map { case (n, v) => s"$n=$v" }.mkString("\n")
-    val f = fs(spark, root)
-    val tmp = new Path(root, s"_SNAPSHOT.$nonce.tmp")
     val out = f.create(tmp, true)
     try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
     val fc = FileContext.getFileContext(new Path(root).toUri,
@@ -437,13 +472,21 @@ object Warehouse {
 
   /** Drop every version dir except the current one (call once readers of the
     * previous version have drained; on an object store this is the offline
-    * GC job). */
-  def vacuum(spark: SparkSession, target: String): Unit =
+    * GC job). A version whose nonce matches a live `_CURRENT.<nonce>.tmp`
+    * intent marker belongs to an in-flight publish and is never touched —
+    * marker-based, not wall-clock, so vacuum is safe to run concurrently
+    * with arbitrarily long publishes. Markers older than `abandonedMs`
+    * (a publish that died mid-flight) are reclaimed along with their
+    * versions. */
+  def vacuum(spark: SparkSession, target: String,
+             abandonedMs: Long = 24L * 3600 * 1000): Unit =
     currentVersion(spark, target).foreach { cur =>
       val f = fs(spark, target)
+      val inFlight = liveMarkerNonces(f, new Path(target), "_CURRENT", abandonedMs)
       f.listStatus(new Path(target)).toSeq
         .filter(st => st.isDirectory && st.getPath.getName.startsWith("v_")
-          && st.getPath.getName != cur)
+          && st.getPath.getName != cur
+          && !inFlight.contains(nonceOf(st.getPath.getName)))
         .foreach(st => f.delete(st.getPath, true))
     }
 
@@ -453,21 +496,27 @@ object Warehouse {
     * phase-two of snapshot retirement; run once in-flight readers of the
     * previous snapshot drain, exactly like single-target vacuum.
     *
-    * Publish race (ADVICE r8): a concurrent publishSnapshot materializes
-    * its member version dirs BEFORE its pointer rename lands, so a naive
-    * "delete everything unreferenced" sweep during that window destroys
-    * the data a commit is about to reference. Version names embed their
-    * creation millisecond (`v_<ms13>_<nonce>`), so vacuum skips any
-    * unreferenced version younger than `graceMs` — older than any sane
-    * publish's materialize-to-commit window (the same age-based guard
-    * Delta's VACUUM retention period gives tombstoned files). A version
-    * that is BOTH unreferenced and older than the grace window is either
-    * superseded or belongs to a publish that died mid-flight — both are
-    * correct to drop. */
+    * Publish race (ADVICE r8/r9): a concurrent publishSnapshot
+    * materializes its member version dirs BEFORE its pointer rename lands,
+    * so a naive "delete everything unreferenced" sweep during that window
+    * destroys the data a commit is about to reference. The PRIMARY guard
+    * is the publish's intent marker: publishSnapshot writes
+    * `_SNAPSHOT.<nonce>.tmp` before materializing anything and the commit
+    * rename consumes it, so a live marker names exactly the nonce of an
+    * in-flight publish and vacuum skips that nonce's version dirs — no
+    * wall-clock assumption, safe against a publish whose member write
+    * takes hours or against clock skew on a shared filesystem. A marker
+    * with no commit after `abandonedMs` (default 24 h) is a dead publish
+    * and is reclaimed. The `graceMs` age window (version names embed
+    * their creation millisecond, `v_<ms13>_<nonce>`) is kept as a
+    * belt-and-braces secondary guard for dirs written by out-of-band
+    * tools that do not follow the marker protocol. */
   def vacuumSnapshot(spark: SparkSession, root: String,
-                     graceMs: Long = 15L * 60 * 1000): Unit =
+                     graceMs: Long = 15L * 60 * 1000,
+                     abandonedMs: Long = 24L * 3600 * 1000): Unit =
     readSnapshot(spark, root).foreach { snap =>
       val f = fs(spark, root)
+      val inFlight = liveMarkerNonces(f, new Path(root), "_SNAPSHOT", abandonedMs)
       val cutoff = System.currentTimeMillis() - graceMs
       def bornAt(v: String): Long =
         // v_<13-digit-ms>_<nonce>; an unparseable name is treated as young
@@ -481,6 +530,7 @@ object Warehouse {
           f.listStatus(member.getPath).toSeq
             .filter(st => st.isDirectory && st.getPath.getName.startsWith("v_")
               && !keep.contains(st.getPath.getName)
+              && !inFlight.contains(nonceOf(st.getPath.getName))
               && bornAt(st.getPath.getName) < cutoff)
             .foreach(st => f.delete(st.getPath, true))
           if (f.listStatus(member.getPath).isEmpty)
