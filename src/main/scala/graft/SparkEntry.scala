@@ -169,6 +169,8 @@ object SparkEntry {
     // hybrid retrieval: per-query BM25 lexical ranking + the published
     // trained-IVF dense serve, RRF-fused (llm/Fusion)
     "q_retrieve_hybrid"    -> (graft.llm.Fusion.hybridTopK _),
+    // the hybrid's recall@10 audit vs exact cosine (llm/Fusion)
+    "q_retrieve_recall"    -> (graft.llm.Fusion.recallHybrid _),
     // oracle-visible recall audits for the new serve paths (the _bound
     // twin discipline applied to ANN quality)
     "q_sim_graph_recall"   -> (Similarity.recallGraph _),
@@ -961,6 +963,52 @@ object SparkEntry {
     * jaccard-verified near-dup edges; component = min reachable doc) —
     * shared by q_dedup_components and the split-leakage audit, which joins
     * the closure to the content-keyed split rule. */
+  /** Twin of Fusion.hybridTopK: per-query selective terms (the bm25 twin's
+    * derivation, partitioned by query doc), posting-list BM25 with the
+    * shared bm25ScoreSql + decimal-staged per-(q, doc) sum, the trained-IVF
+    * twin as the dense side, and the fused queries' RRF shape. Shared by
+    * q_retrieve_hybrid and its recall audit q_retrieve_recall. */
+  private def hybridTopkSql: String = {
+    import graft.llm.Fusion.{HybridQTerms, HybridQueries, FusionK}
+    s"""WITH dt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        tfx AS (SELECT doc_id, token, count(*) AS tf FROM dt GROUP BY 1, 2),
+        dfx AS (SELECT token, count(*) AS df FROM tfx GROUP BY 1),
+        hqt AS (SELECT q_id, token, df FROM (
+                  SELECT t.doc_id AS q_id, t.token, d.df,
+                         row_number() OVER (PARTITION BY t.doc_id
+                           ORDER BY d.df, t.token) AS trn
+                  FROM tfx t JOIN dfx d USING (token)
+                  WHERE t.doc_id < $HybridQueries)
+                WHERE trn <= $HybridQTerms),
+        dlx AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+        st AS (SELECT count(*) AS n_docs, SUM(len(string_split(text, ' '))) AS tot
+               FROM documents),
+        hsc AS (SELECT q.q_id, tfx.doc_id, ${graft.llm.TextAnalysis.bm25ScoreSql} AS score_t
+                FROM tfx JOIN hqt q USING (token)
+                JOIN dlx ON dlx.doc_id = tfx.doc_id, st
+                WHERE tfx.doc_id <> q.q_id),
+        hlx AS (SELECT q_id, doc_id,
+                       CAST(CAST(SUM(CAST(score_t AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS score
+                FROM hsc GROUP BY 1, 2),
+        hl AS (SELECT q_id, n_id, r_lex FROM (
+                 SELECT q_id, doc_id AS n_id,
+                        CAST(row_number() OVER (PARTITION BY q_id
+                          ORDER BY score DESC, doc_id) AS BIGINT) AS r_lex
+                 FROM hlx)
+               WHERE r_lex <= 10),
+        hd AS (SELECT q_id, n_id, "rank" AS r_dense FROM ($ivfTrainedSql)),
+        hj AS (SELECT q_id, n_id, r_lex, r_dense
+               FROM hl FULL OUTER JOIN hd USING (q_id, n_id)),
+        hs AS (SELECT q_id, n_id,
+                      coalesce(CAST(1 AS DOUBLE) / ($FusionK + r_lex), CAST(0 AS DOUBLE)) +
+                      coalesce(CAST(1 AS DOUBLE) / ($FusionK + r_dense), CAST(0 AS DOUBLE)) AS rrf
+               FROM hj),
+        hr AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+                 ORDER BY rrf DESC, n_id) AS BIGINT) AS "rank" FROM hs)
+        SELECT q_id, n_id, rrf, "rank" FROM hr
+        WHERE "rank" <= 10 ORDER BY q_id, "rank""""
+  }
+
   private def dedupComponentsSql: String =
     s"""WITH RECURSIVE $minhashCtes,
         toks AS (SELECT doc_id, list_distinct(h) AS ths, len(list_distinct(h)) AS nt FROM th),
@@ -3619,50 +3667,21 @@ object SparkEntry {
                    ORDER BY rrf DESC, n_id) AS BIGINT) AS "rank" FROM fs)
           SELECT q_id, n_id, rrf, "rank" FROM fr
           WHERE "rank" <= 10 ORDER BY q_id, "rank"""",
-    // twin of Fusion.hybridTopK: per-query selective terms (the bm25 twin's
-    // derivation, partitioned by query doc), posting-list BM25 with the
-    // shared bm25ScoreSql + decimal-staged per-(q, doc) sum, the trained-IVF
-    // twin as the dense side, and the fused queries' RRF shape
-    "q_retrieve_hybrid" -> {
-      import graft.llm.Fusion.{HybridQTerms, HybridQueries, FusionK}
-      s"""WITH dt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
-          tfx AS (SELECT doc_id, token, count(*) AS tf FROM dt GROUP BY 1, 2),
-          dfx AS (SELECT token, count(*) AS df FROM tfx GROUP BY 1),
-          hqt AS (SELECT q_id, token, df FROM (
-                    SELECT t.doc_id AS q_id, t.token, d.df,
-                           row_number() OVER (PARTITION BY t.doc_id
-                             ORDER BY d.df, t.token) AS trn
-                    FROM tfx t JOIN dfx d USING (token)
-                    WHERE t.doc_id < $HybridQueries)
-                  WHERE trn <= $HybridQTerms),
-          dlx AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
-          st AS (SELECT count(*) AS n_docs, SUM(len(string_split(text, ' '))) AS tot
-                 FROM documents),
-          hsc AS (SELECT q.q_id, tfx.doc_id, ${graft.llm.TextAnalysis.bm25ScoreSql} AS score_t
-                  FROM tfx JOIN hqt q USING (token)
-                  JOIN dlx ON dlx.doc_id = tfx.doc_id, st
-                  WHERE tfx.doc_id <> q.q_id),
-          hlx AS (SELECT q_id, doc_id,
-                         CAST(CAST(SUM(CAST(score_t AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS score
-                  FROM hsc GROUP BY 1, 2),
-          hl AS (SELECT q_id, n_id, r_lex FROM (
-                   SELECT q_id, doc_id AS n_id,
-                          CAST(row_number() OVER (PARTITION BY q_id
-                            ORDER BY score DESC, doc_id) AS BIGINT) AS r_lex
-                   FROM hlx)
-                 WHERE r_lex <= 10),
-          hd AS (SELECT q_id, n_id, "rank" AS r_dense FROM ($ivfTrainedSql)),
-          hj AS (SELECT q_id, n_id, r_lex, r_dense
-                 FROM hl FULL OUTER JOIN hd USING (q_id, n_id)),
-          hs AS (SELECT q_id, n_id,
-                        coalesce(CAST(1 AS DOUBLE) / ($FusionK + r_lex), CAST(0 AS DOUBLE)) +
-                        coalesce(CAST(1 AS DOUBLE) / ($FusionK + r_dense), CAST(0 AS DOUBLE)) AS rrf
-                 FROM hj),
-          hr AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
-                   ORDER BY rrf DESC, n_id) AS BIGINT) AS "rank" FROM hs)
-          SELECT q_id, n_id, rrf, "rank" FROM hr
-          WHERE "rank" <= 10 ORDER BY q_id, "rank""""
-    },
+    "q_retrieve_hybrid" -> hybridTopkSql,
+    // recall@10 audit of the two-tower hybrid vs the exact cosine top-10
+    // (VERDICT r9 item 2): both sides are already-oracle-checked twins;
+    // hit counts are integers, recall one IEEE division
+    "q_retrieve_recall" ->
+      s"""WITH exact AS (SELECT q_id, n_id FROM ($simTopkSql)),
+          approx AS (SELECT q_id, n_id FROM ($hybridTopkSql)),
+          h AS (SELECT e.q_id, count(*) AS n_exact,
+                       CAST(SUM(CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+                FROM exact e LEFT JOIN approx a
+                  ON e.q_id = a.q_id AND e.n_id = a.n_id
+                GROUP BY 1)
+          SELECT q_id, n_exact, n_hit,
+                 CAST(n_hit AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall
+          FROM h ORDER BY q_id""",
     // ensemble ablation twin: the k=1 fused top-10 IS the ivf top-10 (rrf
     // is monotone in one rank), k=2/3 are the fixed-order coalesce fusions;
     // hit counts aggregate over all queries into one row per member count

@@ -175,4 +175,24 @@ object Fusion {
       .select("q_id", "n_id", "rrf", "rank")
       .orderBy("q_id", "rank")
   }
+
+  /** q_retrieve_recall: the hybrid's recall@10 audit vs the exact cosine
+    * top-10 (VERDICT r9 item 2) — the same published-number discipline as
+    * every other serve family (`q_sim_recall`, `q_sim_graph_recall`,
+    * `q_sim_binary_recall`, `q_sim_fused_recall`, `q_sim_ivfpq_recall`):
+    * a lexical-tower regression now fails a QUALITY gate, not only the
+    * hash gate. Ground truth is dense cosine by design — the audit
+    * measures how much of the embedding's notion of similarity the
+    * two-tower consensus retains while the lexical tower injects exact
+    * terminology the embedding smooths away; both sides share the same
+    * sample query set (doc_id ≡ vec_id). By construction the number sits
+    * near HALF the dense tower's own recall: near-disjoint towers
+    * interleave ~5+5 in the fused top-10, so every lexical-only surface
+    * displaces a dense slot — that is the cosine-recall PRICE of lexical
+    * coverage, published so the operating point is an informed choice
+    * (the q_sim_fused_sweep discipline; FusionSpec pins the ≥ dense/2
+    * floor). Cost: the Q·10 hybrid ranking joined against the Q·10 exact
+    * ranking — metadata-tier on top of the two serves. */
+  def recallHybrid(s: SparkSession, dir: String): DataFrame =
+    Similarity.recallOf(s, dir, hybridTopK(s, dir))
 }

@@ -86,6 +86,31 @@ class FusionSpec extends SparkSpec {
       .map { case (k, (_, _, r)) => f"k=$k: $r%.3f" }.mkString("  "))
   }
 
+  test("hybrid recall audit: the dense tower's top-5 guarantee survives fusion") {
+    def avgRecall(df: org.apache.spark.sql.DataFrame): Double = {
+      val rs = df.collect().map(_.getDouble(3))
+      rs.sum / rs.length
+    }
+    val hybrid = avgRecall(Fusion.recallHybrid(spark, sf))
+    val dense = avgRecall(Similarity.recallIvf(spark, sf))
+    info(f"recall@10 hybrid=$hybrid%.3f dense-only=$dense%.3f")
+    // Ground truth is exact COSINE, so two-tower RRF pays a structural
+    // price: with near-disjoint rankings the fused top-10 is ~(dense
+    // top-5 ∪ lexical top-5) — the lexical tower's whole purpose is to
+    // surface evidence cosine can't see, and each surfaced pair displaces
+    // a dense slot (a dense top-5 pair can additionally lose its slot to
+    // a DOUBLE-BACKED pair, which is RRF working: cross-tower agreement
+    // is the strongest evidence the method has). The audit row exists to
+    // PUBLISH that price (the q_sim_fused_sweep discipline: measure the
+    // member's cost, don't assume it away). The gate pins the floor the
+    // interleave structure gives: cosine hits concentrate at the dense
+    // serve's top ranks, so fused recall holds at least half the dense
+    // tower's — below that, the lexical tower is actively burying the
+    // dense evidence rather than complementing it.
+    assert(hybrid >= dense / 2 - 1e-9,
+      f"lexical tower buried the dense evidence: $hybrid%.3f vs dense $dense%.3f")
+  }
+
   test("the consensus does not fall below the member families") {
     def avgRecall(df: org.apache.spark.sql.DataFrame): Double = {
       val rs = df.collect().map(_.getDouble(3))
