@@ -131,6 +131,11 @@ object SparkEntry {
     // staleness monitor: frozen-centroid fit per base/late segment — the
     // retrain trigger an index deployment watches (llm/IvfMaintenance)
     "q_index_drift"        -> (graft.llm.IvfMaintenance.drift _),
+    // binary-family maintenance: sign the late batch against the frozen
+    // published means, serve base ∪ delta signatures; the means-fit drift
+    // monitor (llm/BinaryMaintenance)
+    "q_sim_binary_upsert"  -> (graft.llm.BinaryMaintenance.upsertServe _),
+    "q_sim_binary_drift"   -> (graft.llm.BinaryMaintenance.drift _),
     // product quantization: trained 4-bit codebooks + ADC lookup scoring —
     // the 64x-compressed serve path of the ANN family (llm/Pq)
     "q_sim_pq_codes"       -> (graft.llm.Pq.codes _),
@@ -163,6 +168,9 @@ object SparkEntry {
     // published index families + its recall audit (llm/Fusion)
     "q_sim_fused"          -> (graft.llm.Fusion.fusedTopK _),
     "q_sim_fused_recall"   -> (graft.llm.Fusion.recallFused _),
+    // the ensemble's freshness serve: RRF over the three families'
+    // upsert-aware serves — late vectors flow through the consensus
+    "q_sim_fused_upsert"   -> (graft.llm.Fusion.fusedUpsertTopK _),
     // ensemble ablation: recall at each member-set prefix — the marginal
     // contribution of each index family (llm/Fusion)
     "q_sim_fused_sweep"    -> (graft.llm.Fusion.fusedSweep _),
@@ -913,7 +921,13 @@ object SparkEntry {
     * discipline, tie-free), then one centered sign bit per dimension packed
     * into two 32-bit halves (no engine shifts into a 64-bit sign bit —
     * DuckDB raises on BIGINT overflow where two's-complement would wrap). */
-  private def binaryCtes: String = {
+  private def binaryCtes: String = binarySigCtes(baseOnlyMu = false)
+
+  /** Same CTE block with the means trained on the BASE slice only
+    * (vec_id < bt.t) — the frozen-μ form the maintenance twins share
+    * (q_sim_binary_upsert, q_sim_binary_drift). Adds the bt split-scalar
+    * CTE when baseOnlyMu is set. */
+  private def binarySigCtes(baseOnlyMu: Boolean): String = {
     val S = Similarity.MeanScale
     val H = graft.llm.Binary.HalfBits
     def half(off: Int) =
@@ -922,16 +936,82 @@ object SparkEntry {
                               THEN CAST(1 AS BIGINT) << i
                               ELSE CAST(0 AS BIGINT) END
                          for i in generate_series(0, ${H - 1})]) AS BIGINT)"""
-    s"""bx AS (SELECT unnest(generate_series(1, len(embedding))) - 1 AS i,
+    val bt =
+      if (!baseOnlyMu) ""
+      else s"""bt AS (SELECT CAST(floor(count(*) * ${graft.llm.IvfMaintenance.BaseFrac}) AS BIGINT) AS t
+                      FROM embeddings),
+        """
+    val muFrom = if (baseOnlyMu) "FROM embeddings, bt WHERE vec_id < bt.t"
+                 else "FROM embeddings"
+    s"""${bt}bx AS (SELECT unnest(generate_series(1, len(embedding))) - 1 AS i,
                 unnest([CAST(CAST(e AS DOUBLE) * $S.0 AS BIGINT)
                         for e in embedding]) AS sx
-              FROM embeddings),
+              $muFrom),
         bg AS (SELECT i, CAST(SUM(sx) AS BIGINT) AS ssx, count(*) AS n
                FROM bx GROUP BY 1),
         bmu AS (SELECT list(CAST(ssx AS DOUBLE) / (CAST(n AS DOUBLE) * $S.0)
                   ORDER BY i) AS mu FROM bg),
         bsig AS (SELECT vec_id, ${half(0)} AS h0, ${half(H)} AS h1
                  FROM embeddings, bmu)"""
+  }
+
+  /** Twin of BinaryMaintenance.upsertServe: means frozen on the base
+    * slice, every vector signed against them (signing is per-row
+    * independent, so the union-of-slices snapshot build and this
+    * all-at-once replay are exactly equal — the ivfUpsertSql argument),
+    * the standard Hamming-shortlist + exact-re-rank serve, is_new flag. */
+  private def binaryUpsertSql: String =
+    s"""WITH ${binarySigCtes(baseOnlyMu = true)},
+        bq AS (SELECT vec_id AS q_id, h0 AS q0, h1 AS q1 FROM bsig
+               WHERE vec_id < ${graft.llm.Binary.NQueries}),
+        bham AS (SELECT q.q_id, s.vec_id AS n_id,
+                        CAST(bit_count(xor(s.h0, q.q0))
+                           + bit_count(xor(s.h1, q.q1)) AS BIGINT) AS hd
+                 FROM bsig s JOIN bq q ON s.vec_id <> q.q_id),
+        bsl AS (SELECT q_id, n_id, hd FROM (
+                  SELECT *, row_number() OVER (PARTITION BY q_id
+                    ORDER BY hd, n_id) AS rn FROM bham)
+                WHERE rn <= ${graft.llm.Binary.Shortlist}),
+        bre AS (SELECT s.q_id, s.n_id, s.hd,
+                       ${dDot("qq.embedding", "nn.embedding")}
+                         / (${dNorm("qq.embedding")} * ${dNorm("nn.embedding")}) AS cos
+                FROM bsl s
+                JOIN embeddings qq ON qq.vec_id = s.q_id
+                JOIN embeddings nn ON nn.vec_id = s.n_id),
+        brr AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+                  ORDER BY cos DESC, n_id) AS BIGINT) AS "rank" FROM bre)
+        SELECT q_id, n_id, hd, cos, "rank",
+               CAST(CASE WHEN n_id >= bt.t THEN 1 ELSE 0 END AS BIGINT) AS is_new
+        FROM brr, bt WHERE "rank" <= 10 ORDER BY q_id, "rank""""
+
+  /** Twin of BinaryMaintenance.drift: per-segment mean |x − μ| against
+    * the frozen base means (floor-quantized exact sums, one division by
+    * the (n · d · scale) product) plus the set-bit rate of the signatures
+    * signed against the same means. */
+  private def binaryDriftSql: String = {
+    val S = Similarity.MeanScale
+    val H = graft.llm.Binary.HalfBits
+    s"""WITH ${binarySigCtes(baseOnlyMu = true)},
+        bad AS (SELECT vec_id,
+                       CAST(list_sum([CAST(floor(abs(CAST(embedding[i] AS DOUBLE) - mu[i]) * $S.0) AS BIGINT)
+                                      for i in generate_series(1, len(embedding))]) AS BIGINT) AS sadev
+                FROM embeddings, bmu),
+        bseg AS (SELECT CASE WHEN vec_id >= bt.t THEN 'late' ELSE 'base' END AS segment,
+                        sadev
+                 FROM bad, bt),
+        bag AS (SELECT segment, count(*) AS n,
+                       CAST(CAST(SUM(sadev) AS VARCHAR) AS DOUBLE)
+                         / (CAST(count(*) AS DOUBLE) * ${2 * H}.0 * $S.0) AS mean_adev
+                FROM bseg GROUP BY 1),
+        bbit AS (SELECT CASE WHEN s.vec_id >= bt.t THEN 'late' ELSE 'base' END AS segment,
+                        bit_count(s.h0) + bit_count(s.h1) AS b
+                 FROM bsig s, bt),
+        bbr AS (SELECT segment,
+                       CAST(SUM(b) AS DOUBLE)
+                         / (CAST(count(*) AS DOUBLE) * ${2 * H}.0) AS bit_rate
+                FROM bbit GROUP BY 1)
+        SELECT a.segment, a.n, a.mean_adev, r.bit_rate
+        FROM bag a JOIN bbr r USING (segment) ORDER BY segment"""
   }
 
   /** Standalone binary-serve twin (q_sim_binary_topk, reused as the
@@ -959,10 +1039,6 @@ object SparkEntry {
         SELECT q_id, n_id, hd, cos, "rank" FROM brr
         WHERE "rank" <= 10 ORDER BY q_id, "rank""""
 
-  /** Transitive-closure twin of Dedup.components (recursive CTE over the
-    * jaccard-verified near-dup edges; component = min reachable doc) —
-    * shared by q_dedup_components and the split-leakage audit, which joins
-    * the closure to the content-keyed split rule. */
   /** Twin of Fusion.hybridTopK: per-query selective terms (the bm25 twin's
     * derivation, partitioned by query doc), posting-list BM25 with the
     * shared bm25ScoreSql + decimal-staged per-(q, doc) sum, the trained-IVF
@@ -1009,6 +1085,10 @@ object SparkEntry {
         WHERE "rank" <= 10 ORDER BY q_id, "rank""""
   }
 
+  /** Transitive-closure twin of Dedup.components (recursive CTE over the
+    * jaccard-verified near-dup edges; component = min reachable doc) —
+    * shared by q_dedup_components and the split-leakage audit, which joins
+    * the closure to the content-keyed split rule. */
   private def dedupComponentsSql: String =
     s"""WITH RECURSIVE $minhashCtes,
         toks AS (SELECT doc_id, list_distinct(h) AS ths, len(list_distinct(h)) AS nt FROM th),
@@ -2023,6 +2103,8 @@ object SparkEntry {
           SELECT q_id, n_id, cos, "rank" FROM r WHERE "rank" <= 10 ORDER BY q_id, "rank"""",
     "q_sim_ivf_trained" -> ivfTrainedSql,
     "q_sim_ivf_upsert" -> ivfUpsertSql,
+    "q_sim_binary_upsert" -> binaryUpsertSql,
+    "q_sim_binary_drift" -> binaryDriftSql,
     "q_index_drift" ->
       s"""WITH $ivfUpCtes,
           ub AS (SELECT vec_id, c_cos FROM urc WHERE crn = 1),
@@ -3667,6 +3749,29 @@ object SparkEntry {
                    ORDER BY rrf DESC, n_id) AS BIGINT) AS "rank" FROM fs)
           SELECT q_id, n_id, rrf, "rank" FROM fr
           WHERE "rank" <= 10 ORDER BY q_id, "rank"""",
+    // the ensemble freshness twin: the three UPSERT member twins fused
+    // with the identical fixed-order RRF; is_new re-derives from the
+    // shared base cut (one scalar CTE), not from the members' flags
+    "q_sim_fused_upsert" ->
+      s"""WITH fut AS (SELECT CAST(floor(count(*) * ${graft.llm.IvfMaintenance.BaseFrac}) AS BIGINT) AS t
+                       FROM embeddings),
+          fi AS (SELECT q_id, n_id, "rank" AS r_ivf FROM ($ivfUpsertSql)),
+          fg AS (SELECT q_id, n_id, "rank" AS r_graph FROM ($graphUpsertSql)),
+          fb AS (SELECT q_id, n_id, "rank" AS r_bin FROM ($binaryUpsertSql)),
+          fj AS (SELECT q_id, n_id, r_ivf, r_graph, r_bin
+                 FROM fi
+                 FULL OUTER JOIN fg USING (q_id, n_id)
+                 FULL OUTER JOIN fb USING (q_id, n_id)),
+          fs AS (SELECT q_id, n_id,
+                        coalesce(CAST(1 AS DOUBLE) / (${graft.llm.Fusion.FusionK} + r_ivf), CAST(0 AS DOUBLE)) +
+                        coalesce(CAST(1 AS DOUBLE) / (${graft.llm.Fusion.FusionK} + r_graph), CAST(0 AS DOUBLE)) +
+                        coalesce(CAST(1 AS DOUBLE) / (${graft.llm.Fusion.FusionK} + r_bin), CAST(0 AS DOUBLE)) AS rrf
+                 FROM fj),
+          fr AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+                   ORDER BY rrf DESC, n_id) AS BIGINT) AS "rank" FROM fs)
+          SELECT q_id, n_id, rrf, "rank",
+                 CAST(CASE WHEN n_id >= fut.t THEN 1 ELSE 0 END AS BIGINT) AS is_new
+          FROM fr, fut WHERE "rank" <= 10 ORDER BY q_id, "rank"""",
     "q_retrieve_hybrid" -> hybridTopkSql,
     // recall@10 audit of the two-tower hybrid vs the exact cosine top-10
     // (VERDICT r9 item 2): both sides are already-oracle-checked twins;

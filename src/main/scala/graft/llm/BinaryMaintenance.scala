@@ -1,0 +1,201 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** BINARY-INDEX MAINTENANCE — the add/drift half of the sign-bit family's
+  * lifecycle (VERDICT r9 item 5), completing the maintenance matrix across
+  * all four index families (IVF, graph, composite, binary). The binary
+  * quantizer's only trained state is the per-dimension corpus MEAN the
+  * sign bits center on; maintenance freezes it exactly like the IVF path
+  * freezes centroids (IvfMaintenance.cents): the means train on the base
+  * corpus, publish once through the warehouse pointer, and every later
+  * batch signs against the FROZEN statistic — a stateless per-row map, no
+  * shuffle, O(batch). Signatures land as base/delta MEMBERS of one
+  * multi-table snapshot (the IvfMaintenance.listsRoot discipline) so a
+  * future compaction folding delta into base stays a one-pointer commit.
+  *
+  * Because signing is per-row independent given μ, serve-after-add is
+  * BIT-IDENTICAL to a from-scratch signing of the full corpus against the
+  * same frozen means (BinaryUpsertSpec pins it) — the freshness gap of a
+  * real deployment is only μ's staleness, which is exactly what
+  * `q_sim_binary_drift` monitors: the per-segment mean |x − μ| fit gap
+  * (how far each segment sits from the frozen centering plane) plus the
+  * per-segment set-bit rate (a well-fit sign quantizer keeps every bit
+  * ~half set; a drifted batch skews it). Both are one scan + a 2-row
+  * aggregate — the q_index_drift cost tier, runnable per batch. */
+object BinaryMaintenance {
+
+  private val NQueries = Binary.NQueries
+  private val S = Similarity.MeanScale
+
+  private[llm] def muTarget(s: SparkSession, dir: String): String = {
+    val key = graft.Tables.fixtureKey(s, dir, "embeddings",
+      s"binup_mu|${IvfMaintenance.BaseFrac}|${Binary.HalfBits}|$S")
+    s"${sys.props("java.io.tmpdir")}/graft_binary/up_mu_$key"
+  }
+
+  private[llm] def sigsRoot(s: SparkSession, dir: String): String = {
+    val key = graft.Tables.fixtureKey(s, dir, "embeddings",
+      s"binup_sigs|${IvfMaintenance.BaseFrac}|${Binary.HalfBits}|$S")
+    s"${sys.props("java.io.tmpdir")}/graft_binary/up_sigs_$key"
+  }
+
+  /** Per-dimension means of an embeddings slice, by the scaled-BIGINT
+    * exact discipline (Binary.muArray's arithmetic with a slice filter). */
+  private def sliceMeans(df: DataFrame): DataFrame =
+    df.select(posexplode(col("embedding")).as(Seq("i", "xi")))
+      .select(col("i").cast("long").as("i"),
+        (col("xi").cast("double") * S).cast("long").as("sx"))
+      .groupBy("i")
+      .agg(sum(col("sx").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+        .as("ssx"), count(lit(1)).as("n"))
+      .select(col("i"),
+        (col("ssx").cast("string").cast("double") /
+          (col("n").cast("double") * lit(S.toDouble))).as("mu"))
+
+  /** The FROZEN per-dimension means, trained on the base slice and
+    * published once (d-row metadata; doubles round-trip parquet exactly). */
+  private[llm] def publishedMu(s: SparkSession, dir: String,
+                               cut: Long): Array[Double] = {
+    val target = muTarget(s, dir)
+    if (!graft.etl.Warehouse.exists(s, target))
+      graft.etl.Warehouse.publish(s, target,
+        sliceMeans(t(s, dir, "embeddings").filter(col("vec_id") < cut)))
+    graft.etl.Warehouse.read(s, target).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).map(_._2)
+  }
+
+  /** Sign an id slice against the frozen means — the shared build of the
+    * base member (pred = < cut) and the incremental add (pred = >= cut).
+    * Pure map stage; the add's plan scans only the new rows. */
+  private def signSlice(s: SparkSession, dir: String, mu: Array[Double],
+                        cut: Long, newRows: Boolean): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .filter(if (newRows) col("vec_id") >= cut else col("vec_id") < cut)
+    graft.Tables.withBroadcastArray(e, "mu", mu.toSeq)
+      .withColumn("h0", expr(Binary.halfSql(0)))
+      .withColumn("h1", expr(Binary.halfSql(Binary.HalfBits)))
+      .select("vec_id", "h0", "h1")
+  }
+
+  /** The current signature snapshot (publishing the initial {base, delta}
+    * pair on first call — one atomic commit covering both members). */
+  private def currentSigs(s: SparkSession, dir: String,
+                          cut: Long): Map[String, String] = {
+    val root = sigsRoot(s, dir)
+    graft.etl.Warehouse.readSnapshot(s, root).getOrElse {
+      val mu = publishedMu(s, dir, cut)
+      graft.etl.Warehouse.publishSnapshot(s, root, Seq(
+        "base" -> signSlice(s, dir, mu, cut, newRows = false),
+        "delta" -> signSlice(s, dir, mu, cut, newRows = true)))
+    }
+  }
+
+  /** Union of every member the RESOLVED snapshot lists (name order —
+    * deterministic file-level concatenation, no shuffle). */
+  private def sigsOf(s: SparkSession, dir: String,
+                     snap: Map[String, String]): DataFrame = {
+    val root = sigsRoot(s, dir)
+    snap.toSeq.sortBy(_._1)
+      .map { case (m, v) => graft.etl.Warehouse.readSnapshotMember(s, root, m, v) }
+      .reduce(_ unionByName _)
+  }
+
+  /** The binary serve over a given signature frame: Hamming shortlist
+    * through the k-bounded heap, exact cosine re-rank on the Q·Shortlist
+    * raw rows only, `is_new` on served neighbors (Binary.topK's shape +
+    * the IvfMaintenance.upsertServe flag). */
+  private def serveOver(s: SparkSession, dir: String, sigs: DataFrame,
+                        cut: Long): DataFrame = {
+    val qSig = sigs.filter(col("vec_id") < NQueries).select(
+      col("vec_id").as("q_id"), col("h0").as("q0"), col("h1").as("q1"))
+    val hamCands = sigs.join(broadcast(qSig), col("vec_id") =!= col("q_id"))
+      .withColumn("hds", (expr("bit_count(h0 ^ q0)") +
+        expr("bit_count(h1 ^ q1)")).cast("double"))
+      .select("q_id", "vec_id", "hds")
+    val shortlist = Ranking.topKPerGroup(hamCands,
+        "q_id", "hds", "vec_id", Binary.Shortlist, asc = true, "hds", "n_id")
+      .select(col("q_id"), col("n_id"), col("hds").cast("long").as("hd"))
+    val raw = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"),
+      expr(s"sqrt(${Similarity.dotFor(s)("embedding", "embedding")})").as("nrm"))
+    val wCos = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    shortlist
+      .join(raw.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+        col("nrm").as("n_nrm")), "n_id")
+      .join(broadcast(raw.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("nrm").as("q_nrm"))), "q_id")
+      .withColumn("cos", expr(Similarity.dotFor(s)("q_emb", "n_emb")) /
+        (col("q_nrm") * col("n_nrm")))
+      .withColumn("rank", row_number().over(wCos).cast("long"))
+      .filter(col("rank") <= 10)
+      .withColumn("is_new", when(col("n_id") >= cut, 1L).otherwise(0L))
+      .select(col("q_id"), col("n_id"), col("hd"), col("cos"),
+        col("rank"), col("is_new"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** q_sim_binary_upsert: the post-add serve — Hamming scan over
+    * base ∪ delta signatures (one snapshot resolve, so a concurrent
+    * compaction can never split the serve), exact re-rank, late neighbors
+    * flagged. Serve shape and cost identical to q_sim_binary_topk. */
+  def upsertServe(s: SparkSession, dir: String): DataFrame = {
+    val cut = IvfMaintenance.baseCut(s, dir)
+    serveOver(s, dir, sigsOf(s, dir, currentSigs(s, dir, cut)), cut)
+  }
+
+  /** The from-scratch control for BinaryUpsertSpec: sign the FULL corpus
+    * against the same frozen means in one pass and serve identically.
+    * Signing is per-row independent, so this must equal the snapshot
+    * serve bit-for-bit. */
+  private[llm] def rebuildServe(s: SparkSession, dir: String): DataFrame = {
+    val cut = IvfMaintenance.baseCut(s, dir)
+    val mu = publishedMu(s, dir, cut)
+    val sigs = graft.Tables.withBroadcastArray(
+        t(s, dir, "embeddings"), "mu", mu.toSeq)
+      .withColumn("h0", expr(Binary.halfSql(0)))
+      .withColumn("h1", expr(Binary.halfSql(Binary.HalfBits)))
+      .select("vec_id", "h0", "h1")
+    serveOver(s, dir, sigs, cut)
+  }
+
+  /** q_sim_binary_drift: the frozen-means STALENESS MONITOR — per segment
+    * (base = what μ trained on, late = everything after): count, mean
+    * |x − μ| over every (row, dimension) pair (the fit gap to the frozen
+    * centering planes — floor-quantized at 2^-48 so the cross-row sum is
+    * order-free integer math), and the set-bit rate of the published
+    * signatures (a fit quantizer holds ~0.5; skew means the late batch
+    * sits on one side of the planes). A widening base→late gap is the
+    * republish trigger, same contract as q_index_drift. Cost: one
+    * explode-scan + the signature scan, 2-row output. */
+  def drift(s: SparkSession, dir: String): DataFrame = {
+    val cut = IvfMaintenance.baseCut(s, dir)
+    val mu = publishedMu(s, dir, cut)
+    val d = mu.length
+    val seg = when(col("vec_id") >= cut, lit("late")).otherwise(lit("base"))
+    val adev = graft.Tables.withBroadcastArray(
+        t(s, dir, "embeddings"), "mu", mu.toSeq)
+      .select(col("vec_id"), expr(
+        s"""aggregate(transform(sequence(0, ${d - 1}), i ->
+              CAST(floor(abs(CAST(element_at(embedding, i + 1) AS DOUBLE)
+                             - element_at(mu, i + 1)) * ${S}L) AS BIGINT)),
+            CAST(0 AS BIGINT), (acc, v) -> acc + v)""").as("sadev"))
+      .groupBy(seg.as("segment"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("sadev").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .cast("string").cast("double") /
+          (count(lit(1)).cast("double") * lit(d.toDouble) * lit(S.toDouble)))
+          .as("mean_adev"))
+    val bits = sigsOf(s, dir, currentSigs(s, dir, cut))
+      .groupBy(seg.as("segment"))
+      .agg((sum(expr("bit_count(h0) + bit_count(h1)")).cast("double") /
+        (count(lit(1)).cast("double") * lit(2.0 * Binary.HalfBits)))
+        .as("bit_rate"))
+    adev.join(bits, "segment")
+      .select("segment", "n", "mean_adev", "bit_rate")
+      .orderBy("segment")
+  }
+}

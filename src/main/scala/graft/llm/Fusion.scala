@@ -58,6 +58,39 @@ object Fusion {
   def recallFused(s: SparkSession, dir: String): DataFrame =
     Similarity.recallOf(s, dir, fusedTopK(s, dir))
 
+  /** q_sim_fused_upsert: the ensemble's FRESHNESS serve (VERDICT r9
+    * item 6) — RRF over the three families' UPSERT-AWARE serves instead
+    * of their base serves. The base fusion goes stale in a subtle way the
+    * members don't: after an add, each family serves the late batch, but
+    * a fusion of the BASE serves silently drops it — the members disagree
+    * with the ensemble about corpus coverage. This serve closes that gap:
+    * all three inputs read their base ∪ delta snapshots (each O(batch)
+    * add, no rebuild anywhere), so `is_new` neighbors flow through the
+    * rank consensus like any other evidence. All three families share the
+    * IvfMaintenance.baseCut split, so the flag is one comparison on the
+    * fused output. Fusion cost is unchanged: two full-outer joins on
+    * Q·10 frames and a Q·≤30 window — metadata-tier. */
+  def fusedUpsertTopK(s: SparkSession, dir: String): DataFrame = {
+    val cut = IvfMaintenance.baseCut(s, dir)
+    def side(df: DataFrame, nm: String): DataFrame =
+      df.select(col("q_id"), col("n_id"), col("rank").as(nm))
+    val j = side(IvfMaintenance.upsertServe(s, dir), "r_ivf")
+      .join(side(GraphMaintenance.upsertSearch(s, dir), "r_graph"),
+        Seq("q_id", "n_id"), "full_outer")
+      .join(side(BinaryMaintenance.upsertServe(s, dir), "r_bin"),
+        Seq("q_id", "n_id"), "full_outer")
+    val w = Window.partitionBy("q_id").orderBy(col("rrf").desc, col("n_id"))
+    j.withColumn("rrf", expr(
+        s"coalesce(CAST(1 AS DOUBLE) / ($FusionK + r_ivf), 0D) + " +
+          s"coalesce(CAST(1 AS DOUBLE) / ($FusionK + r_graph), 0D) + " +
+          s"coalesce(CAST(1 AS DOUBLE) / ($FusionK + r_bin), 0D)"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+      .withColumn("is_new", when(col("n_id") >= cut, 1L).otherwise(0L))
+      .select("q_id", "n_id", "rrf", "rank", "is_new")
+      .orderBy("q_id", "rank")
+  }
+
   /** q_sim_fused_sweep: the ensemble ABLATION — recall@10 of the RRF
     * consensus at each member-set PREFIX (ivf; ivf+graph;
     * ivf+graph+binary), the marginal-contribution curve an ensemble

@@ -111,6 +111,39 @@ class FusionSpec extends SparkSpec {
       f"lexical tower buried the dense evidence: $hybrid%.3f vs dense $dense%.3f")
   }
 
+  test("upsert-aware fusion: late vectors flow through the rank consensus") {
+    val cut = IvfMaintenance.baseCut(spark, sf)
+    val fresh = Fusion.fusedUpsertTopK(spark, sf).collect()
+    val byQ = fresh.groupBy(_.getLong(0))
+    assert(byQ.keySet == (0L until 8L).toSet)
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_.getLong(3)).sorted.toSeq == (1L to 10L))
+      assert(!rs.map(_.getLong(1)).contains(q))
+    }
+    // the flag is the cut, everywhere
+    fresh.foreach(r =>
+      assert(r.getLong(4) == (if (r.getLong(1) >= cut) 1L else 0L)))
+    // the staleness gap this serve exists to close: every fused neighbor
+    // came from an upsert-aware member list (so a late vector a member
+    // serves is ELIGIBLE here, where the base fusion structurally drops it)
+    val members = (IvfMaintenance.upsertServe(spark, sf).collect() ++
+      GraphMaintenance.upsertSearch(spark, sf).collect() ++
+      BinaryMaintenance.upsertServe(spark, sf).collect())
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val memberSet = members.toSet
+    fresh.foreach { r =>
+      assert(memberSet.contains((r.getLong(0), r.getLong(1))),
+        s"fused pair (${r.getLong(0)}, ${r.getLong(1)}) in no member list")
+    }
+    // and late vectors actually surface end-to-end
+    val lateServed = fresh.count(_.getLong(4) == 1L)
+    val lateEligible = members.count(_._2 >= cut)
+    info(s"late neighbors: $lateEligible in member lists, $lateServed in fused top-10")
+    assert(lateEligible > 0, "no member served a late vector — fixture regression")
+    assert(lateServed > 0,
+      "members serve late vectors but the fusion drops them all — staleness gap reopened")
+  }
+
   test("the consensus does not fall below the member families") {
     def avgRecall(df: org.apache.spark.sql.DataFrame): Double = {
       val rs = df.collect().map(_.getDouble(3))
