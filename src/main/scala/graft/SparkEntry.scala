@@ -174,6 +174,9 @@ object SparkEntry {
     // ensemble ablation: recall at each member-set prefix — the marginal
     // contribution of each index family (llm/Fusion)
     "q_sim_fused_sweep"    -> (graft.llm.Fusion.fusedSweep _),
+    // measurement-driven ensemble: leave-one-out on the tune half decides
+    // which members serve — the sweep's finding acted on (llm/Fusion)
+    "q_sim_fused_weighted" -> (graft.llm.Fusion.fusedWeighted _),
     // hybrid retrieval: per-query BM25 lexical ranking + the published
     // trained-IVF dense serve, RRF-fused (llm/Fusion)
     "q_retrieve_hybrid"    -> (graft.llm.Fusion.hybridTopK _),
@@ -3827,6 +3830,63 @@ object SparkEntry {
                  CAST(n_hit AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall
           FROM (SELECT * FROM h1 UNION ALL SELECT * FROM h2 UNION ALL SELECT * FROM h3)
           ORDER BY n_members"""
+    },
+    // weighted-ensemble twin: the leave-one-out decision replays in SQL —
+    // four candidate fusions on the tune half (q_id even) against exact,
+    // keep flags as one scalar row (>= keeps on ties; all-dropped falls
+    // back to all-kept), then ONE three-way-join fusion whose terms are
+    // CASE-gated by the flags: dropped/absent terms add an explicit
+    // CAST(0 AS DOUBLE), so the sum is the Spark fold bit-for-bit
+    "q_sim_fused_weighted" -> {
+      val k = graft.llm.Fusion.FusionK
+      def term(r: String, keepFlag: String) =
+        s"CASE WHEN $keepFlag THEN coalesce(CAST(1 AS DOUBLE) / ($k + $r), CAST(0 AS DOUBLE)) ELSE CAST(0 AS DOUBLE) END"
+      def tuneTop(name: String, kIvf: Boolean, kG: Boolean, kB: Boolean) = {
+        def t(r: String, on: Boolean) =
+          if (on) s"coalesce(CAST(1 AS DOUBLE) / ($k + $r), CAST(0 AS DOUBLE))"
+          else "CAST(0 AS DOUBLE)"
+        s"""$name AS (SELECT q_id, n_id FROM (
+              SELECT q_id, n_id,
+                     row_number() OVER (PARTITION BY q_id ORDER BY
+                       ${t("r_ivf", kIvf)} + ${t("r_graph", kG)} + ${t("r_bin", kB)} DESC,
+                       n_id) AS rn
+              FROM fj WHERE q_id % 2 = 0)
+            WHERE rn <= 10)"""
+      }
+      def hitsOf(src: String) =
+        s"""(SELECT count(*) FROM $src t
+             JOIN (SELECT q_id, n_id FROM ($simTopkSql)) e
+               ON t.q_id = e.q_id AND t.n_id = e.n_id)"""
+      s"""WITH fi AS (SELECT q_id, n_id, "rank" AS r_ivf FROM ($ivfTrainedSql)),
+          fg AS (SELECT q_id, n_id, "rank" AS r_graph FROM ($graphSearchSql)),
+          fb AS (SELECT q_id, n_id, "rank" AS r_bin FROM ($binaryTopkSql)),
+          fj AS (SELECT q_id, n_id, r_ivf, r_graph, r_bin
+                 FROM fi
+                 FULL OUTER JOIN fg USING (q_id, n_id)
+                 FULL OUTER JOIN fb USING (q_id, n_id)),
+          ${tuneTop("tall", kIvf = true, kG = true, kB = true)},
+          ${tuneTop("tgb", kIvf = false, kG = true, kB = true)},
+          ${tuneTop("tib", kIvf = true, kG = false, kB = true)},
+          ${tuneTop("tig", kIvf = true, kG = true, kB = false)},
+          rawdec AS (SELECT ${hitsOf("tall")} >= ${hitsOf("tgb")} AS r_keep_ivf,
+                            ${hitsOf("tall")} >= ${hitsOf("tib")} AS r_keep_g,
+                            ${hitsOf("tall")} >= ${hitsOf("tig")} AS r_keep_b),
+          dec AS (SELECT r_keep_ivf OR NOT (r_keep_ivf OR r_keep_g OR r_keep_b) AS keep_ivf,
+                         r_keep_g OR NOT (r_keep_ivf OR r_keep_g OR r_keep_b) AS keep_g,
+                         r_keep_b OR NOT (r_keep_ivf OR r_keep_g OR r_keep_b) AS keep_b
+                  FROM rawdec),
+          fw AS (SELECT q_id, n_id,
+                        ${term("r_ivf", "keep_ivf")} +
+                        ${term("r_graph", "keep_g")} +
+                        ${term("r_bin", "keep_b")} AS rrf,
+                        concat_ws(',', CASE WHEN keep_ivf THEN 'ivf' END,
+                                       CASE WHEN keep_g THEN 'graph' END,
+                                       CASE WHEN keep_b THEN 'bin' END) AS kept
+                 FROM fj, dec),
+          fr AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+                   ORDER BY rrf DESC, n_id) AS BIGINT) AS "rank" FROM fw)
+          SELECT q_id, n_id, rrf, "rank", kept FROM fr
+          WHERE "rank" <= 10 ORDER BY q_id, "rank""""
     },
     "q_sim_fused_recall" ->
       s"""WITH exact AS (SELECT q_id, n_id FROM ($simTopkSql)),

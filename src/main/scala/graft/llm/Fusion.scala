@@ -101,17 +101,29 @@ object Fusion {
     * add an explicit 0.0 — exact identity on finite doubles — so the
     * k-member sum equals the twin's fixed-order coalesce chain
     * bit-for-bit. */
-  def fusedSweep(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  /** The three member rankings localized to the driver (Q·10 rows each —
+    * metadata tier, the beamServe discipline), in the FIXED member order
+    * every fusion sums in: ivf, graph, binary. Shared by the ablation
+    * sweep and the weighted ensemble. */
+  private def memberRankings(s: SparkSession, dir: String): Seq[Seq[(Long, Long, Long)]] = {
     def localize(df: DataFrame): Seq[(Long, Long, Long)] =
       df.select("q_id", "n_id", "rank").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
-    val members = Seq(
+    Seq(
       localize(Similarity.ivfTrainedTopK(s, dir)),
       localize(Similarity.graphSearchTopK(s, dir)),
       localize(Binary.topK(s, dir)))
-    val exact = Similarity.bruteTopK(s, dir).select("q_id", "n_id").collect()
+  }
+
+  /** Exact cosine top-10 pairs as a driver set (Q·10 — metadata tier). */
+  private def exactPairs(s: SparkSession, dir: String): Set[(Long, Long)] =
+    Similarity.bruteTopK(s, dir).select("q_id", "n_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  def fusedSweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val members = memberRankings(s, dir)
+    val exact = exactPairs(s, dir)
     val rows = (1 to members.length).map { k =>
       val ms = members.take(k)
       val pairs = ms.flatMap(_.map(t => (t._1, t._2))).distinct
@@ -134,6 +146,68 @@ object Fusion {
     }
     rows.toDF("n_members", "n_exact", "n_hit", "recall")
       .orderBy("n_members")
+  }
+
+  /** q_sim_fused_weighted: the MEASUREMENT-DRIVEN ensemble (VERDICT r9
+    * item 8) — close the loop the ablation opened: q_sim_fused_sweep
+    * MEASURES that a member can dilute the consensus; this operator acts
+    * on the measurement at serve time, the same monitor→response pattern
+    * as the retrain trigger. Protocol: on the held-out TUNE half of the
+    * sample queries (q_id even — a deterministic split, the q_split
+    * discipline), compute each member's LEAVE-ONE-OUT marginal
+    * contribution (hits@10 of the full fusion vs hits@10 with that member
+    * zeroed); a member whose removal STRICTLY improves tune hits is
+    * dropped from serving; ties keep (don't churn the serving config on
+    * noise). If every member were dropped the decision degenerates — fall
+    * back to serving all three (documented guard). The serve is then the
+    * standard fixed-order RRF over ALL queries with dropped members
+    * contributing an explicit 0.0 term (exact identity on finite doubles,
+    * the fusedSweep discipline — the k-member sum equals the twin's CASE
+    * chain bit-for-bit). Everything folds on the driver over Q·10
+    * metadata rows after one run of each serve + one exact side; the
+    * `kept` column publishes the serving decision next to the ranking. */
+  def fusedWeighted(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val members = memberRankings(s, dir)
+    val exact = exactPairs(s, dir)
+    val rankOf = members.map(_.map(t => (t._1, t._2) -> t._3).toMap)
+    val allPairs = members.flatMap(_.map(t => (t._1, t._2))).distinct
+    // fuse with a keep mask: the pairs universe stays all three members'
+    // (a dropped member's exclusive pairs score 0.0 and can never reach a
+    // top-10 that has >= 10 positively-scored rows — same frame as the
+    // twin's single three-way join), terms add in fixed order
+    def fuseTop10(keep: Seq[Boolean],
+                  qFilter: Long => Boolean): Seq[(Long, Long, Double)] =
+      allPairs.filter(p => qFilter(p._1))
+        .map { p =>
+          val score = rankOf.zip(keep).foldLeft(0.0) { case (acc, (m, k)) =>
+            acc + (if (k) m.get(p).map(r => 1.0 / (FusionK + r)).getOrElse(0.0)
+                   else 0.0)
+          }
+          (p._1, p._2, score)
+        }
+        .groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+          rs.sortBy(t => (-t._3, t._2)).take(10)
+        }
+    def hits(t: Seq[(Long, Long, Double)]): Int =
+      t.count(x => exact.contains((x._1, x._2)))
+    val tune = (q: Long) => q % 2 == 0
+    val hAll = hits(fuseTop10(Seq(true, true, true), tune))
+    val raw = (0 until members.length).map { m =>
+      hAll >= hits(fuseTop10(Seq.tabulate(members.length)(_ != m), tune))
+    }
+    val keep = if (raw.exists(identity)) raw
+               else Seq.fill(members.length)(true)
+    val keptStr = Seq("ivf", "graph", "bin").zip(keep)
+      .filter(_._2).map(_._1).mkString(",")
+    fuseTop10(keep, _ => true)
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .flatMap { case (_, rs) =>
+        rs.sortBy(t => (-t._3, t._2)).zipWithIndex
+          .map { case ((qi, ni, c), i) => (qi, ni, c, (i + 1).toLong, keptStr) }
+      }
+      .toDF("q_id", "n_id", "rrf", "rank", "kept")
+      .orderBy("q_id", "rank")
   }
 
   /** Hybrid query-term budget and sample-query count (the established

@@ -48,12 +48,40 @@ object BucketedJoin {
     * force-deleting it (the pre-r9 shape) could rip files out from under a
     * CONCURRENT application's active bucketed scan (ADVICE r8). Scoping the
     * name to the app means every application writes a fresh location and
-    * never touches another's; a prior app's orphaned layout directories are
-    * tmp-dir garbage for the host's cleanup, exactly like the warehouse
-    * pointer targets' superseded versions awaiting vacuum. */
+    * never touches another's; a prior app's orphaned layout directories
+    * are reclaimed by the age-guarded `sweepOrphans` on the next app's
+    * first layout write, exactly like the warehouse pointer targets'
+    * superseded versions awaiting vacuum. */
   private[graft] def tableName(s: SparkSession, dir: String, table: String): String = {
     val app = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
     s"bkt_${table}_${app}_" + graft.Tables.fixtureKey(s, dir, table, s"bkt|$Buckets")
+  }
+
+  /** Age-guarded sweep of ORPHANED bucketed layouts (ADVICE r9):
+    * application-scoped table names closed the concurrent-delete race but
+    * removed the only cleanup path — every run left its two layout
+    * directories in spark.sql.warehouse.dir forever. Reclaim `bkt_*` dirs
+    * that (a) belong to ANOTHER application (this app's own layouts are
+    * live by definition) and (b) have not been modified for `orphanAgeMs`
+    * (default 24 h — far beyond a local application's lifetime, so a
+    * concurrent app's fresh layout is never touched; the same fail-safe
+    * age rule as vacuumSnapshot's abandoned-marker window). Runs on the
+    * first layout write of a session, so long-lived hosts stay bounded
+    * without a separate GC job. Returns the number of dirs reclaimed. */
+  private[graft] def sweepOrphans(s: SparkSession,
+                                  orphanAgeMs: Long = 24L * 3600 * 1000): Int = {
+    val whDir = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"))
+    val fs = whDir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(whDir)) return 0
+    val app = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+    val cutoff = System.currentTimeMillis() - orphanAgeMs
+    fs.listStatus(whDir).toSeq.count { st =>
+      val nm = st.getPath.getName
+      val orphan = st.isDirectory && nm.startsWith("bkt_") &&
+        !nm.contains(app) && st.getModificationTime < cutoff
+      if (orphan) fs.delete(st.getPath, true)
+      orphan
+    }
   }
 
   /** Create the bucketed twins of lineitem/orders for `dir` if this session
@@ -63,6 +91,7 @@ object BucketedJoin {
     val lt = tableName(s, dir, "lineitem")
     val ot = tableName(s, dir, "orders")
     if (!s.catalog.tableExists(lt)) {
+      sweepOrphans(s)
       t(s, dir, "lineitem")
         .select("l_orderkey", "l_extendedprice", "l_discount")
         .repartition(Buckets, col("l_orderkey"))

@@ -144,6 +144,52 @@ class FusionSpec extends SparkSpec {
       "members serve late vectors but the fusion drops them all — staleness gap reopened")
   }
 
+  test("weighted ensemble: the serving decision is supported by the tune measurement") {
+    val served = Fusion.fusedWeighted(spark, sf).collect()
+    val byQ = served.groupBy(_.getLong(0))
+    assert(byQ.keySet == (0L until 8L).toSet)
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_.getLong(3)).sorted.toSeq == (1L to 10L))
+      assert(!rs.map(_.getLong(1)).contains(q))
+    }
+    val kept = served.map(_.getString(4)).distinct
+    assert(kept.length == 1, "the serving decision must be one constant")
+    val keptSet = kept(0).split(",").toSet
+    assert(keptSet.nonEmpty && keptSet.subsetOf(Set("ivf", "graph", "bin")))
+    info(s"members kept: ${kept(0)}")
+    // independent replication of the leave-one-out protocol from the
+    // PUBLIC member serves — the decision must be the measured one, not a
+    // hardcoded config
+    val ms = Seq(
+      "ivf" -> Similarity.ivfTrainedTopK(spark, sf),
+      "graph" -> Similarity.graphSearchTopK(spark, sf),
+      "bin" -> Binary.topK(spark, sf)).map { case (nm, df) =>
+      nm -> df.select("q_id", "n_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    }
+    val exact = Similarity.bruteTopK(spark, sf).select("q_id", "n_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pairs = ms.flatMap(_._2.keys).distinct
+    def tuneHits(keep: Set[String]): Int =
+      pairs.filter(_._1 % 2 == 0).map { p =>
+        val sc = ms.map { case (nm, m) =>
+          if (keep(nm)) m.get(p).map(r => 1.0 / (Fusion.FusionK + r)).getOrElse(0.0)
+          else 0.0
+        }.sum
+        (p, sc)
+      }.groupBy(_._1._1).toSeq.flatMap { case (_, rs) =>
+        rs.sortBy(t => (-t._2, t._1._2)).take(10)
+      }.count(t => exact.contains(t._1))
+    val all = Set("ivf", "graph", "bin")
+    val hAll = tuneHits(all)
+    all.foreach { m =>
+      val keptM = keptSet.contains(m)
+      val expected = hAll >= tuneHits(all - m)
+      assert(keptM == expected || (keptSet == all && !ms.map(_._1).exists(x => hAll >= tuneHits(all - x))),
+        s"member $m: served-kept=$keptM but measurement says keep=$expected")
+    }
+  }
+
   test("the consensus does not fall below the member families") {
     def avgRecall(df: org.apache.spark.sql.DataFrame): Double = {
       val rs = df.collect().map(_.getDouble(3))

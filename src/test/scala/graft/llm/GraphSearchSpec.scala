@@ -59,36 +59,67 @@ class GraphSearchSpec extends SparkSpec {
     assert(recall >= 0.6, f"recall@10 $recall%.2f under floor")
   }
 
-  test("published serve graph is src-clustered and the expansion round prunes to the frontier") {
+  test("published serve graph and descent graph are src-clustered") {
     got // force the publish
-    val target = Similarity.serveGraphTarget(spark, sf)
-    assert(graft.etl.Warehouse.clusteringOf(spark, target).contains("src"),
+    assert(graft.etl.Warehouse.clusteringOf(spark,
+        Similarity.serveGraphTarget(spark, sf)).contains("src"),
       "published serve graph must carry the src _CLUSTERING sidecar")
     assert(graft.etl.Warehouse.clusteringOf(spark,
         Similarity.descentTarget(spark, sf)).contains("src"),
       "published NN-descent graph must carry the src _CLUSTERING sidecar")
-    // the serve's expansion round: frontier ids reach the serve-graph scan
-    // as an In(src) pushed filter (row-group pruning against the clustered
-    // layout); the round is a single-stage scan — no join, no exchange
-    val plan = Similarity.publishedServeGraph(spark, sf)
-      .filter(col("src").isInCollection(Seq(1L, 2L, 3L)))
-      .select("src", "dst")
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("In(src"), s"no In(src) pushed filter in:\n$plan")
-    assert(!plan.contains("Exchange"), s"expansion round exchanged:\n$plan")
   }
 
-  test("the scoring round prunes the corpus scan to the candidate ids") {
-    // the corpus side of beamServe's score: candidate ids reach the
-    // embeddings parquet scan as an In(vec_id) pushed filter — no serve
-    // round ever reads the corpus in full (VERDICT r8 item 1)
-    val dot = Similarity.dotFor(spark) _
-    val e = graft.Tables.t(spark, sf, "embeddings").select(
-      col("vec_id"), col("embedding"),
-      expr(s"sqrt(${dot("embedding", "embedding")})").as("nrm"))
-    val plan = e.filter(col("vec_id").isInCollection(Seq(1L, 2L, 3L)))
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("In(vec_id"), s"no In(vec_id) pushed filter in:\n$plan")
+  test("the rounds beamServe ACTUALLY executes are pruned (captured plans)") {
+    // ADVICE r9: pin the plans the serve itself runs, not hand-built
+    // lookalikes — a regression inside beamServe's score/expansion (e.g.
+    // dropping isInCollection) must fail THIS test. Capture every query
+    // execution of one post-publish serve via a listener.
+    got // first call publishes artifacts; capture a steady-state serve
+    val plans = new scala.collection.mutable.ArrayBuffer[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        plans.synchronized { plans += qe.executedPlan.toString }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    val captured = try {
+      Similarity.graphSearchTopK(spark, sf).collect()
+      // listener delivery is async on the bus — wait until the capture
+      // stabilizes (no growth across a poll interval)
+      var last = -1
+      var stable = 0
+      val deadline = System.currentTimeMillis() + 15000
+      while (stable < 3 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(200)
+        val n = plans.synchronized(plans.size)
+        if (n == last) stable += 1 else { stable = 0; last = n }
+      }
+      plans.synchronized(plans.toList)
+    } finally spark.listenerManager.unregister(listener)
+    val servePath = Similarity.serveGraphTarget(spark, sf)
+    val graphScans = captured.filter(_.contains(servePath))
+    // every expansion round (one per SearchIters) reads the serve graph —
+    // always frontier-pruned, never a full graph scan
+    assert(graphScans.size >= Similarity.SearchIters,
+      s"expected >= ${Similarity.SearchIters} serve-graph rounds, saw ${graphScans.size} of ${captured.size} captured")
+    graphScans.foreach { p =>
+      assert(p.contains("In(src"),
+        s"beamServe ran an UNPRUNED serve-graph scan:\n$p")
+      assert(!p.contains("Exchange"), s"expansion round exchanged:\n$p")
+    }
+    // every corpus read during the serve is id-pruned: the scoring rounds
+    // push In(vec_id ∈ candidates), the query frame pushes vec_id < 8 —
+    // a full embeddings scan inside the walk is the r8 regression
+    val corpusScans = captured.filter(_.contains("embeddings.parquet"))
+    assert(corpusScans.nonEmpty, "no corpus scan captured — listener broken?")
+    corpusScans.foreach { p =>
+      assert(p.contains("In(vec_id") || p.contains("LessThan(vec_id"),
+        s"beamServe ran an UNPRUNED corpus scan:\n$p")
+    }
   }
 
   test("a corpus without ids 8-11 still seeds a full frontier (corpus-derived entries)") {

@@ -89,6 +89,30 @@ class BucketedJoinSpec extends SparkSpec {
       s"${files.length} part files for ${BucketedJoin.Buckets} buckets — a bucket wrote >1 file, the scan cannot report sortedness")
   }
 
+  test("orphan sweep reclaims aged foreign layouts, spares live ones") {
+    df.count() // materialize this app's layouts
+    val wh = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
+    // an AGED layout from another application: reclaimable
+    val dead = new java.io.File(wh, "bkt_lineitem_app_gone_deadbeef")
+    dead.mkdirs()
+    java.nio.file.Files.write(new java.io.File(dead, "part-0.parquet").toPath,
+      Array[Byte](1))
+    dead.setLastModified(System.currentTimeMillis() - 60000)
+    // a FRESH layout from another application (possibly live): protected
+    val fresh = new java.io.File(wh, "bkt_orders_app_live_cafebabe")
+    fresh.mkdirs()
+    // >= 1: prior test-run applications may have left real orphans too —
+    // the sweep reclaims them all
+    val swept = BucketedJoin.sweepOrphans(spark, orphanAgeMs = 1000)
+    assert(swept >= 1 && !dead.exists(), "aged foreign layout not reclaimed")
+    assert(fresh.exists(), "fresh foreign layout must survive the age guard")
+    // this app's own tables are never touched, whatever their age
+    assert(spark.catalog.tableExists(tableNameOf("lineitem")))
+    assert(df.collect().length > 0, "serve broken after sweep")
+    fresh.delete()
+  }
+
   private def tableNameOf(table: String): String =
     BucketedJoin.tableName(spark, sf, table)
 }
