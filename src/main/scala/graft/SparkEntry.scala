@@ -149,6 +149,9 @@ object SparkEntry {
     "q_sim_ivfpq_recall"   -> (graft.llm.IvfPq.recallAudit _),
     "q_sim_ivfpq_sweep"    -> (graft.llm.IvfPq.sweep _),
     "q_sim_ivfpq_upsert"   -> (graft.llm.IvfPq.upsertAdcTopK _),
+    // composite staleness monitor: per-segment mean ADC reconstruction
+    // error under the frozen coarse+book stages (llm/IvfPq)
+    "q_sim_ivfpq_drift"    -> (graft.llm.IvfPq.drift _),
     // binary quantization: centered sign-bit signatures (8 bytes/vector,
     // 32x) + Hamming shortlist, exact re-rank of the shortlist (llm/Binary)
     "q_sim_binary_codes"   -> (graft.llm.Binary.codes _),
@@ -218,6 +221,12 @@ object SparkEntry {
     "q_join_region_revenue" -> (Joins.regionRevenue _),
     "q_text_tfidf"         -> (TextAnalysis.tfidf _),
     "q_text_bm25"          -> (TextAnalysis.bm25 _),
+    // lexical-index maintenance: O(batch) posting add (tokenize the late
+    // docs only), serve base ∪ delta with df/stats reconciled from the
+    // merged members — bit-identical to a full rebuild; plus the frozen-
+    // vocabulary OOV drift monitor (llm/LexMaintenance)
+    "q_text_bm25_upsert"   -> (graft.llm.LexMaintenance.upsertServe _),
+    "q_text_bm25_drift"    -> (graft.llm.LexMaintenance.drift _),
     "q_chunk_pack"         -> (graft.llm.Curation.chunkPack _),
     "q_dedup_embed_components" -> (Dedup.embedComponents _),
     "q_sample_temperature" -> (graft.llm.Curation.temperatureSample _),
@@ -819,13 +828,13 @@ object SparkEntry {
         uasg AS (SELECT vec_id, embedding, nrm, cent_id FROM urc WHERE crn = 1)"""
   }
 
-  /** Twin of IvfPq.upsertAdcTopK — the COMPOSITE's maintenance serve:
-    * coarse centroids train on the base slice (ivfUpCtes), residual books
-    * train on the BASE residuals only (the ww/wa/ws/wu/wc Lloyd carries a
-    * training-row filter), every vector encodes against the frozen books,
-    * and the IVFADC serve ranks base ∪ late codes with the is_new flag. */
-  private def ivfPqUpsertSql: String = {
-    import graft.llm.IvfPq.{M, SubDim => D, K, Iters, NQueries}
+  /** Shared frozen-book CTE prefix of the COMPOSITE maintenance twins
+    * (upsert serve + drift monitor): base-trained coarse stage (ivfUpCtes),
+    * residual books trained on the BASE residuals only (the ww/wa/ws/wu/wc
+    * Lloyd carries a training-row filter), and every vector's codes vs the
+    * frozen books (wcd) with its residual subvectors (wsv). */
+  private def ivfPqUpCtes: String = {
+    import graft.llm.IvfPq.{M, SubDim => D, K, Iters}
     val S = Similarity.MeanScale
     def resid(x: String, c: String) =
       s"(CAST(CAST($x AS DOUBLE) * $S AS BIGINT) - " +
@@ -847,7 +856,7 @@ object SparkEntry {
           wc$i AS (SELECT p.m, p.code, COALESCE(u.csv, p.csv) AS csv
                    FROM $prev p LEFT JOIN wu$i u USING (m, code))"""
     }.mkString(",\n")
-    s"""WITH $ivfUpCtes,
+    s"""$ivfUpCtes,
         wres AS (SELECT a.vec_id, a.cent_id,
                    [${resid("a.embedding[d]", "c.cemb[d]")}
                     for d in generate_series(1, len(a.embedding))] AS r
@@ -862,7 +871,38 @@ object SparkEntry {
                   SELECT s.vec_id, s.cent_id, s.m, c.code,
                          row_number() OVER (PARTITION BY s.vec_id, s.m
                            ORDER BY ${dDist2("s.sv", "c.csv")}, c.code) AS rn
-                  FROM wsv s JOIN wcf c ON c.m = s.m) WHERE rn = 1),
+                  FROM wsv s JOIN wcf c ON c.m = s.m) WHERE rn = 1)"""
+  }
+
+  /** Twin of IvfPq.drift — per segment, the mean ADC reconstruction error
+    * under the frozen coarse centroids + frozen residual books: for every
+    * (vector, subspace), d²(residual subvector, assigned codeword),
+    * floor-quantized at 2^-48 so the cross-row sum is order-free. */
+  private def ivfPqDriftSql: String = {
+    val S = Similarity.MeanScale
+    s"""WITH $ivfPqUpCtes,
+        wqe AS (SELECT s.vec_id,
+                       CAST(floor(${dDist2("s.sv", "b.csv")} * $S.0) AS BIGINT) AS sqe
+                FROM wsv s
+                JOIN wcd cd ON cd.vec_id = s.vec_id AND cd.m = s.m
+                JOIN wcf b ON b.m = s.m AND b.code = cd.code)
+        SELECT CASE WHEN vec_id >= ut.t THEN 'late' ELSE 'base' END AS segment,
+               count(DISTINCT vec_id) AS n,
+               CAST(CAST(SUM(CAST(sqe AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE)
+                 / (CAST(count(DISTINCT vec_id) AS DOUBLE) * $S.0) AS mean_qerr
+        FROM wqe, ut GROUP BY 1 ORDER BY 1"""
+  }
+
+  /** Twin of IvfPq.upsertAdcTopK — the COMPOSITE's maintenance serve:
+    * every vector encodes against the frozen books (ivfPqUpCtes), and the
+    * IVFADC serve ranks base ∪ late codes with the is_new flag. */
+  private def ivfPqUpsertSql: String = {
+    import graft.llm.IvfPq.{M, SubDim => D, NQueries}
+    val S = Similarity.MeanScale
+    def resid(x: String, c: String) =
+      s"(CAST(CAST($x AS DOUBLE) * $S AS BIGINT) - " +
+        s"CAST(floor($c * $S) AS BIGINT)) / CAST($S AS DOUBLE)"
+    s"""WITH $ivfPqUpCtes,
         wprob AS (SELECT vec_id AS q_id, cent_id FROM urc
                   WHERE crn <= ${Similarity.NProbe} AND vec_id < $NQueries),
         wqr AS (SELECT p.q_id, p.cent_id, m,
@@ -2170,6 +2210,7 @@ object SparkEntry {
           WHERE "rank" <= 10 ORDER BY q_id, "rank"""",
     "q_sim_ivfpq_rerank" -> ivfPqRerankSql,
     "q_sim_ivfpq_upsert" -> ivfPqUpsertSql,
+    "q_sim_ivfpq_drift" -> ivfPqDriftSql,
     "q_sim_ivfpq_sweep" -> {
       val npVals = Similarity.SweepProbes
         .map(p => s"(CAST($p AS BIGINT))").mkString(", ")
@@ -2713,6 +2754,52 @@ object SparkEntry {
           FROM sc GROUP BY doc_id
           ORDER BY score DESC, doc_id LIMIT $Bm25TopK"""
     },
+    // Twin of LexMaintenance.upsertServe: counting is exact and additive,
+    // so the base∪delta serve equals this full-corpus replay bit-for-bit
+    // (the same q_text_bm25 derivation plus the is_new flag).
+    "q_text_bm25_upsert" -> {
+      import graft.llm.TextAnalysis.{Bm25QTerms, Bm25TopK}
+      s"""WITH dt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+          dcut AS (SELECT CAST(floor(count(*) * ${graft.llm.IvfMaintenance.BaseFrac}) AS BIGINT) AS t
+                   FROM documents),
+          tfx AS (SELECT doc_id, token, count(*) AS tf FROM dt GROUP BY 1, 2),
+          dfx AS (SELECT token, count(*) AS df FROM tfx GROUP BY 1),
+          qt AS (SELECT token, df FROM dfx ORDER BY df, token LIMIT $Bm25QTerms),
+          dlx AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+          st AS (SELECT count(*) AS n_docs, SUM(len(string_split(text, ' '))) AS tot
+                 FROM documents),
+          sc AS (SELECT tfx.doc_id, ${graft.llm.TextAnalysis.bm25ScoreSql} AS score_t
+                 FROM tfx JOIN qt USING (token)
+                 JOIN dlx ON dlx.doc_id = tfx.doc_id, st),
+          agg AS (SELECT doc_id, count(*) AS n_terms,
+                 CAST(CAST(SUM(CAST(score_t AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS score
+          FROM sc GROUP BY doc_id
+          ORDER BY score DESC, doc_id LIMIT $Bm25TopK)
+          SELECT doc_id, n_terms, score,
+                 CAST(CASE WHEN doc_id >= dcut.t THEN 1 ELSE 0 END AS BIGINT) AS is_new
+          FROM agg, dcut ORDER BY score DESC, doc_id"""
+    },
+    // Twin of LexMaintenance.drift: the frozen BASE vocabulary's fit per
+    // segment — OOV token mass and new-type count vs the docs < cut vocab.
+    "q_text_bm25_drift" ->
+      s"""WITH dcut AS (SELECT CAST(floor(count(*) * ${graft.llm.IvfMaintenance.BaseFrac}) AS BIGINT) AS t
+                        FROM documents),
+          tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+          sg AS (SELECT CASE WHEN tk.doc_id >= dcut.t THEN 'late' ELSE 'base' END AS segment,
+                        tk.doc_id, tk.token
+                 FROM tk, dcut),
+          bv AS (SELECT DISTINCT tk.token FROM tk, dcut WHERE tk.doc_id < dcut.t),
+          tot AS (SELECT segment, count(DISTINCT doc_id) AS n_docs, count(*) AS n_tokens
+                  FROM sg GROUP BY 1),
+          ov AS (SELECT segment, count(*) AS oov_tokens,
+                        count(DISTINCT token) AS new_types
+                 FROM sg WHERE NOT EXISTS (SELECT 1 FROM bv WHERE bv.token = sg.token)
+                 GROUP BY 1)
+          SELECT t.segment, t.n_docs, t.n_tokens,
+                 CAST(COALESCE(o.oov_tokens, 0) AS BIGINT) AS oov_tokens,
+                 CAST(COALESCE(o.new_types, 0) AS BIGINT) AS new_types,
+                 CAST(COALESCE(o.oov_tokens, 0) AS DOUBLE) / CAST(t.n_tokens AS DOUBLE) AS oov_rate
+          FROM tot t LEFT JOIN ov o USING (segment) ORDER BY segment""",
     "q_chunk_pack" ->
       s"""WITH $chunkCtes,
           p AS (SELECT doc_id, chunk_idx, source, n_tokens,

@@ -424,6 +424,40 @@ object IvfPq {
       .orderBy("q_id", "rank")
   }
 
+  /** q_sim_ivfpq_drift: the COMPOSITE's STALENESS MONITOR — how well the
+    * frozen two-stage quantizer (base-trained coarse centroids AND
+    * base-trained residual books) still fits each segment, measured as the
+    * per-vector mean ADC reconstruction error: Σ_m d²(subvector residual,
+    * assigned codeword). That is exactly the quantization error the serve's
+    * distance estimates inherit (Jégou et al. TPAMI 2011 §III — ADC error
+    * is bounded by the quantization error), so a widening base→late gap
+    * reads directly as "late vectors rank on noisier estimates"; the
+    * republish trigger for BOTH frozen stages, same contract as
+    * q_index_drift (coarse fit) but one level deeper. Numeric discipline:
+    * each (vector, subspace) error floor-quantizes at 2^-48 so the
+    * cross-row sum is order-free integer math (the q_sim_binary_drift
+    * form). Cost: one pass over the published code lists joined to the
+    * broadcast books + the residual map — O(corpus codes), 2-row output;
+    * a deployment runs the late-segment half per batch. */
+  def drift(s: SparkSession, dir: String): DataFrame = {
+    val dd = Clustering.dist2For(s) _
+    val cut = IvfMaintenance.baseCut(s, dir)
+    val qe = upResidualSubvecs(s, dir)
+      .join(upPublishedCodes(s, dir).select("vec_id", "m", "code"),
+        Seq("vec_id", "m"))
+      .join(broadcast(upBooks(s, dir)), Seq("m", "code"))
+      .select(col("vec_id"), expr(
+        s"CAST(FLOOR(${dd("sv", "csv")} * $S.0) AS BIGINT)").as("sqe"))
+    qe.groupBy(when(col("vec_id") >= cut, lit("late")).otherwise(lit("base"))
+        .as("segment"))
+      .agg(countDistinct(col("vec_id")).as("n"),
+        (sum(col("sqe").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .cast("string").cast("double") /
+          (countDistinct(col("vec_id")).cast("double") * lit(S.toDouble)))
+          .as("mean_qerr"))
+      .orderBy("segment")
+  }
+
   /** Exact euclidean brute-force top-10 — the ground-truth side of the
     * recall audit (the PQ family measures in L2, so its audit anchors to
     * the L2 exact set, not the cosine one q_sim_recall uses). Broadcast

@@ -334,6 +334,9 @@ class PlanSpec extends SparkSpec {
       // q_retrieve_hybrid: inherits bm25's (n_docs, total_tokens) 1-row
       // broadcast for its lexical tower (Fusion.hybridTopK)
       "q_retrieve_hybrid",
+      // q_text_bm25_upsert: the merged corpus statistic sums TWO 1-row
+      // snapshot members — one partial each, never rows (LexMaintenance)
+      "q_text_bm25_upsert",
       // q_mix_epochs: the (total_tokens, n_groups) budget base is a 1-row
       // broadcast over the groups-sized schedule frame (Curation.epochSchedule)
       "q_mix_epochs",
