@@ -43,7 +43,7 @@ object LexMaintenance {
     math.floor(graft.etl.TableStats.rowCount(s, dir, "documents")
       * IvfMaintenance.BaseFrac).toLong
 
-  private[llm] def snapRoot(s: SparkSession, dir: String): String = {
+  private[graft] def snapRoot(s: SparkSession, dir: String): String = {
     val key = graft.Tables.fixtureKey(s, dir, "documents",
       s"lexup|${IvfMaintenance.BaseFrac}|lexidx1")
     s"${sys.props("java.io.tmpdir")}/graft_lex/up_$key"

@@ -486,6 +486,27 @@ object StreamTwins {
       .select(col("vec_id"), col("m"), col("code"), col("cent_id"))
   }
 
+  /** Streaming LEXICAL ADD — the streaming face of the BM25 tower's
+    * posting build (LexMaintenance's delta member): each arriving document
+    * emits its (token, tf, dl) posting rows from ONE per-row expression
+    * chain — per-doc term frequency is an in-array count (distinct tokens
+    * × filter-size, no groupBy: tf is a WITHIN-document statistic, so the
+    * aggregation never leaves the row), dl is the token count. No model
+    * state at all (the lexical family's trained state is empty — df and
+    * corpus stats are serve-time sums of member tables, not per-row
+    * inputs): no state store, no watermark, the micro-batch never
+    * shuffles. Drained postings are bit-identical to the batch delta
+    * member on the same rows (StreamTwinsSpec). */
+  def lexAdd(docs: DataFrame): DataFrame =
+    docs.withColumn("toks", graft.llm.TextHash.tokens(col("text")))
+      .withColumn("dl", size(col("toks")).cast("long"))
+      .select(col("doc_id"), col("dl"), explode(expr(
+        """transform(array_distinct(toks), t -> struct(t AS token,
+             CAST(size(filter(toks, x -> x = t)) AS BIGINT) AS tf))"""))
+        .as("p"))
+      .select(col("p.token").as("token"), col("doc_id"),
+        col("p.tf").as("tf"), col("dl"))
+
   /** Stateless streaming twin of the binary encode path
     * (q_sim_binary_codes): sign each arriving embedding against the
     * PUBLISHED per-dimension means (the d-row statistic a batch job

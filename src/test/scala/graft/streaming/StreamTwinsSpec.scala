@@ -724,4 +724,42 @@ class StreamTwinsSpec extends SparkSpec {
       "every arriving vector must emit exactly M code rows")
     assert(got.sameElements(want))
   }
+
+  test("streaming lexical add matches the batch delta postings bit-for-bit") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    // batch face first: publishes the {base, delta} lexical snapshot
+    // (reset the root so a previously-compacted snapshot can't empty the
+    // delta member this test compares against)
+    val root = graft.llm.LexMaintenance.snapRoot(s, sf)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    if (new java.io.File(root).exists()) rm(new java.io.File(root))
+    graft.llm.LexMaintenance.upsertServe(s, sf).count()
+    val snap = graft.etl.Warehouse.readSnapshot(s, root).get
+    val want = graft.etl.Warehouse
+      .readSnapshotMember(s, root, "post_delta", snap("post_delta"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted
+    assert(want.nonEmpty,
+      "compacted snapshot — reset the lexical root before this spec")
+    val cut = graft.llm.LexMaintenance.baseCut(s, sf)
+    val rows = graft.Tables.t(s, sf, "documents")
+      .filter($"doc_id" >= cut).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(rows.toSeq: _*)
+    val q = StreamTwins.lexAdd(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("lexadd_out")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = s.table("lexadd_out").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted
+    assert(got.sameElements(want))
+  }
 }
