@@ -68,6 +68,17 @@ class LexUpsertSpec extends SparkSpec {
     resetRoot()
   }
 
+  test("upsert serve reads pruned posting lists, never the corpus") {
+    LexMaintenance.upsertServe(spark, sf).count() // publish outside the pin
+    val p = LexMaintenance.upsertServe(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("documents.parquet"),
+      s"post-publish serve still scans the corpus:\n${p.take(4000)}")
+    // the query-term IN pushes into BOTH posting members (base and delta)
+    assert("In\\(token".r.findAllIn(p).size >= 2,
+      s"pushed In(token) missing from a posting member scan:\n${p.take(4000)}")
+  }
+
   test("drift monitor: exact segment counts, zero base OOV, rate in [0,1]") {
     val cut = LexMaintenance.baseCut(spark, sf)
     val n = graft.Tables.t(spark, sf, "documents").count()
