@@ -287,6 +287,45 @@ object ScaleBench {
       }
     }
 
+    if (fams("lex")) {
+      // ——— lexical-index maintenance units (LexMaintenance) ———
+      // posting_build: the ADD's unit of work — tokenize + per-(doc,token)
+      // tf + doc-length over an m× batch; O(batch) means this line must be
+      // linear in m with no base-corpus term anywhere.
+      // vocab_merge: the SERVE's reconcile — merged df + the 4-term
+      // selection over an m× vocabulary; dictionary-domain work (linear in
+      // distinct types, never in corpus tokens).
+      val d0 = Tables.t(spark, dir, "documents").select("doc_id", "text")
+      val maxDoc = d0.agg(max("doc_id")).collect()(0).getLong(0) + 1L
+      for (m <- mults) {
+        val docs = (0 until m).map(i =>
+          d0.select((col("doc_id") + lit(i * maxDoc)).as("doc_id"), col("text")))
+          .reduce(_ unionByName _).localCheckpoint()
+        val nDocs = docs.count()
+        def postings(): DataFrame = {
+          val toks = docs.select(col("doc_id"),
+            explode(graft.llm.TextHash.tokens(col("text"))).as("token"))
+          val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+          val dl = docs.select(col("doc_id"),
+            size(graft.llm.TextHash.tokens(col("text"))).cast("long").as("dl"))
+          tf.join(dl, "doc_id").select("token", "doc_id", "tf", "dl")
+        }
+        val tBuild = med(postings().count())
+        // m× vocabulary via copy-suffixed types (renaming, not re-counting:
+        // the merge's key domain grows m× while df values stay realistic)
+        val v0 = postings().select("token")
+          .groupBy("token").agg(count(lit(1)).as("df")).localCheckpoint()
+        val vocabs = (0 until m).map(i =>
+          v0.select(concat(col("token"), lit(s"~$i")).as("token"), col("df")))
+        val tMerge = med {
+          val merged = vocabs.reduce(_ unionByName _)
+            .groupBy("token").agg(sum("df").as("df"))
+          merged.orderBy(col("df"), col("token")).limit(4).collect().length.toLong
+        }
+        println(f"[scalebench] lex    m=$m%-3d docs=$nDocs%-8d posting_build=$tBuild%.2f s vocab_merge=$tMerge%.2f s")
+      }
+    }
+
     if (fams("bpe")) {
       // ——— BPE corpus pass vs round cost ———
       // (mirrors TextAnalysis.bpeTrain's vocabulary build and round 1)
