@@ -183,6 +183,7 @@ object SparkEntry {
     // hybrid retrieval: per-query BM25 lexical ranking + the published
     // trained-IVF dense serve, RRF-fused (llm/Fusion)
     "q_retrieve_hybrid"    -> (graft.llm.Fusion.hybridTopK _),
+    "q_retrieve_hybrid_upsert" -> (graft.llm.Fusion.hybridUpsertTopK _),
     // the hybrid's recall@10 audit vs exact cosine (llm/Fusion)
     "q_retrieve_recall"    -> (graft.llm.Fusion.recallHybrid _),
     // oracle-visible recall audits for the new serve paths (the _bound
@@ -1087,9 +1088,34 @@ object SparkEntry {
     * shared bm25ScoreSql + decimal-staged per-(q, doc) sum, the trained-IVF
     * twin as the dense side, and the fused queries' RRF shape. Shared by
     * q_retrieve_hybrid and its recall audit q_retrieve_recall. */
-  private def hybridTopkSql: String = {
+  private def hybridTopkSql: String =
+    s"""WITH ${hybridSqlCtes(ivfTrainedSql)}
+        SELECT q_id, n_id, rrf, "rank" FROM hr
+        WHERE "rank" <= 10 ORDER BY q_id, "rank""""
+
+  /** Twin of Fusion.hybridUpsertTopK — both towers replayed all-at-once:
+    * the lexical CTEs below recompute the full-corpus tf/df/dl/stats,
+    * which the MERGED snapshot members equal bit-for-bit (integer
+    * counting — the LexUpsertSpec equivalence), and the dense side is the
+    * frozen-centroid upsert twin. The two id spaces freeze at different
+    * cuts, so the twin re-derives both flags from their own tables. */
+  private def hybridUpsertSql: String = {
+    val bf = graft.llm.IvfMaintenance.BaseFrac
+    s"""WITH hdc AS (SELECT CAST(floor(count(*) * $bf) AS BIGINT) AS t FROM documents),
+        hec AS (SELECT CAST(floor(count(*) * $bf) AS BIGINT) AS t FROM embeddings),
+        ${hybridSqlCtes(ivfUpsertSql)}
+        SELECT q_id, n_id, rrf, "rank",
+               CAST(CASE WHEN n_id >= hdc.t THEN 1 ELSE 0 END AS BIGINT) AS is_new_lex,
+               CAST(CASE WHEN n_id >= hec.t THEN 1 ELSE 0 END AS BIGINT) AS is_new_dense
+        FROM hr, hdc, hec WHERE "rank" <= 10 ORDER BY q_id, "rank""""
+  }
+
+  /** The hybrid fusion's shared CTE chain (lexical tower + RRF over the
+    * given dense-tower subquery), ending at hr — the ranked fused frame
+    * the base and upsert twins select from. */
+  private def hybridSqlCtes(denseSql: String): String = {
     import graft.llm.Fusion.{HybridQTerms, HybridQueries, FusionK}
-    s"""WITH dt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+    s"""dt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
         tfx AS (SELECT doc_id, token, count(*) AS tf FROM dt GROUP BY 1, 2),
         dfx AS (SELECT token, count(*) AS df FROM tfx GROUP BY 1),
         hqt AS (SELECT q_id, token, df FROM (
@@ -1115,7 +1141,7 @@ object SparkEntry {
                           ORDER BY score DESC, doc_id) AS BIGINT) AS r_lex
                  FROM hlx)
                WHERE r_lex <= 10),
-        hd AS (SELECT q_id, n_id, "rank" AS r_dense FROM ($ivfTrainedSql)),
+        hd AS (SELECT q_id, n_id, "rank" AS r_dense FROM ($denseSql)),
         hj AS (SELECT q_id, n_id, r_lex, r_dense
                FROM hl FULL OUTER JOIN hd USING (q_id, n_id)),
         hs AS (SELECT q_id, n_id,
@@ -1123,9 +1149,7 @@ object SparkEntry {
                       coalesce(CAST(1 AS DOUBLE) / ($FusionK + r_dense), CAST(0 AS DOUBLE)) AS rrf
                FROM hj),
         hr AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
-                 ORDER BY rrf DESC, n_id) AS BIGINT) AS "rank" FROM hs)
-        SELECT q_id, n_id, rrf, "rank" FROM hr
-        WHERE "rank" <= 10 ORDER BY q_id, "rank""""
+                 ORDER BY rrf DESC, n_id) AS BIGINT) AS "rank" FROM hs)"""
   }
 
   /** Transitive-closure twin of Dedup.components (recursive CTE over the
@@ -3863,6 +3887,10 @@ object SparkEntry {
                  CAST(CASE WHEN n_id >= fut.t THEN 1 ELSE 0 END AS BIGINT) AS is_new
           FROM fr, fut WHERE "rank" <= 10 ORDER BY q_id, "rank"""",
     "q_retrieve_hybrid" -> hybridTopkSql,
+    // the two-tower freshness twin: the same lexical CTEs (the merged
+    // snapshot equals the full-corpus counts bit-for-bit) fused with the
+    // frozen-centroid dense upsert twin; per-tower staleness flags
+    "q_retrieve_hybrid_upsert" -> hybridUpsertSql,
     // recall@10 audit of the two-tower hybrid vs the exact cosine top-10
     // (VERDICT r9 item 2): both sides are already-oracle-checked twins;
     // hit counts are integers, recall one IEEE division

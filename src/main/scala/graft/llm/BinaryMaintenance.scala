@@ -162,6 +162,23 @@ object BinaryMaintenance {
     serveOver(s, dir, sigs, cut)
   }
 
+  /** COMPACTION — fold the delta signatures into a refreshed base member
+    * and retire the delta, committed with ONE snapshot-pointer swap (the
+    * GraphMaintenance.compact discipline; closes compaction 5/5 across
+    * the index families). Signatures are per-row facts disjoint across
+    * members, so the fold is file-level concatenation — no shuffle and,
+    * crucially, NO re-sign: the frozen means never re-enter, so
+    * serve-before ≡ serve-after bit-for-bit (BinaryCompactionSpec pins
+    * it). Pre-compaction versions stay readable until vacuumSnapshot's
+    * phase two, and a reader that resolves the pointer once can never
+    * see a torn commit. */
+  def compact(s: SparkSession, dir: String): Map[String, String] = {
+    val cut = IvfMaintenance.baseCut(s, dir)
+    val merged = sigsOf(s, dir, currentSigs(s, dir, cut))
+    graft.etl.Warehouse.publishSnapshot(s, sigsRoot(s, dir),
+      Seq("base" -> merged))
+  }
+
   /** q_sim_binary_drift: the frozen-means STALENESS MONITOR — per segment
     * (base = what μ trained on, late = everything after): count, mean
     * |x − μ| over every (row, dimension) pair (the fit gap to the frozen

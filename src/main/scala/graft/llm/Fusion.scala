@@ -302,4 +302,67 @@ object Fusion {
     * ranking — metadata-tier on top of the two serves. */
   def recallHybrid(s: SparkSession, dir: String): DataFrame =
     Similarity.recallOf(s, dir, hybridTopK(s, dir))
+
+  /** q_retrieve_hybrid_upsert: the two-tower serve's FRESHNESS leg — BOTH
+    * towers read their UPSERT snapshots instead of their base publishes,
+    * closing the staleness symmetry on the last serve path that lacked it
+    * (the ensemble got q_sim_fused_upsert; the hybrid's towers each got
+    * q_text_bm25_upsert / q_sim_ivf_upsert; this is their composition).
+    * Lexical tower: per-query selective terms from the MERGED dictionary
+    * (base + delta df — exact integer sums, identical to the full-corpus
+    * derivation), BM25 over base ∪ delta posting members with merged
+    * stats — posting lists only, never a corpus tokenize. Dense tower:
+    * the frozen-centroid IVF upsert serve. Fusion is the q_sim_fused
+    * metadata-tier join. The two towers freeze at DIFFERENT corpus points
+    * (documents vs embeddings row counts diverge at bench scale), so the
+    * serve exposes BOTH staleness flags — is_new_lex / is_new_dense —
+    * rather than pretending one cut covers both id spaces. */
+  def hybridUpsertTopK(s: SparkSession, dir: String): DataFrame = {
+    val lexCut = LexMaintenance.baseCut(s, dir)
+    val denseCut = IvfMaintenance.baseCut(s, dir)
+    val snap = LexMaintenance.current(s, dir)
+    val vocab = LexMaintenance.mergedVocab(s, dir, snap)
+    val qtoks = graft.Tables.t(s, dir, "documents")
+      .filter(col("doc_id") < HybridQueries)
+      .select(col("doc_id").as("q_id"),
+        explode(array_distinct(TextHash.tokens(col("text")))).as("token"))
+    val wq = Window.partitionBy("q_id").orderBy(col("df"), col("token"))
+    val qt = broadcast(qtoks).join(vocab, "token")
+      .withColumn("trn", row_number().over(wq))
+      .filter(col("trn") <= HybridQTerms)
+      .select("q_id", "token")
+    // ≤ Q·HybridQTerms strings — the probed-cell-ids metadata tier
+    val terms = qt.select("token").distinct()
+      .collect().map(_.getString(0)).toSeq
+    val st = LexMaintenance.member(s, dir, snap, "stats_base")
+      .unionByName(LexMaintenance.member(s, dir, snap, "stats_delta"))
+      .agg(sum("n_docs").as("n_docs"), sum("tot").as("tot"))
+    val wl = Window.partitionBy("q_id").orderBy(col("score").desc, col("doc_id"))
+    val lex = LexMaintenance.member(s, dir, snap, "post_base")
+      .unionByName(LexMaintenance.member(s, dir, snap, "post_delta"))
+      .filter(col("token").isInCollection(terms))
+      .join(broadcast(vocab.filter(col("token").isInCollection(terms))), "token")
+      .join(broadcast(qt), "token")
+      .filter(col("doc_id") =!= col("q_id"))
+      .crossJoin(broadcast(st))
+      .withColumn("score_t", expr(TextAnalysis.bm25ScoreSql))
+      .groupBy("q_id", "doc_id")
+      .agg(graft.Tables.dsum10(col("score_t")).as("score"))
+      .withColumn("r_lex", row_number().over(wl).cast("long"))
+      .filter(col("r_lex") <= 10)
+      .select(col("q_id"), col("doc_id").as("n_id"), col("r_lex"))
+    val dense = IvfMaintenance.upsertServe(s, dir)
+      .select(col("q_id"), col("n_id"), col("rank").as("r_dense"))
+    val w = Window.partitionBy("q_id").orderBy(col("rrf").desc, col("n_id"))
+    lex.join(dense, Seq("q_id", "n_id"), "full_outer")
+      .withColumn("rrf", expr(
+        s"coalesce(CAST(1 AS DOUBLE) / ($FusionK + r_lex), 0D) + " +
+          s"coalesce(CAST(1 AS DOUBLE) / ($FusionK + r_dense), 0D)"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+      .withColumn("is_new_lex", when(col("n_id") >= lexCut, 1L).otherwise(0L))
+      .withColumn("is_new_dense", when(col("n_id") >= denseCut, 1L).otherwise(0L))
+      .select("q_id", "n_id", "rrf", "rank", "is_new_lex", "is_new_dense")
+      .orderBy("q_id", "rank")
+  }
 }

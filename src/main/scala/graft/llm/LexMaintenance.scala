@@ -72,7 +72,7 @@ object LexMaintenance {
 
   /** The current index snapshot (publishing the initial base+delta member
     * set on first call — one atomic commit covering all six members). */
-  private def current(s: SparkSession, dir: String): Map[String, String] = {
+  private[llm] def current(s: SparkSession, dir: String): Map[String, String] = {
     val root = snapRoot(s, dir)
     graft.etl.Warehouse.readSnapshot(s, root).getOrElse {
       val cut = baseCut(s, dir)
@@ -82,13 +82,13 @@ object LexMaintenance {
     }
   }
 
-  private def member(s: SparkSession, dir: String, snap: Map[String, String],
+  private[llm] def member(s: SparkSession, dir: String, snap: Map[String, String],
                      name: String): DataFrame =
     graft.etl.Warehouse.readSnapshotMember(s, snapRoot(s, dir), name, snap(name))
 
   /** The MERGED dictionary: df summed across members — exact integers, so
     * it equals the full-corpus df bit-for-bit. Vocabulary-sized. */
-  private def mergedVocab(s: SparkSession, dir: String,
+  private[llm] def mergedVocab(s: SparkSession, dir: String,
                           snap: Map[String, String]): DataFrame =
     member(s, dir, snap, "vocab_base")
       .unionByName(member(s, dir, snap, "vocab_delta"))

@@ -111,6 +111,39 @@ class FusionSpec extends SparkSpec {
       f"lexical tower buried the dense evidence: $hybrid%.3f vs dense $dense%.3f")
   }
 
+  test("upsert-aware hybrid: both towers read their snapshots; per-tower flags") {
+    val lexCut = LexMaintenance.baseCut(spark, sf)
+    val denseCut = IvfMaintenance.baseCut(spark, sf)
+    val fresh = Fusion.hybridUpsertTopK(spark, sf).collect()
+    val byQ = fresh.groupBy(_.getLong(0))
+    assert(byQ.keySet == (0L until 8L).toSet)
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_.getLong(3)).sorted.toSeq == (1L to 10L))
+      assert(!rs.map(_.getLong(1)).contains(q))
+    }
+    // each tower freezes in its OWN id space: both flags are their cuts
+    fresh.foreach { r =>
+      assert(r.getLong(4) == (if (r.getLong(1) >= lexCut) 1L else 0L))
+      assert(r.getLong(5) == (if (r.getLong(1) >= denseCut) 1L else 0L))
+    }
+    // the merged lexical snapshot equals the full-corpus index bit-for-bit
+    // (LexUpsertSpec), so the upsert hybrid diverges from the base hybrid
+    // ONLY through the dense tower: any newly-surfaced neighbor must come
+    // from the dense upsert serve's list
+    val base = Fusion.hybridTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val denseUp = IvfMaintenance.upsertServe(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    fresh.map(r => (r.getLong(0), r.getLong(1))).filterNot(base).foreach { p =>
+      assert(denseUp.contains(p),
+        s"pair $p surfaced vs the base hybrid but is in neither tower's delta path")
+    }
+    val lateEligible = denseUp.count(_._2 >= denseCut)
+    val lateServed = fresh.count(_.getLong(5) == 1L)
+    info(s"late dense neighbors: $lateEligible eligible, $lateServed in hybrid top-10")
+    assert(lateEligible > 0, "dense tower served no late vector — fixture regression")
+  }
+
   test("upsert-aware fusion: late vectors flow through the rank consensus") {
     val cut = IvfMaintenance.baseCut(spark, sf)
     val fresh = Fusion.fusedUpsertTopK(spark, sf).collect()
