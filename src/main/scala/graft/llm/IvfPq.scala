@@ -65,7 +65,7 @@ object IvfPq {
 
   /** Published trained centroids (train-once/serve-many; publishes on the
     * first call of the whole IVF family, whichever query gets there). */
-  private def cents(s: SparkSession, dir: String): DataFrame = {
+  private[llm] def cents(s: SparkSession, dir: String): DataFrame = {
     val target = Similarity.centroidTarget(s, dir)
     if (!graft.etl.Warehouse.exists(s, target))
       Similarity.publishCentroids(s, dir, target)
@@ -76,7 +76,7 @@ object IvfPq {
     * its own cell's snapped centroid — one map pass over the published
     * inverted lists joined to the broadcast k×d centroid frame; the M
     * fan-out is a constant, never a shuffle. */
-  private def residualSubvecs(s: SparkSession, dir: String): DataFrame =
+  private[llm] def residualSubvecs(s: SparkSession, dir: String): DataFrame =
     Similarity.publishedAssignments(s, dir)
       .join(broadcast(cents(s, dir)), "cent_id")
       .withColumn("r", expr(
@@ -102,7 +102,7 @@ object IvfPq {
     s"${sys.props("java.io.tmpdir")}/graft_ivf/ivfpq_books_$key"
   }
 
-  private def books(s: SparkSession, dir: String): DataFrame = {
+  private[llm] def books(s: SparkSession, dir: String): DataFrame = {
     val target = booksTarget(s, dir)
     if (!graft.etl.Warehouse.exists(s, target))
       graft.etl.Warehouse.publish(s, target, trainBooks(s, dir))
