@@ -250,14 +250,21 @@ object Fusion {
       .select(col("doc_id").as("q_id"),
         explode(array_distinct(TextHash.tokens(col("text")))).as("token"))
     val wq = Window.partitionBy("q_id").orderBy(col("df"), col("token"))
-    val qt = broadcast(qtoks).join(LexIndex.vocab(s, dir), "token")
+    // the (q_id, token) query-term frame is ≤ Q·HybridQTerms rows BY
+    // CONTRACT — metadata tier (the probed-cell-ids discipline), so it
+    // collects ONCE and re-enters as a literal: the selection subtree
+    // (query-doc tokenize ⋈ vocab + window) would otherwise recompute for
+    // the IN-filter, the broadcast join, and each downstream action
+    val qtRows = broadcast(qtoks).join(LexIndex.vocab(s, dir), "token")
       .withColumn("trn", row_number().over(wq))
       .filter(col("trn") <= HybridQTerms)
       .select("q_id", "token")
-    // ≤ Q·HybridQTerms term strings — metadata tier; the literal IN is
-    // what prunes the token-clustered postings scan to row groups
-    val terms = qt.select("token").distinct()
-      .collect().map(_.getString(0)).toSeq
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    import s.implicits._
+    val qt = qtRows.toSeq.toDF("q_id", "token")
+    // the literal IN is what prunes the token-clustered postings scan to
+    // row groups
+    val terms = qtRows.map(_._2).distinct.toSeq
     val wl = Window.partitionBy("q_id").orderBy(col("score").desc, col("doc_id"))
     val lex = LexIndex.postings(s, dir)
       .filter(col("token").isInCollection(terms))
@@ -327,13 +334,18 @@ object Fusion {
       .select(col("doc_id").as("q_id"),
         explode(array_distinct(TextHash.tokens(col("text")))).as("token"))
     val wq = Window.partitionBy("q_id").orderBy(col("df"), col("token"))
-    val qt = broadcast(qtoks).join(vocab, "token")
+    // ≤ Q·HybridQTerms rows BY CONTRACT — metadata tier, collected once
+    // (the hybridTopK discipline); carrying df through the collect means
+    // the MERGED dictionary aggregates exactly once per call instead of
+    // re-running for the scoring join's broadcast dictionary slice
+    val qtRows = broadcast(qtoks).join(vocab, "token")
       .withColumn("trn", row_number().over(wq))
       .filter(col("trn") <= HybridQTerms)
-      .select("q_id", "token")
-    // ≤ Q·HybridQTerms strings — the probed-cell-ids metadata tier
-    val terms = qt.select("token").distinct()
-      .collect().map(_.getString(0)).toSeq
+      .select("q_id", "token", "df")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    import s.implicits._
+    val qt = qtRows.toSeq.toDF("q_id", "token", "df")
+    val terms = qtRows.map(_._2).distinct.toSeq
     val st = LexMaintenance.member(s, dir, snap, "stats_base")
       .unionByName(LexMaintenance.member(s, dir, snap, "stats_delta"))
       .agg(sum("n_docs").as("n_docs"), sum("tot").as("tot"))
@@ -341,7 +353,6 @@ object Fusion {
     val lex = LexMaintenance.member(s, dir, snap, "post_base")
       .unionByName(LexMaintenance.member(s, dir, snap, "post_delta"))
       .filter(col("token").isInCollection(terms))
-      .join(broadcast(vocab.filter(col("token").isInCollection(terms))), "token")
       .join(broadcast(qt), "token")
       .filter(col("doc_id") =!= col("q_id"))
       .crossJoin(broadcast(st))

@@ -108,16 +108,21 @@ object LexMaintenance {
     val cut = baseCut(s, dir)
     val snap = current(s, dir)
     val vocab = mergedVocab(s, dir, snap)
-    // ≤ Bm25QTerms strings — the probed-cell-ids metadata tier
-    val terms = vocab.orderBy(col("df"), col("token")).limit(Bm25QTerms)
-      .select("token").collect().map(_.getString(0)).toSeq
+    // ≤ Bm25QTerms (token, df) rows — the probed-cell-ids metadata tier;
+    // collected WITH their merged df so the dictionary aggregates once
+    // per call (the scoring join's slice re-enters as a literal)
+    val termRows = vocab.orderBy(col("df"), col("token")).limit(Bm25QTerms)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val terms = termRows.map(_._1).toSeq
+    import s.implicits._
+    val termDf = termRows.toSeq.toDF("token", "df")
     val st = member(s, dir, snap, "stats_base")
       .unionByName(member(s, dir, snap, "stats_delta"))
       .agg(sum("n_docs").as("n_docs"), sum("tot").as("tot"))
     member(s, dir, snap, "post_base")
       .unionByName(member(s, dir, snap, "post_delta"))
       .filter(col("token").isInCollection(terms))
-      .join(broadcast(vocab.filter(col("token").isInCollection(terms))), "token")
+      .join(broadcast(termDf), "token")
       .crossJoin(broadcast(st))
       .withColumn("score_t", expr(bm25ScoreSql))
       .groupBy("doc_id")
