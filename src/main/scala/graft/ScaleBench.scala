@@ -244,6 +244,16 @@ object ScaleBench {
         val tPqUp = med(graft.llm.IvfPq.upsertAdcTopK(spark, dirM).count())
         val tDrift = med(graft.llm.IvfMaintenance.drift(spark, dirM).count())
         println(f"[scalebench] ivfup  m=$m%-3d vectors=$nV%-8d add=$tAdd%.2f s union_serve=$tUpServe%.2f s pq_serve=$tPqUp%.2f s drift=$tDrift%.2f s")
+        // binary maintenance (r10): upsert serve = the Q×N two-popcount
+        // scan over base ∪ delta members (LINEAR in N like the base
+        // serve; rep 1 pays the μ/signature publish); drift = one
+        // explode-scan + the signature scan (LINEAR, monitoring budget);
+        // compact = the file-level signature fold behind a pointer swap
+        // (LINEAR in N, off the serving path)
+        val tBinUp = med(graft.llm.BinaryMaintenance.upsertServe(spark, dirM).count())
+        val tBinDrift = med(graft.llm.BinaryMaintenance.drift(spark, dirM).count())
+        val tBinComp = med { graft.llm.BinaryMaintenance.compact(spark, dirM); 1L }
+        println(f"[scalebench] binup  m=$m%-3d vectors=$nV%-8d serve=$tBinUp%.2f s drift=$tBinDrift%.2f s compact=$tBinComp%.2f s")
       }
     }
 
