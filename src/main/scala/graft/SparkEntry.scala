@@ -170,6 +170,8 @@ object SparkEntry {
     // ensemble retrieval: reciprocal-rank fusion across the three
     // published index families + its recall audit (llm/Fusion)
     "q_sim_fused"          -> (graft.llm.Fusion.fusedTopK _),
+    "q_sim_rank_quality"   -> (graft.llm.RankEval.rankQuality _),
+    "q_curriculum_order"   -> (graft.llm.Curation.curriculumOrder _),
     "q_sim_fused_recall"   -> (graft.llm.Fusion.recallFused _),
     // the ensemble's freshness serve: RRF over the three families'
     // upsert-aware serves — late vectors flow through the consensus
@@ -1441,6 +1443,49 @@ object SparkEntry {
                ELSE [CAST(0 AS DOUBLE) for i in generate_series(1, len(fl))] END AS embedding
              FROM qz),
         e AS (SELECT vec_id, embedding, ${dNorm("embedding")} AS nrm FROM deq)"""
+
+  /** Twin of Fusion.fusedTopK (the q_sim_fused entry, extracted as a
+    * fragment so the rank-quality audit can reuse it): the three member
+    * twins as subqueries, two chained FULL JOINs, the RRF terms added in
+    * the IDENTICAL textual order with explicit double division. */
+  private def fusedSql: String =
+    s"""WITH fi AS (SELECT q_id, n_id, "rank" AS r_ivf FROM ($ivfTrainedSql)),
+        fg AS (SELECT q_id, n_id, "rank" AS r_graph FROM ($graphSearchSql)),
+        fb AS (SELECT q_id, n_id, "rank" AS r_bin FROM ($binaryTopkSql)),
+        fj AS (SELECT q_id, n_id, r_ivf, r_graph, r_bin
+               FROM fi
+               FULL OUTER JOIN fg USING (q_id, n_id)
+               FULL OUTER JOIN fb USING (q_id, n_id)),
+        fs AS (SELECT q_id, n_id,
+                      coalesce(CAST(1 AS DOUBLE) / (${graft.llm.Fusion.FusionK} + r_ivf), CAST(0 AS DOUBLE)) +
+                      coalesce(CAST(1 AS DOUBLE) / (${graft.llm.Fusion.FusionK} + r_graph), CAST(0 AS DOUBLE)) +
+                      coalesce(CAST(1 AS DOUBLE) / (${graft.llm.Fusion.FusionK} + r_bin), CAST(0 AS DOUBLE)) AS rrf
+               FROM fj),
+        fr AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+                 ORDER BY rrf DESC, n_id) AS BIGINT) AS "rank" FROM fs)
+        SELECT q_id, n_id, rrf, "rank" FROM fr
+        WHERE "rank" <= 10 ORDER BY q_id, "rank""""
+
+  /** One family's per-query rank-metric rows for the q_sim_rank_quality
+    * twin: integer rel_r pivot + first-hit rank, grouped over the served
+    * Q·10 frame left-joined to the exact relevant set (an `exact` CTE
+    * must be in scope). The DCG fold happens in the outer select via
+    * RankEval.dcgSqlExpr — the SAME text the Spark side executes. */
+  private def rankMetricsCte(fam: String, servedSql: String): String = {
+    val fh = """min(CASE WHEN e.n_id IS NOT NULL THEN a."rank" END)"""
+    val rels = (1 to 10).map(r =>
+      s"""CAST(max(CASE WHEN a."rank" = $r AND e.n_id IS NOT NULL
+              THEN 1 ELSE 0 END) AS BIGINT) AS rel_$r""").mkString(", ")
+    s"""SELECT '$fam' AS family, a.q_id,
+          CAST(coalesce($fh, 0) AS BIGINT) AS first_hit,
+          CASE WHEN $fh IS NOT NULL
+               THEN CAST(1 AS DOUBLE) / CAST($fh AS DOUBLE)
+               ELSE CAST(0 AS DOUBLE) END AS rr,
+          $rels
+        FROM ($servedSql) a LEFT JOIN exact e
+          ON a.q_id = e.q_id AND a.n_id = e.n_id
+        GROUP BY a.q_id"""
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q_project_rename" ->
@@ -3846,23 +3891,61 @@ object SparkEntry {
     // textual order (ivf + graph + binary) with explicit double division
     // (DuckDB's bare 1.0 literal is DECIMAL — the CAST keeps both engines on
     // one correctly-rounded IEEE op per term)
-    "q_sim_fused" ->
-      s"""WITH fi AS (SELECT q_id, n_id, "rank" AS r_ivf FROM ($ivfTrainedSql)),
-          fg AS (SELECT q_id, n_id, "rank" AS r_graph FROM ($graphSearchSql)),
-          fb AS (SELECT q_id, n_id, "rank" AS r_bin FROM ($binaryTopkSql)),
-          fj AS (SELECT q_id, n_id, r_ivf, r_graph, r_bin
-                 FROM fi
-                 FULL OUTER JOIN fg USING (q_id, n_id)
-                 FULL OUTER JOIN fb USING (q_id, n_id)),
-          fs AS (SELECT q_id, n_id,
-                        coalesce(CAST(1 AS DOUBLE) / (${graft.llm.Fusion.FusionK} + r_ivf), CAST(0 AS DOUBLE)) +
-                        coalesce(CAST(1 AS DOUBLE) / (${graft.llm.Fusion.FusionK} + r_graph), CAST(0 AS DOUBLE)) +
-                        coalesce(CAST(1 AS DOUBLE) / (${graft.llm.Fusion.FusionK} + r_bin), CAST(0 AS DOUBLE)) AS rrf
-                 FROM fj),
-          fr AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
-                   ORDER BY rrf DESC, n_id) AS BIGINT) AS "rank" FROM fs)
-          SELECT q_id, n_id, rrf, "rank" FROM fr
-          WHERE "rank" <= 10 ORDER BY q_id, "rank"""",
+    "q_sim_fused" -> fusedSql,
+    // rank-aware retrieval quality: MRR + nDCG@10 per serve family vs the
+    // exact top-10. The log2 discounts and the IDCG are shortest-repr
+    // literals shared with the Spark side (RankEval.Discounts), and the
+    // DCG is the same fixed-order term sum — transcendental-free in both
+    // engines at query time
+    "q_sim_rank_quality" ->
+      s"""WITH exact AS (SELECT q_id, n_id FROM ($simTopkSql)),
+          m_ivf AS (${rankMetricsCte("ivf", ivfTrainedSql)}),
+          m_graph AS (${rankMetricsCte("graph", graphSearchSql)}),
+          m_bin AS (${rankMetricsCte("binary", binaryTopkSql)}),
+          m_fused AS (${rankMetricsCte("fused", fusedSql)}),
+          m AS (SELECT * FROM m_ivf UNION ALL SELECT * FROM m_graph
+                UNION ALL SELECT * FROM m_bin UNION ALL SELECT * FROM m_fused),
+          md AS (SELECT family, q_id, first_hit, rr,
+                        ${graft.llm.RankEval.dcgSqlExpr} AS dcg
+                 FROM m)
+          SELECT family, q_id, first_hit, rr, dcg,
+                 dcg / CAST(${graft.llm.RankEval.IdcgLit} AS DOUBLE) AS ndcg
+          FROM md ORDER BY family, q_id""",
+    // curriculum ordering: stage quartiles from the logit histogram (ceil
+    // via (a + n - 1) // n — BIGINTs in both engines), content-hash shard
+    // + within-(stage, shard) row_number
+    "q_curriculum_order" ->
+      s"""WITH x AS (SELECT doc_id,
+                 string_split(coalesce(text, ''), ' ') AS toks,
+                 coalesce(text, '') AS text, coalesce(n_chars, 0) AS n_chars FROM documents),
+          f AS (SELECT doc_id,
+                 CAST(len(toks) AS BIGINT) AS f_tokens,
+                 n_chars AS f_chars,
+                 CAST(len(list_filter(toks, tk -> list_contains($allStopList, tk))) AS BIGINT) AS f_stop,
+                 CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS f_digits,
+                 CAST(len(list_distinct(toks)) AS BIGINT) AS f_distinct
+              FROM x),
+          lg AS (SELECT doc_id,
+                 -2000 + f_tokens * 3 + f_chars * 1 + f_stop * 40
+                       + f_distinct * 10 - f_digits * 25 AS logit_milli
+              FROM f),
+          hist AS (SELECT logit_milli, count(*) AS cnt FROM lg GROUP BY 1),
+          n AS (SELECT count(*) AS n_docs FROM lg),
+          cum AS (SELECT logit_milli,
+                    sum(cnt) OVER (ORDER BY logit_milli DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                  FROM hist),
+          stg AS (SELECT logit_milli,
+                    CAST((cum * ${graft.llm.Curation.CurriculumStages} + n_docs - 1) // n_docs AS BIGINT) AS stage
+                  FROM cum, n),
+          d AS (SELECT lg.doc_id, stg.stage,
+                  ${dTokHash("'curriculum-v1' || '|' || CAST(lg.doc_id AS VARCHAR)")} AS h
+                FROM lg JOIN stg USING (logit_milli))
+          SELECT doc_id, stage, h % ${graft.llm.Curation.CurriculumShards} AS shard,
+                 CAST(row_number() OVER (
+                   PARTITION BY stage, h % ${graft.llm.Curation.CurriculumShards}
+                   ORDER BY h, doc_id) AS BIGINT) AS seq
+          FROM d ORDER BY stage, shard, seq""",
     // the ensemble freshness twin: the three UPSERT member twins fused
     // with the identical fixed-order RRF; is_new re-derives from the
     // shared base cut (one scalar CTE), not from the members' flags

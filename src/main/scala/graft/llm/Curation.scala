@@ -922,6 +922,57 @@ object Curation {
     graft.etl.Warehouse.publishPartitioned(s, target, sharded, "shard_id")
   }
 
+  /** Curriculum stages (quality quartiles, easy → hard) and the dataloader
+    * shard fan-out the within-stage order is materialized under. */
+  val CurriculumStages = 4
+  val CurriculumShards = 8
+
+  /** q_curriculum_order: CURRICULUM ORDERING (Bengio et al., ICML 2009,
+    * public method) — the training-order schedule that presents clean,
+    * easy documents first and noisy, hard ones last. Difficulty proxy is
+    * the corpus's own quality logit (higher = cleaner = earlier), staged
+    * into quartiles; within a stage the order is a deterministic content-
+    * keyed shuffle so difficulty stops correlating with source/ingest
+    * order (the curriculum literature's decorrelation requirement).
+    *
+    * Spark shapes, built for 100 TB:
+    *  - Stage assignment does NOT sort the corpus. Logits are bounded
+    *    integers, so stage quartiles come from the value HISTOGRAM + one
+    *    cumulative window over histogram ROWS (the qualityThreshold
+    *    discipline — window cardinality is the logit's value domain, not
+    *    the corpus), then one broadcast join back. stage(v) =
+    *    ⌈Stages · cumFromTop(v) / N⌉ — ties share a logit value and
+    *    therefore a stage, exact integers end to end.
+    *  - No global training-order window exists. The order materializes
+    *    per (stage, shard): shard = content-hash mod CurriculumShards (the
+    *    packSequences unit a dataloader consumes independently), seq = the
+    *    row_number within it by (hash, doc_id). Each window partition is
+    *    ~N/(Stages·Shards); a deployment raises Shards with the corpus. */
+  def curriculumOrder(s: SparkSession, dir: String): DataFrame = {
+    val lg = logitRows(s, dir).select("doc_id", "logit_milli")
+    val hist = lg.groupBy("logit_milli").agg(count(lit(1)).as("cnt"))
+    val n = lg.agg(count(lit(1)).as("n_docs"))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .orderBy(col("logit_milli").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    // ceil(Stages*cum/N) via (a + N - 1) div N — all BIGINTs, both engines
+    val stages = hist.crossJoin(broadcast(n))
+      .withColumn("cum", sum("cnt").over(wTop))
+      .withColumn("stage", expr(
+        s"(cum * $CurriculumStages + n_docs - 1) div n_docs"))
+      .select("logit_milli", "stage")
+    val h = tokHash(concat_ws("|", lit("curriculum-v1"),
+      col("doc_id").cast("string")))
+    val wSeq = org.apache.spark.sql.expressions.Window
+      .partitionBy("stage", "shard").orderBy(col("h"), col("doc_id"))
+    lg.join(broadcast(stages), "logit_milli")
+      .withColumn("h", h)
+      .withColumn("shard", pmod(col("h"), lit(CurriculumShards.toLong)))
+      .withColumn("seq", row_number().over(wSeq).cast("long"))
+      .select("doc_id", "stage", "shard", "seq")
+      .orderBy("stage", "shard", "seq")
+  }
+
   private[graft] def epochSchedule(docs: DataFrame, grp: String): DataFrame = {
     val per = docs
       .select(col(grp),

@@ -337,6 +337,13 @@ class PlanSpec extends SparkSpec {
       // q_text_bm25_upsert: the merged corpus statistic sums TWO 1-row
       // snapshot members — one partial each, never rows (LexMaintenance)
       "q_text_bm25_upsert",
+      // q_retrieve_hybrid_upsert: inherits the same two-member 1-row
+      // stats merge for its lexical tower (Fusion.hybridUpsertTopK)
+      "q_retrieve_hybrid_upsert",
+      // q_curriculum_order: the stage-quartile cumulative window runs over
+      // logit HISTOGRAM rows (value-domain cardinality, the
+      // q_quality_threshold pattern) + the 1-row n_docs broadcast
+      "q_curriculum_order",
       // q_mix_epochs: the (total_tokens, n_groups) budget base is a 1-row
       // broadcast over the groups-sized schedule frame (Curation.epochSchedule)
       "q_mix_epochs",
