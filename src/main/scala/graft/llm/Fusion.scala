@@ -31,16 +31,18 @@ object Fusion {
     * makes the scores comparable to the literature's). */
   val FusionK = 60
 
-  /** q_sim_fused: RRF top-10 per sample query over the three families'
-    * served top-10s. */
-  def fusedTopK(s: SparkSession, dir: String): DataFrame = {
+  /** The RRF fold over three ALREADY-SERVED member rankings — extracted so
+    * callers that also need the member frames (the rank-quality audit)
+    * fuse the SAME frames instead of re-running each serve (the graph
+    * member's beam walk executes at frame-construction time, so a second
+    * fusedTopK call would pay it twice). */
+  private[llm] def fuseOf(ivf: DataFrame, graph: DataFrame,
+                          bin: DataFrame): DataFrame = {
     def side(df: DataFrame, nm: String): DataFrame =
       df.select(col("q_id"), col("n_id"), col("rank").as(nm))
-    val j = side(Similarity.ivfTrainedTopK(s, dir), "r_ivf")
-      .join(side(Similarity.graphSearchTopK(s, dir), "r_graph"),
-        Seq("q_id", "n_id"), "full_outer")
-      .join(side(Binary.topK(s, dir), "r_bin"),
-        Seq("q_id", "n_id"), "full_outer")
+    val j = side(ivf, "r_ivf")
+      .join(side(graph, "r_graph"), Seq("q_id", "n_id"), "full_outer")
+      .join(side(bin, "r_bin"), Seq("q_id", "n_id"), "full_outer")
     val w = Window.partitionBy("q_id").orderBy(col("rrf").desc, col("n_id"))
     j.withColumn("rrf", expr(
         s"coalesce(CAST(1 AS DOUBLE) / ($FusionK + r_ivf), 0D) + " +
@@ -51,6 +53,12 @@ object Fusion {
       .select("q_id", "n_id", "rrf", "rank")
       .orderBy("q_id", "rank")
   }
+
+  /** q_sim_fused: RRF top-10 per sample query over the three families'
+    * served top-10s. */
+  def fusedTopK(s: SparkSession, dir: String): DataFrame =
+    fuseOf(Similarity.ivfTrainedTopK(s, dir),
+      Similarity.graphSearchTopK(s, dir), Binary.topK(s, dir))
 
   /** q_sim_fused_recall: the ensemble's recall@10 audit vs the exact
     * cosine top-10 — published next to the member families' audits so the
@@ -72,20 +80,9 @@ object Fusion {
     * Q·10 frames and a Q·≤30 window — metadata-tier. */
   def fusedUpsertTopK(s: SparkSession, dir: String): DataFrame = {
     val cut = IvfMaintenance.baseCut(s, dir)
-    def side(df: DataFrame, nm: String): DataFrame =
-      df.select(col("q_id"), col("n_id"), col("rank").as(nm))
-    val j = side(IvfMaintenance.upsertServe(s, dir), "r_ivf")
-      .join(side(GraphMaintenance.upsertSearch(s, dir), "r_graph"),
-        Seq("q_id", "n_id"), "full_outer")
-      .join(side(BinaryMaintenance.upsertServe(s, dir), "r_bin"),
-        Seq("q_id", "n_id"), "full_outer")
-    val w = Window.partitionBy("q_id").orderBy(col("rrf").desc, col("n_id"))
-    j.withColumn("rrf", expr(
-        s"coalesce(CAST(1 AS DOUBLE) / ($FusionK + r_ivf), 0D) + " +
-          s"coalesce(CAST(1 AS DOUBLE) / ($FusionK + r_graph), 0D) + " +
-          s"coalesce(CAST(1 AS DOUBLE) / ($FusionK + r_bin), 0D)"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= 10)
+    fuseOf(IvfMaintenance.upsertServe(s, dir),
+        GraphMaintenance.upsertSearch(s, dir),
+        BinaryMaintenance.upsertServe(s, dir))
       .withColumn("is_new", when(col("n_id") >= cut, 1L).otherwise(0L))
       .select("q_id", "n_id", "rrf", "rank", "is_new")
       .orderBy("q_id", "rank")

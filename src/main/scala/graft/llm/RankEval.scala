@@ -90,10 +90,17 @@ object RankEval {
     * member serve (+ the ensemble's members again) plus the exact side. */
   def rankQuality(s: SparkSession, dir: String): DataFrame = {
     val exact = Similarity.bruteTopK(s, dir).select("q_id", "n_id")
-    metricsOf(Similarity.ivfTrainedTopK(s, dir), exact, "ivf")
-      .unionByName(metricsOf(Similarity.graphSearchTopK(s, dir), exact, "graph"))
-      .unionByName(metricsOf(Binary.topK(s, dir), exact, "binary"))
-      .unionByName(metricsOf(Fusion.fusedTopK(s, dir), exact, "fused"))
+    // serve each member ONCE; the ensemble row fuses the same frames
+    // (Fusion.fuseOf) instead of re-running the serves — the graph
+    // member's beam walk executes at frame construction, so a second
+    // fusedTopK call would pay it again
+    val ivf = Similarity.ivfTrainedTopK(s, dir)
+    val graph = Similarity.graphSearchTopK(s, dir)
+    val bin = Binary.topK(s, dir)
+    metricsOf(ivf, exact, "ivf")
+      .unionByName(metricsOf(graph, exact, "graph"))
+      .unionByName(metricsOf(bin, exact, "binary"))
+      .unionByName(metricsOf(Fusion.fuseOf(ivf, graph, bin), exact, "fused"))
       .orderBy("family", "q_id")
   }
 }
