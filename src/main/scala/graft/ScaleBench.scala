@@ -16,7 +16,8 @@ import org.apache.spark.sql.functions._
   *     FLAT as the corpus grows; that flatness IS the 100 TB argument).
   *
   * Usage: runMain graft.ScaleBench [sfDir] [mults-csv] [reps] [families-csv]
-  * Families: kmeans graph dedup events embed reports bpe (default all).
+  * Families: kmeans graph dedup events embed reports lex bpe curriculum
+  * (default all).
   */
 object ScaleBench {
   def main(args: Array[String]): Unit = {
@@ -333,6 +334,27 @@ object ScaleBench {
           merged.orderBy(col("df"), col("token")).limit(4).collect().length.toLong
         }
         println(f"[scalebench] lex    m=$m%-3d docs=$nDocs%-8d posting_build=$tBuild%.2f s vocab_merge=$tMerge%.2f s")
+      }
+    }
+
+    if (fams("curriculum")) {
+      // ——— curriculum ordering at m× docs (Curation.curriculumOrder) ———
+      // One logit map pass + the histogram stage cut (value-domain window,
+      // must contribute nothing as N grows) + the per-(stage, shard)
+      // order windows (partitions grow m×, so the whole schedule must be
+      // LINEAR in m — a super-linear curve would mean the stage cut or the
+      // windows are doing corpus-sized coordination).
+      val dAll = Tables.t(spark, dir, "documents")
+      val maxDoc0 = dAll.agg(max("doc_id")).collect()(0).getLong(0) + 1L
+      for (m <- mults) {
+        val dirM = s"${sys.props("java.io.tmpdir")}/graft_scalebench/cdocs_$m"
+        (0 until m).map(i =>
+          dAll.withColumn("doc_id", col("doc_id") + lit(i * maxDoc0)))
+          .reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(s"$dirM/documents.parquet")
+        val nD = spark.read.parquet(s"$dirM/documents.parquet").count()
+        val tOrder = med(graft.llm.Curation.curriculumOrder(spark, dirM).count())
+        println(f"[scalebench] currl  m=$m%-3d docs=$nD%-8d order=$tOrder%.2f s")
       }
     }
 
