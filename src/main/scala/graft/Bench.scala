@@ -43,13 +43,37 @@ object Bench {
       if (x == 42) print("") // keep the loop observable
       (System.nanoTime() - t0) / 1e9
     }
+    // Multi-core probe: the same xorshift loop on 8 concurrent threads.
+    // The single-thread probe under-detects co-tenant MULTI-CORE pressure
+    // (r10 measured: probe ratio 1.11 while the median per-query inflation
+    // across 231 unchanged queries was 1.17) — a parallel probe shares the
+    // core budget with the noise the way Spark's 32 tasks do. Context-only:
+    // calibrated_value stays on the single-thread factor for round-over-
+    // round comparability; calib_mt_* makes a contaminated artifact
+    // machine-detectable even when the 1-thread probe stays clean.
+    def calibMt(): Double = {
+      val n = 8
+      val t0 = System.nanoTime()
+      val ts = (1 to n).map { _ =>
+        new Thread(() => {
+          var x = 0x9E3779B97F4A7C15L
+          var i = 0
+          while (i < 300000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+          if (x == 42) print("")
+        })
+      }
+      ts.foreach(_.start()); ts.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }
     val loadBefore = loadavg()
     val calibBefore = calib()
+    val calibMtBefore = calibMt()
     val results = wanted.map { case (name, fn) =>
       val ts = (1 to reps).map(_ => timeOnce(fn)).sorted
       name -> ts(ts.length / 2)
     }
     val calibAfter = calib()
+    val calibMtAfter = calibMt()
     val loadAfter = loadavg()
     // per-query values rounded to ms so the stdout line stays small enough
     // for log-tail capture (VERDICT r2 item 2)
@@ -74,6 +98,9 @@ object Bench {
     // totals (ADVICE r8).
     val CalibNominal = sys.env.get("SPARK_GRAFT_CALIB_NOMINAL")
       .map(_.toDouble).getOrElse(1.13)
+    // quiet-window wall time of the 8-thread probe on THIS machine
+    val CalibMtNominal = sys.env.get("SPARK_GRAFT_CALIB_MT_NOMINAL")
+      .map(_.toDouble).getOrElse(0.60)
     val calibRaw = (calibBefore + calibAfter) / 2.0 / CalibNominal
     val calibFactor = math.max(1.0, calibRaw)
     val calibTotal = total / calibFactor
@@ -81,7 +108,9 @@ object Bench {
       s""""loadavg_before":"$loadBefore","loadavg_after":"$loadAfter",""" +
         s""""calib_before_sec":${r3(calibBefore)},"calib_after_sec":${r3(calibAfter)},""" +
         s""""calib_nominal_sec":${r3(CalibNominal)},"calib_factor":${r3(calibFactor)},""" +
-        s""""calib_factor_raw":${r3(calibRaw)},"calibrated_value":${r3(calibTotal)}"""
+        s""""calib_factor_raw":${r3(calibRaw)},"calibrated_value":${r3(calibTotal)},""" +
+        s""""calib_mt_before_sec":${r3(calibMtBefore)},"calib_mt_after_sec":${r3(calibMtAfter)},""" +
+        s""""calib_mt_factor_raw":${r3((calibMtBefore + calibMtAfter) / 2.0 / CalibMtNominal)}"""
     // Per-family subtotals (VERDICT r8 item 6): a regression in the next
     // artifact is attributable in one read — audits (recall/sweep/drift/
     // bound twins) and index builds are separated from standing serves, and
