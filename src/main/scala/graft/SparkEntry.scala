@@ -171,6 +171,7 @@ object SparkEntry {
     // published index families + its recall audit (llm/Fusion)
     "q_sim_fused"          -> (graft.llm.Fusion.fusedTopK _),
     "q_sim_rank_quality"   -> (graft.llm.RankEval.rankQuality _),
+    "q_retrieve_sweep"     -> (graft.llm.Fusion.hybridSweep _),
     "q_curriculum_order"   -> (graft.llm.Curation.curriculumOrder _),
     "q_sim_fused_recall"   -> (graft.llm.Fusion.recallFused _),
     // the ensemble's freshness serve: RRF over the three families'
@@ -3970,6 +3971,26 @@ object SparkEntry {
                  CAST(CASE WHEN n_id >= fut.t THEN 1 ELSE 0 END AS BIGINT) AS is_new
           FROM fr, fut WHERE "rank" <= 10 ORDER BY q_id, "rank"""",
     "q_retrieve_hybrid" -> hybridTopkSql,
+    // the hybrid's tower ablation: recall@10 of lex-only / dense-only /
+    // fused, all three candidate frames from the shared hybrid CTE chain
+    "q_retrieve_sweep" ->
+      s"""WITH exact AS (SELECT q_id, n_id FROM ($simTopkSql)),
+          ${hybridSqlCtes(ivfTrainedSql)},
+          cand AS (SELECT 'dense' AS tower, q_id, n_id FROM hd
+                   UNION ALL SELECT 'hybrid', q_id, n_id FROM hr WHERE "rank" <= 10
+                   UNION ALL SELECT 'lex', q_id, n_id FROM hl),
+          tw AS (SELECT unnest(['dense', 'hybrid', 'lex']) AS tower),
+          hits AS (SELECT c.tower, count(*) AS n_hit
+                   FROM cand c JOIN exact e
+                     ON c.q_id = e.q_id AND c.n_id = e.n_id
+                   GROUP BY 1),
+          ne AS (SELECT count(*) AS n_exact FROM exact)
+          SELECT t.tower, CAST(ne.n_exact AS BIGINT) AS n_exact,
+                 CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+                 CAST(coalesce(h.n_hit, 0) AS DOUBLE)
+                   / CAST(ne.n_exact AS DOUBLE) AS recall
+          FROM tw t LEFT JOIN hits h USING (tower), ne
+          ORDER BY tower""",
     // the two-tower freshness twin: the same lexical CTEs (the merged
     // snapshot equals the full-corpus counts bit-for-bit) fused with the
     // frozen-centroid dense upsert twin; per-tower staleness flags

@@ -238,7 +238,10 @@ object Fusion {
     * metadata-tier join. Per-(query, doc) BM25 sums are decimal-staged
     * (order-free, exact); every division is one correctly-rounded IEEE
     * op — hash-checked end to end. */
-  def hybridTopK(s: SparkSession, dir: String): DataFrame = {
+  /** The LEXICAL tower's own top-10 per sample query, from the published
+    * index — extracted from hybridTopK so the tower-ablation sweep serves
+    * the SAME frame the hybrid fuses. */
+  private[llm] def lexTopK(s: SparkSession, dir: String): DataFrame = {
     // query-side tokenize: ONLY the sample query docs (pushed filter);
     // array_distinct reproduces the distinct (doc, token) pairs the tf
     // frame carried in the pre-published form
@@ -263,7 +266,7 @@ object Fusion {
     // row groups
     val terms = qtRows.map(_._2).distinct.toSeq
     val wl = Window.partitionBy("q_id").orderBy(col("score").desc, col("doc_id"))
-    val lex = LexIndex.postings(s, dir)
+    LexIndex.postings(s, dir)
       .filter(col("token").isInCollection(terms))
       .join(broadcast(qt), "token")
       .filter(col("doc_id") =!= col("q_id"))
@@ -274,8 +277,11 @@ object Fusion {
       .withColumn("r_lex", row_number().over(wl).cast("long"))
       .filter(col("r_lex") <= 10)
       .select(col("q_id"), col("doc_id").as("n_id"), col("r_lex"))
-    val dense = Similarity.ivfTrainedTopK(s, dir)
-      .select(col("q_id"), col("n_id"), col("rank").as("r_dense"))
+  }
+
+  /** The two-tower RRF tail (lex ranks ⋈ dense ranks, fixed textual term
+    * order) — shared by the base hybrid serve and the tower sweep. */
+  private def rrf2(lex: DataFrame, dense: DataFrame): DataFrame = {
     val w = Window.partitionBy("q_id").orderBy(col("rrf").desc, col("n_id"))
     lex.join(dense, Seq("q_id", "n_id"), "full_outer")
       .withColumn("rrf", expr(
@@ -285,6 +291,41 @@ object Fusion {
       .filter(col("rank") <= 10)
       .select("q_id", "n_id", "rrf", "rank")
       .orderBy("q_id", "rank")
+  }
+
+  def hybridTopK(s: SparkSession, dir: String): DataFrame =
+    rrf2(lexTopK(s, dir),
+      Similarity.ivfTrainedTopK(s, dir)
+        .select(col("q_id"), col("n_id"), col("rank").as("r_dense")))
+
+  /** q_retrieve_sweep: the hybrid's TOWER ABLATION — recall@10 vs the
+    * exact cosine top-10 for the lexical tower alone, the dense tower
+    * alone, and their fusion: the per-member marginal-contribution row
+    * every OTHER fusion family already publishes (q_sim_fused_sweep),
+    * closing the audit symmetry on the two-tower serve. Ground truth is
+    * dense cosine by design (the q_retrieve_recall contract), so the
+    * expected shape is lex ≪ dense < hybrid-vs-lex-alone — the number
+    * the operator exists to publish is how much dense recall the
+    * consensus RETAINS while the lexical tower injects exact-term
+    * evidence. All three candidate frames are Q·10 metadata; the fold is
+    * the fusedSweep driver discipline. */
+  def hybridSweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val exact = exactPairs(s, dir)
+    def pairsOf(df: DataFrame): Seq[(Long, Long)] =
+      df.select("q_id", "n_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val lex = lexTopK(s, dir)
+    val dense = Similarity.ivfTrainedTopK(s, dir)
+    val hybrid = rrf2(lex,
+      dense.select(col("q_id"), col("n_id"), col("rank").as("r_dense")))
+    val rows = Seq("dense" -> dense, "hybrid" -> hybrid, "lex" -> lex)
+      .map { case (tower, df) =>
+        val hits = pairsOf(df).count(exact.contains)
+        (tower, exact.size.toLong, hits.toLong,
+          hits.toDouble / exact.size.toDouble)
+      }
+    rows.toDF("tower", "n_exact", "n_hit", "recall").orderBy("tower")
   }
 
   /** q_retrieve_recall: the hybrid's recall@10 audit vs the exact cosine

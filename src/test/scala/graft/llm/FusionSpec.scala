@@ -237,4 +237,22 @@ class FusionSpec extends SparkSpec {
     assert(fused >= Seq(ivf, graph, bin).max - 0.05,
       f"fusion lost the consensus property: $fused%.3f vs best member ${Seq(ivf, graph, bin).max}%.3f")
   }
+
+  test("hybrid tower sweep: dense ≥ hybrid ≥ lex against cosine ground truth") {
+    val rows = Fusion.hybridSweep(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("dense", "hybrid", "lex"))
+    val byTower = rows.map(r => r.getString(0) -> r.getDouble(3)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(1) == 80L, "exact side must be Q*10 pairs")
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+    info(s"tower recall@10: $byTower")
+    // ground truth IS dense cosine: the dense tower bounds the fusion,
+    // and the fusion must retain more of it than the lexical tower alone
+    assert(byTower("dense") >= byTower("hybrid"))
+    assert(byTower("hybrid") >= byTower("lex"))
+    // the fused top-10 interleaves ~half dense slots — the consensus must
+    // retain at least a third of the dense tower's recall
+    assert(byTower("hybrid") * 3 >= byTower("dense"))
+  }
 }
