@@ -32,7 +32,10 @@ class ParallelismInvarianceSpec extends SparkSpec {
     "q_text_bpe_train",   // iterative vocabulary-domain merge rounds
     "q_agg_theta_ops",    // K-minima heap + θ-threshold set estimates (r8)
     "q_text_bm25",        // decimal-staged multi-term score sums (r8)
-    "q_index_drift"))     // floor-scaled segment means over cosines (r8s3)
+    "q_index_drift",      // floor-scaled segment means over cosines (r8s3)
+    "q_sim_rank_quality", // fixed-order DCG folds over integer rel pivots (r10)
+    "q_curriculum_order", // histogram stage cuts + hash-ordered windows (r10)
+    "q_retrieve_sweep"))  // driver hit-count folds over Q·10 serves (r10)
     test(s"$q is byte-identical at shuffle.partitions=197") {
       val fn = SparkEntry.queries(q)
       val want = fn(spark, sf).collect().map(_.toString).toSeq
