@@ -315,8 +315,11 @@ object Fusion {
     def pairsOf(df: DataFrame): Seq[(Long, Long)] =
       df.select("q_id", "n_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSeq
-    val lex = lexTopK(s, dir)
-    val dense = Similarity.ivfTrainedTopK(s, dir)
+    // each tower frame is Q·10 rows and feeds two actions (its own row's
+    // pairsOf + the fusion) — checkpoint to a leaf so the posting-list /
+    // inverted-list scans run once per call
+    val lex = lexTopK(s, dir).localCheckpoint()
+    val dense = Similarity.ivfTrainedTopK(s, dir).localCheckpoint()
     val hybrid = rrf2(lex,
       dense.select(col("q_id"), col("n_id"), col("rank").as("r_dense")))
     val rows = Seq("dense" -> dense, "hybrid" -> hybrid, "lex" -> lex)

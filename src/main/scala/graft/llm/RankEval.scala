@@ -89,14 +89,18 @@ object RankEval {
     * publishes. 4 families × Q queries of output; cost is one run of each
     * member serve (+ the ensemble's members again) plus the exact side. */
   def rankQuality(s: SparkSession, dir: String): DataFrame = {
-    val exact = Similarity.bruteTopK(s, dir).select("q_id", "n_id")
     // serve each member ONCE; the ensemble row fuses the same frames
     // (Fusion.fuseOf) instead of re-running the serves — the graph
     // member's beam walk executes at frame construction, so a second
-    // fusedTopK call would pay it again
-    val ivf = Similarity.ivfTrainedTopK(s, dir)
-    val graph = Similarity.graphSearchTopK(s, dir)
-    val bin = Binary.topK(s, dir)
+    // fusedTopK call would pay it again. Each frame is Q·10 rows and
+    // feeds TWO output branches (its own metrics row + the fusion), so it
+    // localCheckpoints to a leaf — without it the pruned serve scans
+    // re-execute once per branch (exact feeds all four).
+    val exact = Similarity.bruteTopK(s, dir).select("q_id", "n_id")
+      .localCheckpoint()
+    val ivf = Similarity.ivfTrainedTopK(s, dir).localCheckpoint()
+    val graph = Similarity.graphSearchTopK(s, dir).localCheckpoint()
+    val bin = Binary.topK(s, dir).localCheckpoint()
     metricsOf(ivf, exact, "ivf")
       .unionByName(metricsOf(graph, exact, "graph"))
       .unionByName(metricsOf(bin, exact, "binary"))
