@@ -58,53 +58,70 @@ object RankEval {
       s"CAST(rel_$r AS DOUBLE) * CAST(${Discounts(r - 1)} AS DOUBLE)")
       .mkString(" + ")
 
-  /** Per-query metrics of one served ranking vs the exact relevant set:
-    * (family, q_id, first_hit, rr, dcg, ndcg). first_hit = 0 ⇒ no served
-    * neighbor is exact-relevant (rr, dcg, ndcg all exactly 0.0). */
-  private[llm] def metricsOf(served: DataFrame, exact: DataFrame,
-                             fam: String): DataFrame = {
-    val j = served.select("q_id", "n_id", "rank")
-      .join(exact.select("q_id", "n_id").withColumn("h", lit(1L)),
-        Seq("q_id", "n_id"), "left")
-      .withColumn("hit", coalesce(col("h"), lit(0L)))
-    // integer pivot: rel_r = was the doc served at rank r relevant —
-    // max() over the Q·10 group is deterministic (integers)
-    val relAggs = (1 to 10).map(r =>
-      max(when(col("rank") === r, col("hit")).otherwise(lit(0L))).as(s"rel_$r"))
-    j.groupBy("q_id")
-      .agg(min(when(col("hit") === 1L, col("rank"))).as("fh"), relAggs: _*)
-      .withColumn("first_hit", coalesce(col("fh"), lit(0L)))
-      .withColumn("rr",
-        when(col("fh").isNotNull,
-          lit(1.0) / col("fh").cast("double")).otherwise(lit(0.0)))
-      .withColumn("dcg", expr(dcgSqlExpr))
-      .withColumn("ndcg", col("dcg") / expr(s"CAST($IdcgLit AS DOUBLE)"))
-      .select(lit(fam).as("family"), col("q_id"), col("first_hit"),
-        col("rr"), col("dcg"), col("ndcg"))
+  /** Per-query metrics of one served ranking (rows of (q_id, n_id, rank))
+    * vs the exact relevant pair set — the DRIVER form (the fusedSweep
+    * discipline: every input is Q·10 metadata, so the fold runs local and
+    * the whole audit spends its time in the serves, not in metric joins).
+    * Bit-contract with the DuckDB twin: rel_r is an exact integer, dcg
+    * folds rel_r·discount_r LEFT-ASSOCIATIVELY from 0.0 over the same
+    * parsed literals the twin's text embeds (0.0 + x ≡ x on these values,
+    * so the fold equals the twin's leading-term chain), rr and ndcg are
+    * one IEEE division each. first_hit = 0 ⇒ no served neighbor is
+    * exact-relevant (rr, dcg, ndcg all exactly 0.0). */
+  private[llm] def metricsOf(served: Seq[(Long, Long, Long)],
+                             exact: Set[(Long, Long)],
+                             fam: String): Seq[(String, Long, Long, Double, Double, Double)] = {
+    val ds = Discounts.map(java.lang.Double.parseDouble)
+    val idcg = java.lang.Double.parseDouble(IdcgLit)
+    served.groupBy(_._1).toSeq.sortBy(_._1).map { case (q, rows) =>
+      // ranks at which the served doc is exact-relevant
+      val hitRanks = rows.filter(t => exact.contains((t._1, t._2))).map(_._3)
+      val fh = if (hitRanks.isEmpty) 0L else hitRanks.min
+      val rr = if (fh == 0L) 0.0 else 1.0 / fh.toDouble
+      val dcg = (1 to 10).foldLeft(0.0) { (acc, r) =>
+        acc + (if (hitRanks.contains(r.toLong)) 1.0 else 0.0) * ds(r - 1)
+      }
+      (fam, q, fh, rr, dcg, dcg / idcg)
+    }
   }
 
   /** q_sim_rank_quality: MRR + nDCG@10 for each serve family (the three
     * members AND the RRF ensemble) against the exact cosine top-10 — the
     * rank-aware companion of the recall@10 audit row every family already
-    * publishes. 4 families × Q queries of output; cost is one run of each
-    * member serve (+ the ensemble's members again) plus the exact side. */
+    * publishes. 4 families × Q queries of output; each member serves
+    * ONCE and localizes as Q·10 driver rows — the ensemble row is the
+    * fusedSweep-style RRF fold over the SAME rankings (fixed member
+    * order, absent terms an explicit 0.0 — the twin's coalesce chain),
+    * so the audit pays three member serves + the exact side and nothing
+    * else. */
   def rankQuality(s: SparkSession, dir: String): DataFrame = {
-    // serve each member ONCE; the ensemble row fuses the same frames
-    // (Fusion.fuseOf) instead of re-running the serves — the graph
-    // member's beam walk executes at frame construction, so a second
-    // fusedTopK call would pay it again. Each frame is Q·10 rows and
-    // feeds TWO output branches (its own metrics row + the fusion), so it
-    // localCheckpoints to a leaf — without it the pruned serve scans
-    // re-execute once per branch (exact feeds all four).
-    val exact = Similarity.bruteTopK(s, dir).select("q_id", "n_id")
-      .localCheckpoint()
-    val ivf = Similarity.ivfTrainedTopK(s, dir).localCheckpoint()
-    val graph = Similarity.graphSearchTopK(s, dir).localCheckpoint()
-    val bin = Binary.topK(s, dir).localCheckpoint()
-    metricsOf(ivf, exact, "ivf")
-      .unionByName(metricsOf(graph, exact, "graph"))
-      .unionByName(metricsOf(bin, exact, "binary"))
-      .unionByName(metricsOf(Fusion.fuseOf(ivf, graph, bin), exact, "fused"))
+    import s.implicits._
+    def localize(df: DataFrame): Seq[(Long, Long, Long)] =
+      df.select("q_id", "n_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val exact = Similarity.bruteTopK(s, dir).select("q_id", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = localize(Similarity.ivfTrainedTopK(s, dir))
+    val graph = localize(Similarity.graphSearchTopK(s, dir))
+    val bin = localize(Binary.topK(s, dir))
+    // the fused ranking from the member rankings — the identical RRF sum
+    // and (rrf desc, n_id) ranking as Fusion.fuseOf, folded locally
+    val members = Seq(ivf, graph, bin).map(_.map(t => (t._1, t._2) -> t._3).toMap)
+    val pairs = Seq(ivf, graph, bin).flatMap(_.map(t => (t._1, t._2))).distinct
+    val fused = pairs.map { p =>
+      val score = members.foldLeft(0.0) { (acc, m) =>
+        acc + m.get(p).map(r => 1.0 / (Fusion.FusionK + r)).getOrElse(0.0)
+      }
+      (p._1, p._2, score)
+    }.groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+      rs.sortBy(t => (if (t._3 == 0.0) 0.0 else -t._3, t._2)).take(10)
+        .zipWithIndex.map { case (t, i) => (t._1, t._2, (i + 1).toLong) }
+    }
+    val rows = metricsOf(ivf, exact, "ivf") ++
+      metricsOf(graph, exact, "graph") ++
+      metricsOf(bin, exact, "binary") ++
+      metricsOf(fused, exact, "fused")
+    rows.toDF("family", "q_id", "first_hit", "rr", "dcg", "ndcg")
       .orderBy("family", "q_id")
   }
 }

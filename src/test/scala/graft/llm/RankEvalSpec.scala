@@ -1,55 +1,77 @@
 package graft.llm
 
 import graft.SparkSpec
-import org.apache.spark.sql.functions._
 
 /** Rank-aware retrieval metrics (MRR + nDCG@10): the metric identities a
   * hand example pins (hit only at rank r ⇒ rr = 1/r, dcg = discount_r),
   * the self-evaluation fixed point (the exact serve scores exactly 1.0 on
   * both metrics — the DCG fold and the IDCG literal are the same
-  * fixed-order sum, so equality is bitwise, no epsilon), and the audit
-  * frame's shape over all four families. Bit-exactness vs DuckDB is the
-  * oracle's job (shared discount literals + the same DCG text). */
+  * fixed-order sum, so equality is bitwise, no epsilon), the audit
+  * frame's shape over all four families, and that the driver-folded fused
+  * ranking matches Fusion.fuseOf's frame ranking pair-for-pair.
+  * Bit-exactness vs DuckDB is the oracle's job (shared discount literals
+  * + the same fixed-order DCG term chain). */
 class RankEvalSpec extends SparkSpec {
 
+  private def localize(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long)] =
+    df.select("q_id", "n_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
   test("exact serve scores exactly 1.0 on rr and ndcg (bitwise fixed point)") {
-    val exact = Similarity.bruteTopK(spark, sf).select("q_id", "n_id")
-    val m = RankEval.metricsOf(Similarity.bruteTopK(spark, sf), exact, "exact")
-      .collect()
+    val brute = localize(Similarity.bruteTopK(spark, sf))
+    val exact = brute.map(t => (t._1, t._2)).toSet
+    val m = RankEval.metricsOf(brute, exact, "exact")
     assert(m.length == 8)
     m.foreach { r =>
-      assert(r.getLong(2) == 1L, "first_hit must be rank 1")
-      assert(r.getDouble(3) == 1.0, "rr must be exactly 1.0")
-      assert(r.getDouble(5) == 1.0, "ndcg must be exactly 1.0 — same fold")
+      assert(r._3 == 1L, "first_hit must be rank 1")
+      assert(r._4 == 1.0, "rr must be exactly 1.0")
+      assert(r._6 == 1.0, "ndcg must be exactly 1.0 — same fold")
     }
   }
 
   test("hand example: single hit at rank 2 ⇒ rr = 1/2, dcg = discount_2") {
-    import spark.implicits._
     val served = Seq((0L, 10L, 1L), (0L, 20L, 2L), (0L, 30L, 3L))
-      .toDF("q_id", "n_id", "rank")
-    val exact = Seq((0L, 20L), (0L, 99L)).toDF("q_id", "n_id")
-    val m = RankEval.metricsOf(served, exact, "hand").collect()
+    val exact = Set((0L, 20L), (0L, 99L))
+    val m = RankEval.metricsOf(served, exact, "hand")
     assert(m.length == 1)
     val d2 = java.lang.Double.parseDouble(RankEval.Discounts(1))
     val idcg = java.lang.Double.parseDouble(RankEval.IdcgLit)
-    assert(m(0).getLong(2) == 2L)
-    assert(m(0).getDouble(3) == 0.5)
-    assert(m(0).getDouble(4) == d2, "dcg must be exactly the rank-2 discount")
-    assert(m(0).getDouble(5) == d2 / idcg)
+    assert(m(0)._3 == 2L)
+    assert(m(0)._4 == 0.5)
+    assert(m(0)._5 == d2, "dcg must be exactly the rank-2 discount")
+    assert(m(0)._6 == d2 / idcg)
   }
 
   test("no hit anywhere ⇒ all metrics exactly zero") {
-    import spark.implicits._
-    val served = Seq((0L, 10L, 1L)).toDF("q_id", "n_id", "rank")
-    val exact = Seq((0L, 99L)).toDF("q_id", "n_id")
-    val m = RankEval.metricsOf(served, exact, "miss").collect()
-    assert(m(0).getLong(2) == 0L && m(0).getDouble(3) == 0.0 &&
-      m(0).getDouble(4) == 0.0 && m(0).getDouble(5) == 0.0)
+    val m = RankEval.metricsOf(Seq((0L, 10L, 1L)), Set((0L, 99L)), "miss")
+    assert(m(0)._3 == 0L && m(0)._4 == 0.0 && m(0)._5 == 0.0 && m(0)._6 == 0.0)
   }
 
-  test("audit frame: 4 families × 8 queries, metrics in [0, 1], and the " +
-    "rank-discount ordering ndcg ≤ recall-implied ceiling") {
+  test("the driver-folded fused ranking equals Fusion.fuseOf pair-for-pair") {
+    val fromFrame = localize(Fusion.fusedTopK(spark, sf))
+    // recover the audit's internal fused ranking through the public
+    // output: the 'fused' family's metrics must equal metrics computed
+    // from the frame ranking — and stronger, the hand-rolled fold below
+    // must reproduce the frame's pairs exactly
+    val ivf = localize(Similarity.ivfTrainedTopK(spark, sf))
+    val graph = localize(Similarity.graphSearchTopK(spark, sf))
+    val bin = localize(Binary.topK(spark, sf))
+    val members = Seq(ivf, graph, bin).map(_.map(t => (t._1, t._2) -> t._3).toMap)
+    val pairs = Seq(ivf, graph, bin).flatMap(_.map(t => (t._1, t._2))).distinct
+    val folded = pairs.map { p =>
+      val sc = members.foldLeft(0.0) { (acc, m) =>
+        acc + m.get(p).map(r => 1.0 / (Fusion.FusionK + r)).getOrElse(0.0)
+      }
+      (p._1, p._2, sc)
+    }.groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+      rs.sortBy(t => (if (t._3 == 0.0) 0.0 else -t._3, t._2)).take(10)
+        .zipWithIndex.map { case (t, i) => (t._1, t._2, (i + 1).toLong) }
+    }.sortBy(t => (t._1, t._3))
+    assert(folded == fromFrame.sortBy(t => (t._1, t._3)),
+      "driver RRF fold diverged from the frame fusion")
+  }
+
+  test("audit frame: 4 families × 8 queries, metrics in [0, 1]") {
     val rows = RankEval.rankQuality(spark, sf).collect()
     assert(rows.length == 32)
     assert(rows.map(_.getString(0)).distinct.sorted.toSeq ==
