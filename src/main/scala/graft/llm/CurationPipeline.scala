@@ -26,6 +26,9 @@ import graft.Tables._
   *                       (source-keyed window)
   *  6. split           — content-keyed train/val/test riding the parent doc
   *                       (map-side join by doc_id)
+  *  7. training order  — curriculum schedule (quality-quartile stages from
+  *                       the logit histogram, content-hash shuffle) over the
+  *                       cleaned corpus, inherited by every train chunk
   */
 class CurationPipeline(s: SparkSession, srcDir: String, root: String) {
 
@@ -91,8 +94,23 @@ class CurationPipeline(s: SparkSession, srcDir: String, root: String) {
         "bin_id", "bin_offset", "split")
     out.write.mode("overwrite").parquet(s"$root/packed.parquet")
     stageRows :+= ("packed", s.read.parquet(s"$root/packed.parquet").count())
+    // 7. training order: the curriculum schedule (quality-quartile stages,
+    // content-hash within-stage shuffle — q_curriculum_order) computed on
+    // the CLEANED corpus, inherited by every TRAIN chunk from its parent
+    // doc. The dataloader consumes (stage, shard, seq, chunk_idx) order;
+    // val/test chunks carry no training position by definition.
+    val ordered = s.read.parquet(s"$root/packed.parquet")
+      .filter(col("split") === "train")
+      .join(Curation.curriculumOrder(s, d3), "doc_id")
+      .select("doc_id", "chunk_idx", "source", "n_tokens", "chunk_hash",
+        "bin_id", "bin_offset", "stage", "shard", "seq")
+    ordered.write.mode("overwrite").parquet(s"$root/s7_order/ordered.parquet")
+    stageRows :+= (("s7_order",
+      s.read.parquet(s"$root/s7_order/ordered.parquet").count()))
     s"$root/packed.parquet"
   }
 
   def packed(): DataFrame = s.read.parquet(s"$root/packed.parquet")
+
+  def ordered(): DataFrame = s.read.parquet(s"$root/s7_order/ordered.parquet")
 }

@@ -78,6 +78,30 @@ class CurationPipelineSpec extends SparkSpec {
       s"only the clean doc may train, got $parents (5 = leaked benchmark twin)")
   }
 
+  test("training order: every train chunk carries its doc's curriculum position") {
+    val ord = pipe.ordered()
+    val nTrain = pipe.packed().filter(col("split") === "train").count()
+    assert(ord.count() == nTrain, "every train chunk gets a position, only those")
+    assert(ord.filter(col("stage") < 1 ||
+      col("stage") > Curation.CurriculumStages).count() == 0)
+    // chunks of one doc share exactly one (stage, shard, seq) position
+    assert(ord.select("doc_id", "stage", "shard", "seq").distinct().count() ==
+      ord.select("doc_id").distinct().count())
+    // the curriculum contract survives the join: stages are quality-logit
+    // INTERVALS over the cleaned corpus (easy stage-k floor ≥ stage-k+1 ceiling)
+    val logits = Curation.qualityLogit(spark, s"$root/s3_decontam")
+      .select("doc_id", "logit_milli").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byStage = ord.select("doc_id", "stage").distinct().collect()
+      .groupBy(_.getLong(1)).view
+      .mapValues(_.map(r => logits(r.getLong(0)))).toMap
+    byStage.keys.toSeq.sorted.sliding(2).foreach {
+      case Seq(k, k1) => assert(byStage(k).min >= byStage(k1).max,
+        s"ordered stages $k/$k1 overlap on logit")
+      case _ =>
+    }
+  }
+
   test("the pipeline is deterministic: a re-run yields the identical artifact") {
     val first = pipe.packed().orderBy("doc_id", "chunk_idx").collect().toSeq
     val root2 = java.nio.file.Files.createTempDirectory("curpipe2").toString
@@ -86,5 +110,9 @@ class CurationPipelineSpec extends SparkSpec {
     val second = p2.packed().orderBy("doc_id", "chunk_idx").collect().toSeq
     assert(first == second)
     assert(pipe.stageRows == p2.stageRows)
+    val o2 = p2.ordered().orderBy("stage", "shard", "seq", "chunk_idx")
+      .collect().toSeq
+    assert(pipe.ordered().orderBy("stage", "shard", "seq", "chunk_idx")
+      .collect().toSeq == o2)
   }
 }
