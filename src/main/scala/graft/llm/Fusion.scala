@@ -213,34 +213,12 @@ object Fusion {
   val HybridQTerms = 4
   val HybridQueries = 8
 
-  /** q_retrieve_hybrid: HYBRID RETRIEVAL — the RAG-standard two-tower
-    * serve: a BM25 lexical ranking and a dense vector-index ranking for
-    * the SAME query, RRF-fused (lexical catches exact terminology the
-    * embedding smooths away; dense catches paraphrase the lexicon
-    * misses; rank fusion needs no score calibration between them). Each
-    * sample doc queries as itself: its `HybridQTerms` most SELECTIVE
-    * tokens (lowest df, ties token asc — the q_text_bm25 query
-    * derivation, per query doc) drive the lexical side; its embedding
-    * drives the published trained-IVF serve.
-    *
-    * Scale topology (r10 — VERDICT r9 item 1): BOTH towers now read
-    * published artifacts. The lexical side serves from the published
-    * lexical index (LexIndex — token-clustered postings with df/dl
-    * denormalized in, the Lucene norms-in-postings layout): the only
-    * documents read left is the Q query docs themselves (a pushed
-    * doc_id < Q scan — per-query work, corpus-independent); their
-    * selective terms (lowest df via the published vocab, ties token asc)
-    * collect as ≤ Q·4 strings (metadata tier, the probed-cell-ids
-    * discipline) and push into the postings scan as a literal IN, so the
-    * lexical scored frame is the query terms' POSTING LISTS, never
-    * doc×vocab and never a corpus tokenize. The dense side reads the
-    * published cell-pruned IVF; the fusion is the q_sim_fused
-    * metadata-tier join. Per-(query, doc) BM25 sums are decimal-staged
-    * (order-free, exact); every division is one correctly-rounded IEEE
-    * op — hash-checked end to end. */
   /** The LEXICAL tower's own top-10 per sample query, from the published
     * index — extracted from hybridTopK so the tower-ablation sweep serves
-    * the SAME frame the hybrid fuses. */
+    * the SAME frame the hybrid fuses. The scored frame is the query
+    * terms' POSTING LISTS (a literal IN over the token-clustered
+    * postings), never doc×vocab and never a corpus tokenize; per-(query,
+    * doc) BM25 sums are decimal-staged (order-free, exact). */
   private[llm] def lexTopK(s: SparkSession, dir: String): DataFrame = {
     // query-side tokenize: ONLY the sample query docs (pushed filter);
     // array_distinct reproduces the distinct (doc, token) pairs the tf
@@ -293,6 +271,29 @@ object Fusion {
       .orderBy("q_id", "rank")
   }
 
+  /** q_retrieve_hybrid: HYBRID RETRIEVAL — the RAG-standard two-tower
+    * serve: a BM25 lexical ranking and a dense vector-index ranking for
+    * the SAME query, RRF-fused (lexical catches exact terminology the
+    * embedding smooths away; dense catches paraphrase the lexicon
+    * misses; rank fusion needs no score calibration between them). Each
+    * sample doc queries as itself: its `HybridQTerms` most SELECTIVE
+    * tokens (lowest df, ties token asc — the q_text_bm25 query
+    * derivation, per query doc) drive the lexical side; its embedding
+    * drives the published trained-IVF serve.
+    *
+    * Scale topology (r10 — VERDICT r9 item 1): BOTH towers read
+    * published artifacts. The lexical side serves from the published
+    * lexical index (LexIndex — token-clustered postings with df/dl
+    * denormalized in, the Lucene norms-in-postings layout): the only
+    * documents read left is the Q query docs themselves (a pushed
+    * doc_id < Q scan — per-query work, corpus-independent); their
+    * selective terms (lowest df via the published vocab, ties token asc)
+    * collect as ≤ Q·4 strings (metadata tier, the probed-cell-ids
+    * discipline) and push into the postings scan as a literal IN — see
+    * lexTopK, which serves that tower. The dense side reads the
+    * published cell-pruned IVF; the fusion is the q_sim_fused
+    * metadata-tier join (rrf2). Every division is one correctly-rounded
+    * IEEE op — hash-checked end to end. */
   def hybridTopK(s: SparkSession, dir: String): DataFrame =
     rrf2(lexTopK(s, dir),
       Similarity.ivfTrainedTopK(s, dir)

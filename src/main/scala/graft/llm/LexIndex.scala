@@ -23,7 +23,14 @@ import TextHash.tokens
   *    into every posting row (the Lucene norms-in-postings layout): a
   *    BM25 serve needs (tf, df, dl) per scored posting, and carrying them
   *    in place means the serve never joins back to a doc-keyed or
-  *    token-keyed side table. Published CLUSTERED on token
+  *    token-keyed side table. This denormalization is correct ONLY
+  *    because the base index is FROZEN at publish time; the upsert delta
+  *    members (LexMaintenance) deliberately carry NO denormalized df —
+  *    a late doc changes df for every existing posting of its tokens, so
+  *    the merged serve reconciles df/stats at read time instead (the
+  *    Lucene live-dictionary rule; see LexMaintenance's scaladoc — do
+  *    not "fix" either side to match the other). Published CLUSTERED on
+  *    token
   *    (Warehouse.publishClustered): each part-file owns a narrow token
   *    range, so the serve's IN(query terms) predicate — a literal In
   *    filter pushed to the parquet scan — decodes only the row groups

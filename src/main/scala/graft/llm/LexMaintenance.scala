@@ -24,7 +24,11 @@ import TextHash.tokens
   * df — a base posting's df would go stale the moment a delta lands (the
   * exact bug Lucene avoids by reading df from the live dictionary, not
   * the postings). The serve joins the Q·terms posting rows to the MERGED
-  * vocab instead: a broadcast of ≤ query-term rows, metadata tier.
+  * vocab instead: a broadcast of ≤ query-term rows, metadata tier. The
+  * asymmetry against LexIndex's df-in-postings layout is DELIBERATE on
+  * both sides (see LexIndex's scaladoc for the frozen-base argument):
+  * denormalize when the index is immutable, reconcile at read time when
+  * it accretes — do not "fix" either direction to match the other.
   *
   * `q_text_bm25_drift` is the family's staleness monitor: the frozen BASE
   * vocabulary's fit to the late batch — out-of-vocabulary token rate and

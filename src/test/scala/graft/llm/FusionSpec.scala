@@ -247,9 +247,12 @@ class FusionSpec extends SparkSpec {
       assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
     }
     info(s"tower recall@10: $byTower")
-    // ground truth IS dense cosine: the dense tower bounds the fusion,
-    // and the fusion must retain more of it than the lexical tower alone
-    assert(byTower("dense") >= byTower("hybrid"))
+    // ground truth is dense cosine, so dense ≥ hybrid is the EXPECTED
+    // SHAPE, not a contract (ADVICE r10): the lexical tower can surface an
+    // exact-cosine neighbor the approximate IVF tower missed, nudging the
+    // fusion above the dense tower — tolerate one slot (0.0125 = 1/80)
+    assert(byTower("dense") >= byTower("hybrid") - 0.0125 - 1e-12,
+      s"hybrid exceeded dense by more than one slot: $byTower")
     assert(byTower("hybrid") >= byTower("lex"))
     // the fused top-10 interleaves ~half dense slots — the consensus must
     // retain at least a third of the dense tower's recall

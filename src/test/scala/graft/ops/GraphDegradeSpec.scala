@@ -6,16 +6,18 @@ import org.apache.spark.sql.functions._
 
 /** The graph family's past-the-broadcast-ceiling posture, as CODE (VERDICT
   * r6 item 1): pagerank's rank state and triangles' oriented adjacency are
-  * node-tier frames that GROW with SF, so both queries pick broadcast vs
-  * bucketed by a size check against the session broadcast threshold. With
-  * the threshold forced to 1KB this spec pins
-  *  - values: the bucketed path is bit-identical to the broadcast path
+  * node-tier frames that GROW with SF. PageRank picks broadcast vs bucketed
+  * by an explicit size check; triangles (r11, VERDICT r10 item 1) serves
+  * from the PUBLISHED adjacency and lets Catalyst's file-size statistics
+  * make the pick. With the threshold forced to 1KB this spec pins
+  *  - values: the degraded path is bit-identical to the broadcast path
   *    (same integer arithmetic, so the oracle rows stay green);
-  *  - plans: no BroadcastExchange anywhere, and the edge frame is never
-  *    re-shuffled — a pagerank round plans with two node-tier exchanges
-  *    (re-keying the checkpointed rank state, the per-dst sum) over cached
-  *    co-partitioned edge/degree scans; triangles with exactly two (the one
-  *    declared array-carrying re-key on y, plus the corner tally).
+  *  - plans: no BroadcastExchange anywhere past the threshold; a pagerank
+  *    round keeps its cached co-partitioned edge/degree layout with two
+  *    node-tier exchanges; the triangle serve holds ZERO in-session state
+  *    on BOTH paths (no InMemoryTableScan — the r10 full-bench eviction
+  *    finding), broadcast probe + corner tally under the default
+  *    threshold, a ≤3-exchange shuffled probe past it.
   */
 class GraphDegradeSpec extends SparkSpec {
 
@@ -28,9 +30,12 @@ class GraphDegradeSpec extends SparkSpec {
   }
 
   /** (shuffle, broadcast) exchange counts of the OUTER plan: descends into
-    * the adaptive wrapper but not into cached InMemoryRelations (leaves),
-    * whose build-time exchanges were paid once at layout time — the
-    * textual toString embeds them and would overcount. */
+    * the adaptive wrapper's PREPARED plan (`executedPlan`, where
+    * EnsureRequirements has inserted the distribution exchanges —
+    * `inputPlan` precedes that rule and undercounts to just the explicit
+    * repartitions) but not into cached InMemoryRelations (leaves), whose
+    * build-time exchanges were paid once at layout time — the textual
+    * toString embeds them and would overcount. */
   private def exchanges(df: DataFrame): (Int, Int) = {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
@@ -39,7 +44,7 @@ class GraphDegradeSpec extends SparkSpec {
     var bc = 0
     def walk(p: SparkPlan): Unit = {
       p match {
-        case a: AdaptiveSparkPlanExec => walk(a.inputPlan)
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
         case _: ShuffleExchangeLike => sh += 1
         case _: BroadcastExchangeLike => bc += 1
         case _ => ()
@@ -83,7 +88,7 @@ class GraphDegradeSpec extends SparkSpec {
     }
   }
 
-  test("triangles output is bit-identical on the bucketed path") {
+  test("triangles output is bit-identical on the shuffle-degraded path") {
     val want = Graph.triangles(spark, sf).collect().map(_.toString).toSeq
     val got = withTinyThreshold {
       Graph.triangles(spark, sf).collect().map(_.toString).toSeq
@@ -91,24 +96,37 @@ class GraphDegradeSpec extends SparkSpec {
     assert(got == want)
   }
 
-  test("bucketed triangles plan with no broadcast and one array-carrying re-key") {
+  test("published-adjacency triangle serve is stateless and broadcasts under the default threshold") {
+    val res = Graph.triangles(spark, sf)
+    val (sh, bc) = exchanges(res)
+    val p = res.queryExecution.executedPlan.toString
+    // the adjacency parquet is far under the default 10MB threshold at the
+    // spec fixture, so Catalyst's file-size stats pick the broadcast probe
+    assert(bc >= 1, s"expected a broadcast adjacency probe, plan:\n$p")
+    assert(sh <= 1, s"expected only the corner-tally exchange, got $sh, plan:\n$p")
+    // the r10 finding: any in-session cached layout is eviction bait in a
+    // long bench session — the published serve must hold ZERO such state
+    assert(!p.contains("InMemoryTableScan"),
+      s"serve must not depend on in-session cached state, plan:\n$p")
+    assert(p.contains("Scan parquet"),
+      s"serve must read the published adjacency parquet, plan:\n$p")
+    res.count()
+  }
+
+  test("past-the-threshold triangle serve degrades to a stateless shuffled probe") {
     withTinyThreshold {
-      val o = Graph.orientedOf(Graph.edges(spark, sf))
-      val parts = spark.sessionState.conf.numShufflePartitions
-      val (res, oX, adj) = Graph.trianglesBucketed(o, parts)
-      try {
-        val (sh, bc) = exchanges(res)
-        val p = res.queryExecution.executedPlan.toString
-        assert(bc == 0, s"expected no broadcast, plan:\n$p")
-        // exchange 1: the declared re-key of (x, y, nx) on y for the second
-        // adjacency probe; exchange 2: the narrow corner tally. The
-        // adjacency build and the first probe reuse the cached (x, parts)
-        // layout.
-        assert(sh <= 2, s"expected <=2 exchanges, got $sh, plan:\n$p")
-        assert(p.contains("InMemoryTableScan"),
-          s"expected cached co-partitioned scans, plan:\n$p")
-        res.count()
-      } finally { oX.unpersist(); adj.unpersist() }
+      val res = Graph.triangles(spark, sf)
+      val (sh, bc) = exchanges(res)
+      val p = res.queryExecution.executedPlan.toString
+      assert(bc == 0, s"expected no broadcast, plan:\n$p")
+      // exchange 1+2: the two sides of the one probe join (the declared
+      // array-carrying re-key on the edge head, plus the adjacency scan's
+      // own re-key); exchange 3: the narrow corner tally. Still no cached
+      // or checkpointed state anywhere — both sides are parquet scans.
+      assert(sh <= 3, s"expected <=3 exchanges, got $sh, plan:\n$p")
+      assert(!p.contains("InMemoryTableScan"),
+        s"serve must not depend on in-session cached state, plan:\n$p")
+      res.count()
     }
   }
 }
