@@ -355,6 +355,10 @@ object ScaleBench {
         val nD = spark.read.parquet(s"$dirM/documents.parquet").count()
         val tOrder = med(graft.llm.Curation.curriculumOrder(spark, dirM).count())
         println(f"[scalebench] currl  m=$m%-3d docs=$nD%-8d order=$tOrder%.2f s")
+        // this family multiplies the FULL documents table (ADVICE r10):
+        // drop each multiplier's copies once measured, or repeated runs
+        // accumulate large parquet trees under java.io.tmpdir
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dirM))
       }
     }
 

@@ -1469,10 +1469,13 @@ object SparkEntry {
 
   /** One family's per-query rank-metric rows for the q_sim_rank_quality
     * twin: integer rel_r pivot + first-hit rank, grouped over the served
-    * Q·10 frame left-joined to the exact relevant set (an `exact` CTE
-    * must be in scope). The DCG fold happens in the outer select via
+    * Q·10 frame left-joined to the family's exact relevant set (a CTE
+    * named `exactCte` must be in scope — `exact` is the cosine set;
+    * the L2-space composite grades against `exact_l2`, the recall-audit
+    * contract). The DCG fold happens in the outer select via
     * RankEval.dcgSqlExpr — the SAME text the Spark side executes. */
-  private def rankMetricsCte(fam: String, servedSql: String): String = {
+  private def rankMetricsCte(fam: String, servedSql: String,
+                             exactCte: String = "exact"): String = {
     val fh = """min(CASE WHEN e.n_id IS NOT NULL THEN a."rank" END)"""
     val rels = (1 to 10).map(r =>
       s"""CAST(max(CASE WHEN a."rank" = $r AND e.n_id IS NOT NULL
@@ -1483,7 +1486,7 @@ object SparkEntry {
                THEN CAST(1 AS DOUBLE) / CAST($fh AS DOUBLE)
                ELSE CAST(0 AS DOUBLE) END AS rr,
           $rels
-        FROM ($servedSql) a LEFT JOIN exact e
+        FROM ($servedSql) a LEFT JOIN $exactCte e
           ON a.q_id = e.q_id AND a.n_id = e.n_id
         GROUP BY a.q_id"""
   }
@@ -3900,12 +3903,16 @@ object SparkEntry {
     // engines at query time
     "q_sim_rank_quality" ->
       s"""WITH exact AS (SELECT q_id, n_id FROM ($simTopkSql)),
+          exact_l2 AS (SELECT q_id, n_id FROM ($bruteL2Sql)),
           m_ivf AS (${rankMetricsCte("ivf", ivfTrainedSql)}),
           m_graph AS (${rankMetricsCte("graph", graphSearchSql)}),
           m_bin AS (${rankMetricsCte("binary", binaryTopkSql)}),
           m_fused AS (${rankMetricsCte("fused", fusedSql)}),
+          m_ivfpq AS (${rankMetricsCte("ivfpq", ivfPqRerankSql, "exact_l2")}),
+          m_hybrid AS (${rankMetricsCte("hybrid", hybridTopkSql)}),
           m AS (SELECT * FROM m_ivf UNION ALL SELECT * FROM m_graph
-                UNION ALL SELECT * FROM m_bin UNION ALL SELECT * FROM m_fused),
+                UNION ALL SELECT * FROM m_bin UNION ALL SELECT * FROM m_fused
+                UNION ALL SELECT * FROM m_ivfpq UNION ALL SELECT * FROM m_hybrid),
           md AS (SELECT family, q_id, first_hit, rr,
                         ${graft.llm.RankEval.dcgSqlExpr} AS dcg
                  FROM m)

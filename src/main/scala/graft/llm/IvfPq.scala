@@ -462,7 +462,7 @@ object IvfPq {
     * recall audit (the PQ family measures in L2, so its audit anchors to
     * the L2 exact set, not the cosine one q_sim_recall uses). Broadcast
     * queries, heap ranking — the bruteTopK shape. */
-  private def bruteL2TopK(s: SparkSession, dir: String): DataFrame = {
+  private[llm] def bruteL2TopK(s: SparkSession, dir: String): DataFrame = {
     val dd = Clustering.dist2For(s) _
     val e = t(s, dir, "embeddings").select("vec_id", "embedding")
     val qq = e.filter(col("vec_id") < NQueries)

@@ -4,8 +4,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** RANK-AWARE RETRIEVAL QUALITY — MRR and nDCG@10 for every serve family,
-  * measured against the exact cosine top-10 (binary relevance: a served
-  * neighbor is relevant iff it is in the exact top-10). The recall@10
+  * measured against the family's own exact top-10 (cosine, or euclidean
+  * for the L2-space composite; binary relevance: a served neighbor is
+  * relevant iff it is in the exact top-10). The recall@10
   * audits (q_sim_recall and kin) count WHICH neighbors a serve finds;
   * they are blind to WHERE it puts them — a serve that returns the right
   * ten docs in reverse order scores recall 1.0. Production retrieval
@@ -85,25 +86,36 @@ object RankEval {
     }
   }
 
-  /** q_sim_rank_quality: MRR + nDCG@10 for each serve family (the three
-    * members AND the RRF ensemble) against the exact cosine top-10 — the
-    * rank-aware companion of the recall@10 audit row every family already
-    * publishes. 4 families × Q queries of output; each member serves
-    * ONCE and localizes as Q·10 driver rows — the ensemble row is the
-    * fusedSweep-style RRF fold over the SAME rankings (fixed member
-    * order, absent terms an explicit 0.0 — the twin's coalesce chain),
-    * so the audit pays three member serves + the exact side and nothing
-    * else. */
+  /** q_sim_rank_quality: MRR + nDCG@10 for ALL SIX serve families — the
+    * three members, the RRF ensemble, the composite (IVF-PQ re-rank) and
+    * the two-tower hybrid (r11, VERDICT r10 item 4: the composite and the
+    * hybrid are the serves a deployment actually runs; until this round
+    * they had recall@10 audits only) — the rank-aware companion of the
+    * recall@10 audit row every family already publishes. Each family is
+    * graded against ITS OWN metric space's exact top-10 (the recall-audit
+    * contract): cosine for ivf/graph/binary/fused/hybrid, euclidean
+    * (bruteL2TopK) for ivfpq — grading an L2 serve on cosine ground truth
+    * would measure metric-space disagreement, not ranking quality.
+    * 6 families × Q queries of output; each member serves ONCE and
+    * localizes as Q·10 driver rows — the ensemble row is the fusedSweep-
+    * style RRF fold over the SAME rankings (fixed member order, absent
+    * terms an explicit 0.0 — the twin's coalesce chain), so the audit
+    * pays the member serves + the two exact sides and nothing else. */
   def rankQuality(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     def localize(df: DataFrame): Seq[(Long, Long, Long)] =
       df.select("q_id", "n_id", "rank").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
-    val exact = Similarity.bruteTopK(s, dir).select("q_id", "n_id").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def pairSet(df: DataFrame): Set[(Long, Long)] =
+      df.select("q_id", "n_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairSet(Similarity.bruteTopK(s, dir))
+    val exactL2 = pairSet(IvfPq.bruteL2TopK(s, dir))
     val ivf = localize(Similarity.ivfTrainedTopK(s, dir))
     val graph = localize(Similarity.graphSearchTopK(s, dir))
     val bin = localize(Binary.topK(s, dir))
+    val ivfpq = localize(IvfPq.rerankTopK(s, dir))
+    val hybrid = localize(Fusion.hybridTopK(s, dir))
     // the fused ranking from the member rankings — the identical RRF sum
     // and (rrf desc, n_id) ranking as Fusion.fuseOf, folded locally
     val members = Seq(ivf, graph, bin).map(_.map(t => (t._1, t._2) -> t._3).toMap)
@@ -120,7 +132,9 @@ object RankEval {
     val rows = metricsOf(ivf, exact, "ivf") ++
       metricsOf(graph, exact, "graph") ++
       metricsOf(bin, exact, "binary") ++
-      metricsOf(fused, exact, "fused")
+      metricsOf(fused, exact, "fused") ++
+      metricsOf(ivfpq, exactL2, "ivfpq") ++
+      metricsOf(hybrid, exact, "hybrid")
     rows.toDF("family", "q_id", "first_hit", "rr", "dcg", "ndcg")
       .orderBy("family", "q_id")
   }

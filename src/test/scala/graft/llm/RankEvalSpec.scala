@@ -6,8 +6,9 @@ import graft.SparkSpec
   * hand example pins (hit only at rank r ⇒ rr = 1/r, dcg = discount_r),
   * the self-evaluation fixed point (the exact serve scores exactly 1.0 on
   * both metrics — the DCG fold and the IDCG literal are the same
-  * fixed-order sum, so equality is bitwise, no epsilon), the audit
-  * frame's shape over all four families, and that the driver-folded fused
+  * fixed-order sum, so equality is bitwise, no epsilon; pinned in BOTH
+  * metric spaces since r11 added the L2-graded ivfpq family), the audit
+  * frame's shape over all six families, and that the driver-folded fused
   * ranking matches Fusion.fuseOf's frame ranking pair-for-pair.
   * Bit-exactness vs DuckDB is the oracle's job (shared discount literals
   * + the same fixed-order DCG term chain). */
@@ -26,6 +27,18 @@ class RankEvalSpec extends SparkSpec {
       assert(r._3 == 1L, "first_hit must be rank 1")
       assert(r._4 == 1.0, "rr must be exactly 1.0")
       assert(r._6 == 1.0, "ndcg must be exactly 1.0 — same fold")
+    }
+  }
+
+  test("the L2 exact serve is the same 1.0 fixed point (ivfpq's ground truth)") {
+    // the composite grades against the EUCLIDEAN exact set — the fixed
+    // point must hold there too, or the r11 ivfpq family's scale is off
+    val bruteL2 = localize(IvfPq.bruteL2TopK(spark, sf))
+    val exact = bruteL2.map(t => (t._1, t._2)).toSet
+    val m = RankEval.metricsOf(bruteL2, exact, "exact_l2")
+    assert(m.length == 8)
+    m.foreach { r =>
+      assert(r._3 == 1L && r._4 == 1.0 && r._6 == 1.0)
     }
   }
 
@@ -71,11 +84,11 @@ class RankEvalSpec extends SparkSpec {
       "driver RRF fold diverged from the frame fusion")
   }
 
-  test("audit frame: 4 families × 8 queries, metrics in [0, 1]") {
+  test("audit frame: 6 families × 8 queries, metrics in [0, 1]") {
     val rows = RankEval.rankQuality(spark, sf).collect()
-    assert(rows.length == 32)
+    assert(rows.length == 48)
     assert(rows.map(_.getString(0)).distinct.sorted.toSeq ==
-      Seq("binary", "fused", "graph", "ivf"))
+      Seq("binary", "fused", "graph", "hybrid", "ivf", "ivfpq"))
     rows.foreach { r =>
       assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
       assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0)
