@@ -27,6 +27,22 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
+    // Storage-pressure context PER QUERY (VERDICT r10 item 2): the r10
+    // triangles anomaly (31 s full-bench vs 3.7 s standalone) was only
+    // diagnosable by re-running standalone — the artifact recorded machine
+    // probes but nothing about cache state, so an eviction-driven
+    // regression was indistinguishable from co-tenant noise. Record (a)
+    // cached storage bytes at each query's timed window and (b) blocks
+    // DROPPED during it (eviction or unpersist — the listener cannot tell
+    // them apart; a nonzero count next to a slow median is the attribution
+    // signal either way).
+    val dropped = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onBlockUpdated(e: org.apache.spark.scheduler.SparkListenerBlockUpdated): Unit =
+        if (!e.blockUpdatedInfo.storageLevel.isValid) dropped.incrementAndGet()
+    })
+    def storageMb(): Long =
+      spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum / (1024L * 1024L)
     // Machine-load context recorded INTO the artifact: r5's totals were
     // contention-contaminated (uniform 1.11× inflation with spike outliers)
     // and only detectable by hand. loadavg + a fixed single-thread probe
@@ -43,18 +59,23 @@ object Bench {
       if (x == 42) print("") // keep the loop observable
       (System.nanoTime() - t0) / 1e9
     }
-    // Multi-core probe: the same xorshift loop on 8 concurrent threads.
-    // The single-thread probe under-detects co-tenant MULTI-CORE pressure
-    // (r10 measured: probe ratio 1.11 while the median per-query inflation
-    // across 231 unchanged queries was 1.17) — a parallel probe shares the
-    // core budget with the noise the way Spark's 32 tasks do. Context-only:
-    // calibrated_value stays on the single-thread factor for round-over-
-    // round comparability; calib_mt_* makes a contaminated artifact
-    // machine-detectable even when the 1-thread probe stays clean.
+    // Multi-core probe: the same xorshift loop on CalibMtThreads concurrent
+    // threads. The single-thread probe under-detects co-tenant MULTI-CORE
+    // pressure (r10 measured: probe ratio 1.11 while the median per-query
+    // inflation across 231 unchanged queries was 1.17) — a parallel probe
+    // shares the core budget with the noise the way Spark's 32 tasks do.
+    // Context-only: calibrated_value stays on the single-thread factor for
+    // round-over-round comparability; calib_mt_* makes a contaminated
+    // artifact machine-detectable even when the 1-thread probe stays clean.
+    // The thread count is EMITTED with the factor (ADVICE r10): the 0.60 s
+    // nominal is specific to 8 threads on THIS ≥8-core machine — a host
+    // with fewer cores reads a permanently inflated factor unless it
+    // overrides SPARK_GRAFT_CALIB_MT_NOMINAL (and the artifact now carries
+    // the thread count needed to recalibrate).
+    val CalibMtThreads = 8
     def calibMt(): Double = {
-      val n = 8
       val t0 = System.nanoTime()
-      val ts = (1 to n).map { _ =>
+      val ts = (1 to CalibMtThreads).map { _ =>
         new Thread(() => {
           var x = 0x9E3779B97F4A7C15L
           var i = 0
@@ -68,8 +89,21 @@ object Bench {
     val loadBefore = loadavg()
     val calibBefore = calib()
     val calibMtBefore = calibMt()
+    // Per-query PRE-REP at the TARGET SF, untimed (VERDICT r10 item 2 /
+    // ROUNDLOG r10 watch item): the one sf0.001 warm pass compiles every
+    // code path but no longer keeps the sub-second tier warm across a
+    // 243-query back-to-back session (q_histogram_depth read ~1.45 s in
+    // full benches vs ~0.8 s standalone — a JIT/page-cache artifact, not a
+    // plan change). The standalone Prof workflow always warmed at the
+    // measured SF; the full bench now measures under the same discipline,
+    // at the cost of one extra pass per query.
+    val memCtx = scala.collection.mutable.LinkedHashMap[String, (Long, Long)]()
     val results = wanted.map { case (name, fn) =>
+      timeOnce(fn)
+      val mb = storageMb()
+      val d0 = dropped.get
       val ts = (1 to reps).map(_ => timeOnce(fn)).sorted
+      memCtx(name) = (mb, dropped.get - d0)
       name -> ts(ts.length / 2)
     }
     val calibAfter = calib()
@@ -110,7 +144,8 @@ object Bench {
         s""""calib_nominal_sec":${r3(CalibNominal)},"calib_factor":${r3(calibFactor)},""" +
         s""""calib_factor_raw":${r3(calibRaw)},"calibrated_value":${r3(calibTotal)},""" +
         s""""calib_mt_before_sec":${r3(calibMtBefore)},"calib_mt_after_sec":${r3(calibMtAfter)},""" +
-        s""""calib_mt_factor_raw":${r3((calibMtBefore + calibMtAfter) / 2.0 / CalibMtNominal)}"""
+        s""""calib_mt_factor_raw":${r3((calibMtBefore + calibMtAfter) / 2.0 / CalibMtNominal)},""" +
+        s""""calib_mt_threads":$CalibMtThreads"""
     // Per-family subtotals (VERDICT r8 item 6): a regression in the next
     // artifact is attributable in one read — audits (recall/sweep/drift/
     // bound twins) and index builds are separated from standing serves, and
@@ -123,8 +158,13 @@ object Bench {
     val families = results.groupBy { case (n, _) => familyOf(n) }
       .view.mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
     val famJson = qsJson(families)
+    // per-query storage context: [cached storage MB at the timed window's
+    // start, blocks dropped during it] — the artifact-only attribution
+    // fields (stdout stays within its tail-capture budget)
+    val memJson = memCtx.map { case (k, (mb, dr)) => s""""$k":[$mb,$dr]""" }
+      .mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${qsJson(results)},"families":$famJson,$ctx,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${qsJson(results)},"families":$famJson,"mem":$memJson,$ctx,"sf":"$sfDir"}"""
     // The complete artifact always goes to a PER-SF file, so a dev sf0.001 or
     // subset run can never clobber the canonical sf0.1 artifact the round is
     // judged on (ADVICE r4: a committed bench_out.json was from a dev run).
