@@ -173,6 +173,10 @@ object SparkEntry {
     "q_sim_rank_quality"   -> (graft.llm.RankEval.rankQuality _),
     "q_retrieve_sweep"     -> (graft.llm.Fusion.hybridSweep _),
     "q_curriculum_order"   -> (graft.llm.Curation.curriculumOrder _),
+    // the curriculum ↔ pack integration: (stage, shard, seq, chunk_idx) →
+    // (bin_id, bin_offset) for every train chunk — the end-to-end
+    // dataloader artifact, declared + hash-checked (llm/Curation)
+    "q_curriculum_pack"    -> (graft.llm.Curation.curriculumPack _),
     "q_sim_fused_recall"   -> (graft.llm.Fusion.recallFused _),
     // the ensemble's freshness serve: RRF over the three families'
     // upsert-aware serves — late vectors flow through the consensus
@@ -1428,6 +1432,44 @@ object SparkEntry {
     * array qualityLogit builds from TextAnalysis.Lexicons. */
   private def allStopList: String =
     TextAnalysis.Lexicons.flatMap(_._2).distinct.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** Curriculum-ordering CTE chain ending in crr(doc_id, stage, shard,
+    * seq) — twin of Curation.curriculumOrder (logit histogram → ceil stage
+    * cut → content-hash shard → within-(stage, shard) row_number), shared
+    * by q_curriculum_order and the q_curriculum_pack composition. */
+  private def curriculumCtes: String =
+    s"""x AS (SELECT doc_id,
+               string_split(coalesce(text, ''), ' ') AS toks,
+               coalesce(text, '') AS text, coalesce(n_chars, 0) AS n_chars FROM documents),
+        f AS (SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS f_tokens,
+               n_chars AS f_chars,
+               CAST(len(list_filter(toks, tk -> list_contains($allStopList, tk))) AS BIGINT) AS f_stop,
+               CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS f_digits,
+               CAST(len(list_distinct(toks)) AS BIGINT) AS f_distinct
+            FROM x),
+        lg AS (SELECT doc_id,
+               -2000 + f_tokens * 3 + f_chars * 1 + f_stop * 40
+                     + f_distinct * 10 - f_digits * 25 AS logit_milli
+            FROM f),
+        hist AS (SELECT logit_milli, count(*) AS cnt FROM lg GROUP BY 1),
+        n AS (SELECT count(*) AS n_docs FROM lg),
+        cum AS (SELECT logit_milli,
+                  sum(cnt) OVER (ORDER BY logit_milli DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                FROM hist),
+        stg AS (SELECT logit_milli,
+                  CAST((cum * ${graft.llm.Curation.CurriculumStages} + n_docs - 1) // n_docs AS BIGINT) AS stage
+                FROM cum, n),
+        d AS (SELECT lg.doc_id, stg.stage,
+                ${dTokHash("'curriculum-v1' || '|' || CAST(lg.doc_id AS VARCHAR)")} AS h
+              FROM lg JOIN stg USING (logit_milli)),
+        crr AS (SELECT doc_id, stage,
+                  h % ${graft.llm.Curation.CurriculumShards} AS shard,
+                  CAST(row_number() OVER (
+                    PARTITION BY stage, h % ${graft.llm.Curation.CurriculumShards}
+                    ORDER BY h, doc_id) AS BIGINT) AS seq
+                FROM d)"""
 
   /** int8 dequantization CTEs ending in e(vec_id, embedding, nrm) where
     * `embedding` is the DEQUANTIZED double list — twin of the
@@ -3923,37 +3965,34 @@ object SparkEntry {
     // via (a + n - 1) // n — BIGINTs in both engines), content-hash shard
     // + within-(stage, shard) row_number
     "q_curriculum_order" ->
-      s"""WITH x AS (SELECT doc_id,
-                 string_split(coalesce(text, ''), ' ') AS toks,
-                 coalesce(text, '') AS text, coalesce(n_chars, 0) AS n_chars FROM documents),
-          f AS (SELECT doc_id,
-                 CAST(len(toks) AS BIGINT) AS f_tokens,
-                 n_chars AS f_chars,
-                 CAST(len(list_filter(toks, tk -> list_contains($allStopList, tk))) AS BIGINT) AS f_stop,
-                 CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS f_digits,
-                 CAST(len(list_distinct(toks)) AS BIGINT) AS f_distinct
-              FROM x),
-          lg AS (SELECT doc_id,
-                 -2000 + f_tokens * 3 + f_chars * 1 + f_stop * 40
-                       + f_distinct * 10 - f_digits * 25 AS logit_milli
-              FROM f),
-          hist AS (SELECT logit_milli, count(*) AS cnt FROM lg GROUP BY 1),
-          n AS (SELECT count(*) AS n_docs FROM lg),
-          cum AS (SELECT logit_milli,
-                    sum(cnt) OVER (ORDER BY logit_milli DESC
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-                  FROM hist),
-          stg AS (SELECT logit_milli,
-                    CAST((cum * ${graft.llm.Curation.CurriculumStages} + n_docs - 1) // n_docs AS BIGINT) AS stage
-                  FROM cum, n),
-          d AS (SELECT lg.doc_id, stg.stage,
-                  ${dTokHash("'curriculum-v1' || '|' || CAST(lg.doc_id AS VARCHAR)")} AS h
-                FROM lg JOIN stg USING (logit_milli))
-          SELECT doc_id, stage, h % ${graft.llm.Curation.CurriculumShards} AS shard,
-                 CAST(row_number() OVER (
-                   PARTITION BY stage, h % ${graft.llm.Curation.CurriculumShards}
-                   ORDER BY h, doc_id) AS BIGINT) AS seq
-          FROM d ORDER BY stage, shard, seq""",
+      s"""WITH $curriculumCtes
+          SELECT doc_id, stage, shard, seq
+          FROM crr ORDER BY stage, shard, seq""",
+    // the dataloader's end-to-end artifact: packed-bin coordinates of
+    // every train chunk joined to the parent doc's curriculum position —
+    // the chunk/pack CTEs (first-wins chunk dedup over the shared chks
+    // frame, per-source running-sum bins over the FULL stream) composed
+    // with the curriculum chain and the content-keyed train filter
+    "q_curriculum_pack" ->
+      s"""WITH $chunkCtes,
+          u AS (SELECT doc_id, chunk_idx, source, n_tokens FROM (
+                  SELECT chks.*, row_number() OVER (PARTITION BY chunk_hash
+                    ORDER BY doc_id, chunk_idx) AS rn FROM chks)
+                WHERE rn = 1),
+          p AS (SELECT doc_id, chunk_idx, source, n_tokens,
+                  COALESCE(CAST(SUM(n_tokens) OVER (PARTITION BY source
+                    ORDER BY doc_id, chunk_idx
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS tok_before
+                FROM u),
+          trn AS (SELECT doc_id FROM documents
+                  WHERE ${dTokHash("'split-v1' || '|' || text")} % 100 < 80),
+          $curriculumCtes
+          SELECT p.doc_id, p.chunk_idx, p.source, p.n_tokens,
+                 p.tok_before // ${graft.llm.Curation.PackBudget} AS bin_id,
+                 p.tok_before % ${graft.llm.Curation.PackBudget} AS bin_offset,
+                 o.stage, o.shard, o.seq
+          FROM p JOIN trn USING (doc_id) JOIN crr o ON o.doc_id = p.doc_id
+          ORDER BY o.stage, o.shard, o.seq, p.chunk_idx""",
     // the ensemble freshness twin: the three UPSERT member twins fused
     // with the identical fixed-order RRF; is_new re-derives from the
     // shared base cut (one scalar CTE), not from the members' flags

@@ -973,6 +973,40 @@ object Curation {
       .orderBy("stage", "shard", "seq")
   }
 
+  /** q_curriculum_pack: the dataloader's END-TO-END artifact (VERDICT r10
+    * item 7) — every TRAIN chunk's packed-bin coordinates joined to its
+    * parent doc's curriculum position, i.e. the (stage, shard, seq,
+    * chunk_idx) → (bin_id, bin_offset) mapping a training job actually
+    * consumes. CurationPipeline's stage 7 materializes this composition on
+    * the cleaned corpus; this query declares the same semantics over the
+    * fixture corpus so the mapping is oracle-checked end to end, through
+    * the SAME shared stages (chunkRows → first-wins chunk dedup → packBins
+    * → splitAssign → curriculumOrder) — the pipeline artifact and the
+    * hash-checked query cannot drift.
+    *
+    * Scale shape: every stage is the already-audited one — digest-keyed
+    * dedup, per-source running-sum packing, histogram-domain stage cut,
+    * per-(stage, shard) order windows. The final join is doc-keyed (chunk
+    * rows ⋈ the doc-tier curriculum frame); nothing new shuffles. Bins are
+    * laid out over the FULL chunk stream before the train filter (the
+    * pipeline's order of operations: bin coordinates are physical file
+    * offsets, fixed at pack time — a later split change must not move
+    * bytes). */
+  def curriculumPack(s: SparkSession, dir: String): DataFrame = {
+    val firstWins = org.apache.spark.sql.expressions.Window
+      .partitionBy("chunk_hash").orderBy("doc_id", "chunk_idx")
+    val uniq = chunkRows(s, dir, Seq("source"))
+      .withColumn("rn", row_number().over(firstWins))
+      .filter(col("rn") === 1).drop("rn")
+    packBins(uniq)
+      .join(splitAssign(s, dir).select("doc_id", "split"), "doc_id")
+      .filter(col("split") === "train")
+      .join(curriculumOrder(s, dir), "doc_id")
+      .select("doc_id", "chunk_idx", "source", "n_tokens",
+        "bin_id", "bin_offset", "stage", "shard", "seq")
+      .orderBy("stage", "shard", "seq", "chunk_idx")
+  }
+
   private[graft] def epochSchedule(docs: DataFrame, grp: String): DataFrame = {
     val per = docs
       .select(col(grp),

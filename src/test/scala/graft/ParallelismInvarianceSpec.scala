@@ -35,6 +35,7 @@ class ParallelismInvarianceSpec extends SparkSpec {
     "q_index_drift",      // floor-scaled segment means over cosines (r8s3)
     "q_sim_rank_quality", // fixed-order DCG folds over integer rel pivots (r10)
     "q_curriculum_order", // histogram stage cuts + hash-ordered windows (r10)
+    "q_curriculum_pack",  // + chunk dedup windows and bin running sums (r11)
     "q_retrieve_sweep"))  // driver hit-count folds over Q·10 serves (r10)
     test(s"$q is byte-identical at shuffle.partitions=197") {
       val fn = SparkEntry.queries(q)

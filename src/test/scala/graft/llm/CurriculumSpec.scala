@@ -51,4 +51,37 @@ class CurriculumSpec extends SparkSpec {
     }
     assert(shuffled, "every shard emitted docs in doc_id order — hash dead")
   }
+
+  test("curriculum ↔ pack integration: train-only rows, valid bins, inherited positions") {
+    val rows = Curation.curriculumPack(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // (doc_id, chunk_idx, source, n_tokens, bin_id, bin_offset, stage, shard, seq)
+    val train = Curation.splitAssign(spark, sf).collect()
+      .filter(_.getString(2) == "train").map(_.getLong(0)).toSet
+    assert(rows.map(_.getLong(0)).toSet.subsetOf(train),
+      "a val/test doc's chunk carries a training position")
+    rows.foreach { r =>
+      assert(r.getLong(5) >= 0L && r.getLong(5) < Curation.PackBudget,
+        s"bin_offset out of budget: $r")
+      assert(r.getLong(3) >= 1L, s"empty chunk packed: $r")
+    }
+    // every chunk inherits EXACTLY its parent doc's curriculum position
+    val pos = Curation.curriculumOrder(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    rows.foreach { r =>
+      assert(pos(r.getLong(0)) == ((r.getLong(6), r.getLong(7), r.getLong(8))),
+        s"chunk's (stage, shard, seq) diverges from its parent doc: $r")
+    }
+    // bin coordinates are FIXED at pack time over the full (deduped) chunk
+    // stream, BEFORE the train filter — so per (source, bin_id) the train
+    // chunks' offsets need not tile the bin, but they must never overlap:
+    // [offset, offset + n_tokens) intervals are disjoint within a bin
+    rows.groupBy(r => (r.getString(2), r.getLong(4))).foreach { case (k, rs) =>
+      val iv = rs.map(r => (r.getLong(5), r.getLong(5) + r.getLong(3)))
+        .sortBy(_._1).toSeq
+      iv.zip(iv.drop(1)).foreach { case ((_, e1), (s2, _)) =>
+        assert(e1 <= s2, s"overlapping chunks in bin $k")
+      }
+    }
+  }
 }

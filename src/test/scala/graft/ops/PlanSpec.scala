@@ -344,6 +344,8 @@ class PlanSpec extends SparkSpec {
       // logit HISTOGRAM rows (value-domain cardinality, the
       // q_quality_threshold pattern) + the 1-row n_docs broadcast
       "q_curriculum_order",
+      // q_curriculum_pack composes the same histogram stage cut (r11)
+      "q_curriculum_pack",
       // q_mix_epochs: the (total_tokens, n_groups) budget base is a 1-row
       // broadcast over the groups-sized schedule frame (Curation.epochSchedule)
       "q_mix_epochs",
