@@ -251,12 +251,6 @@ object Graph {
     graft.etl.Warehouse.read(s, target)
   }
 
-  /** In-memory variant for ScaleBench's replicated-edge replays: build the
-    * adjacency from the caller's edge frame (checkpointed — the serve scans
-    * it twice) instead of the published fixture artifact. */
-  private[graft] def trianglesOf(canon: DataFrame): DataFrame =
-    trianglesServe(adjacencyOf(canon).localCheckpoint())
-
   /** The triangle serve over an adjacency frame — a pure STATELESS plan,
     * no persist, no localCheckpoint, nothing for a long bench session to
     * evict. The edge frame is not even joined back: exploding each node's
