@@ -64,6 +64,35 @@ object ScaleBench {
       val canon0 = graft.ops.Graph.edges(spark, dir).localCheckpoint()
       val maxNode = canon0
         .agg(max(greatest(col("src"), col("dst")))).collect()(0).getLong(0) + 1L
+      // serve-exchange meter (VERDICT r11 item 2): the 16× serve point was
+      // unexplained because the curve recorded TIME but not BYTES — the
+      // task-metrics shuffle-write sum per timed block makes "is the
+      // array-carrying exchange linear in E?" answerable from the log line
+      val shufBytes = new java.util.concurrent.atomic.AtomicLong
+      val shufListener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val tm = e.taskMetrics
+          if (tm != null) shufBytes.addAndGet(tm.shuffleWriteMetrics.bytesWritten)
+        }
+      }
+      spark.sparkContext.addSparkListener(shufListener)
+      // the listener bus is async and its flush API is private[spark]; a
+      // short settle after the job returns is enough for a dev probe whose
+      // timed blocks run seconds (bytes, unlike time, don't drift)
+      def metered(f: => Long): (Double, Double) = {
+        Thread.sleep(500); val b0 = shufBytes.get
+        val t0 = System.nanoTime(); f
+        val t = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(500); (t, (shufBytes.get - b0) / 1e6)
+      }
+      val basePartsG = spark.sessionState.conf.numShufflePartitions
+      // blocks created inside one multiplier iteration (canon + pagerank's
+      // internal layouts + every per-round localCheckpoint) are released
+      // before the next one (ADVICE r11): DataFrame.unpersist is a no-op on
+      // a localCheckpointed frame — its blocks belong to the checkpointed
+      // RDD — so the sweep walks getPersistentRDDs and drops everything not
+      // alive before the loop
+      val keepRdds = spark.sparkContext.getPersistentRDDs.keySet
       for (m <- mults) {
         val canon = (0 until m).map(i =>
           canon0.select((col("src") + lit(i * maxNode)).as("src"),
@@ -75,17 +104,39 @@ object ScaleBench {
         def t1(f: => Long): Double = {
           val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
         }
-        // triangles split BUILD from SERVE (r11, matching the published-
-        // adjacency production shape: the index builds once per corpus,
-        // the serve is what every analytic pays) — both curves must stay
-        // linear in m
-        val adj = graft.ops.Graph.adjacencyOf(canon)
-        var adjC: org.apache.spark.sql.DataFrame = null
-        val tTriBuild = t1 { adjC = adj.localCheckpoint(); adjC.count() }
-        val tTri = t1(graft.ops.Graph.trianglesServe(adjC).count())
+        // triangles split BUILD from SERVE, with the serve reading a
+        // PUBLISHED parquet version — the production shape (ADVICE r11: a
+        // localCheckpointed LogicalRDD carries no file-size statistics, so
+        // Catalyst could never pick the broadcast probe and the r11 curve
+        // measured only the shuffled-degraded plan). Build time = adjacency
+        // derivation + parquet write + pointer commit, exactly what the
+        // first caller per corpus pays.
+        val target = s"${sys.props("java.io.tmpdir")}/graft_scalebench/adj_m$m"
+        val tTriBuild = t1 {
+          graft.etl.Warehouse.publish(spark, target,
+            graft.ops.Graph.adjacencyOf(canon))
+          0L
+        }
+        val adjPub = graft.etl.Warehouse.read(spark, target)
+        // serve A/B: fixture partitions vs partitions scaled to the
+        // multiplier (the knob a 100× deployment would turn — per-partition
+        // exchange bytes held constant instead of growing m×)
+        val (tTri, mbTri) = metered(graft.ops.Graph.trianglesServe(adjPub).count())
+        spark.conf.set("spark.sql.shuffle.partitions", basePartsG * m)
+        val (tTriSc, mbTriSc) = metered(graft.ops.Graph.trianglesServe(adjPub).count())
+        spark.conf.set("spark.sql.shuffle.partitions", basePartsG)
         val tPr = t1(graft.ops.Graph.pagerankOf(canon).count())
-        println(f"[scalebench] graph  m=$m%-3d edges=$nE%-9d tri_build=$tTriBuild%.2f s tri_serve=$tTri%.2f s pagerank=$tPr%.2f s")
+        println(f"[scalebench] graph  m=$m%-3d edges=$nE%-9d tri_build=$tTriBuild%.2f s tri_serve=$tTri%.2f s (shuffle ${mbTri}%.0f MB @ $basePartsG parts) tri_serve_scaled=$tTriSc%.2f s (shuffle ${mbTriSc}%.0f MB @ ${basePartsG * m} parts) pagerank=$tPr%.2f s")
+        // bounded /tmp: drop this multiplier's published adjacency and
+        // checkpoint blocks before the next one (ADVICE r11 — checkpoint
+        // accumulation across iterations is exactly the storage pressure
+        // the r11 eviction finding warns about)
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(target))
+        spark.sparkContext.getPersistentRDDs
+          .filterNot { case (id, _) => keepRdds(id) }
+          .values.foreach(_.unpersist(blocking = false))
       }
+      spark.sparkContext.removeSparkListener(shufListener)
     }
 
     if (fams("dedup")) {

@@ -1973,8 +1973,8 @@ object SparkEntry {
     "q_split_leakage" ->
       s"""WITH comp AS (SELECT doc_id, component_id FROM ($dedupComponentsSql)),
           spl AS (SELECT doc_id,
-                    CASE WHEN ${dTokHash("'split-v1' || '|' || text")} % 100 < 80 THEN 'train'
-                         WHEN ${dTokHash("'split-v1' || '|' || text")} % 100 < 90 THEN 'val'
+                    CASE WHEN ${dTokHash("'split-v1' || '|' || coalesce(text, '')")} % 100 < 80 THEN 'train'
+                         WHEN ${dTokHash("'split-v1' || '|' || coalesce(text, '')")} % 100 < 90 THEN 'val'
                          ELSE 'test' END AS split
                   FROM documents),
           lj AS (SELECT c.component_id, s.split
@@ -2089,9 +2089,9 @@ object SparkEntry {
           GROUP BY doc_id ORDER BY doc_id""",
     "q_split_assign" ->
       s"""SELECT doc_id,
-                 ${dTokHash("'split-v1' || '|' || text")} % 100 AS bucket,
-                 CASE WHEN ${dTokHash("'split-v1' || '|' || text")} % 100 < 80 THEN 'train'
-                      WHEN ${dTokHash("'split-v1' || '|' || text")} % 100 < 90 THEN 'val'
+                 ${dTokHash("'split-v1' || '|' || coalesce(text, '')")} % 100 AS bucket,
+                 CASE WHEN ${dTokHash("'split-v1' || '|' || coalesce(text, '')")} % 100 < 80 THEN 'train'
+                      WHEN ${dTokHash("'split-v1' || '|' || coalesce(text, '')")} % 100 < 90 THEN 'val'
                       ELSE 'test' END AS split
           FROM documents ORDER BY doc_id""",
     "q_stats_skew" ->
@@ -3985,7 +3985,7 @@ object SparkEntry {
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS tok_before
                 FROM u),
           trn AS (SELECT doc_id FROM documents
-                  WHERE ${dTokHash("'split-v1' || '|' || text")} % 100 < 80),
+                  WHERE ${dTokHash("'split-v1' || '|' || coalesce(text, '')")} % 100 < 80),
           $curriculumCtes
           SELECT p.doc_id, p.chunk_idx, p.source, p.n_tokens,
                  p.tok_before // ${graft.llm.Curation.PackBudget} AS bin_id,

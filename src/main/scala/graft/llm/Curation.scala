@@ -245,7 +245,12 @@ object Curation {
     * exact dups can never straddle the train/test boundary and leak eval
     * data. Pure map stage until the output sort — scan speed at 100 TB. */
   def splitAssign(s: SparkSession, dir: String): DataFrame = {
-    val h = pmod(tokHash(concat_ws("|", lit("split-v1"), col("text"))), lit(100L))
+    // text coalesces to '' (ADVICE r11): concat_ws SKIPS a NULL argument
+    // (yielding "split-v1", no separator) while the twin's `||` nulls the
+    // whole key and DROPS the row — a NULL-text fixture row would diverge.
+    // The explicit '' makes both sides hash the same bytes for every row.
+    val keyed = concat_ws("|", lit("split-v1"), coalesce(col("text"), lit("")))
+    val h = pmod(tokHash(keyed), lit(100L))
     t(s, dir, "documents")
       .withColumn("bucket", h)
       .withColumn("split",
@@ -948,8 +953,14 @@ object Curation {
     *    packSequences unit a dataloader consumes independently), seq = the
     *    row_number within it by (hash, doc_id). Each window partition is
     *    ~N/(Stages·Shards); a deployment raises Shards with the corpus. */
-  def curriculumOrder(s: SparkSession, dir: String): DataFrame = {
-    val lg = logitRows(s, dir).select("doc_id", "logit_milli")
+  def curriculumOrder(s: SparkSession, dir: String): DataFrame =
+    curriculumOrderOf(logitRows(s, dir).select("doc_id", "logit_milli"))
+
+  /** The same histogram-cut ordering over an arbitrary (doc_id,
+    * logit_milli) frame — the unit the pack-upsert runs per SEGMENT (base
+    * docs frozen at pack time, the late batch ordered as its own
+    * addendum). */
+  private[graft] def curriculumOrderOf(lg: DataFrame): DataFrame = {
     val hist = lg.groupBy("logit_milli").agg(count(lit(1)).as("cnt"))
     val n = lg.agg(count(lit(1)).as("n_docs"))
     val wTop = org.apache.spark.sql.expressions.Window

@@ -256,7 +256,7 @@ object IvfPq {
         .partitionBy("nprobe", "q_id").orderBy(col("d2"), col("n_id"))))
       .filter(col("rn") <= 10)
       .select(col("nprobe"), col("q_id"), col("n_id"), lit(1L).as("hit"))
-    bruteL2TopK(s, dir).select("q_id", "n_id")
+    Rankings.exactL2(s, dir).select("q_id", "n_id")
       .crossJoin(broadcast(np))
       .join(reranked, Seq("nprobe", "q_id", "n_id"), "left")
       .groupBy("nprobe")
@@ -479,8 +479,8 @@ object IvfPq {
     * query (integer hit counts, one IEEE division — hash-checkable, the
     * q_sim_recall posture: index drift fails the driver gate). */
   def recallAudit(s: SparkSession, dir: String): DataFrame = {
-    val exact = bruteL2TopK(s, dir).select("q_id", "n_id")
-    val approx = rerankTopK(s, dir)
+    val exact = Rankings.exactL2(s, dir).select("q_id", "n_id")
+    val approx = Rankings.ivfpq(s, dir)
       .select(col("q_id").as("a_q"), col("n_id").as("a_n"), lit(1L).as("hit"))
     exact.join(approx,
         col("q_id") === col("a_q") && col("n_id") === col("a_n"), "left")

@@ -103,18 +103,30 @@ object RankEval {
     * pays the member serves + the two exact sides and nothing else. */
   def rankQuality(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    def localize(df: DataFrame): Seq[(Long, Long, Long)] =
-      df.select("q_id", "n_id", "rank").collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
-    def pairSet(df: DataFrame): Set[(Long, Long)] =
-      df.select("q_id", "n_id").collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val exact = pairSet(Similarity.bruteTopK(s, dir))
-    val exactL2 = pairSet(IvfPq.bruteL2TopK(s, dir))
-    val ivf = localize(Similarity.ivfTrainedTopK(s, dir))
-    val graph = localize(Similarity.graphSearchTopK(s, dir))
-    val bin = localize(Binary.topK(s, dir))
-    val ivfpq = localize(IvfPq.rerankTopK(s, dir))
+    // driver-fold contract (VERDICT r11 item 6): every localized frame is
+    // Q·10 rows BY CONTRACT (the 8-query eval set × top-10). The require
+    // makes the contract mechanical — if a future eval set becomes
+    // corpus-derived, the collect fails loudly instead of silently turning
+    // the driver fold into a corpus-sized localize.
+    val maxRows = Fusion.HybridQueries * 10
+    def localize(df: DataFrame): Seq[(Long, Long, Long)] = {
+      val rows = df.select("q_id", "n_id", "rank").collect()
+      require(rows.length <= maxRows,
+        s"rank-quality driver fold expects <= $maxRows serve rows, got ${rows.length}")
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    }
+    def pairSet(df: DataFrame): Set[(Long, Long)] = {
+      val rows = df.select("q_id", "n_id").collect()
+      require(rows.length <= maxRows,
+        s"rank-quality driver fold expects <= $maxRows exact rows, got ${rows.length}")
+      rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val exact = pairSet(Rankings.exactCos(s, dir))
+    val exactL2 = pairSet(Rankings.exactL2(s, dir))
+    val ivf = localize(Rankings.ivf(s, dir))
+    val graph = localize(Rankings.graph(s, dir))
+    val bin = localize(Rankings.binary(s, dir))
+    val ivfpq = localize(Rankings.ivfpq(s, dir))
     val hybrid = localize(Fusion.hybridTopK(s, dir))
     // the fused ranking from the member rankings — the identical RRF sum
     // and (rrf desc, n_id) ranking as Fusion.fuseOf, folded locally

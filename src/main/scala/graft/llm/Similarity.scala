@@ -459,7 +459,7 @@ object Similarity {
         10, asc = false, "cos", "n_id")
       .select(expr("gk div 1024").as("nprobe"), expr("gk % 1024").as("q_id"),
         col("n_id"), lit(1L).as("hit"))
-    val exact = bruteTopK(s, dir).select(col("q_id"), col("n_id"))
+    val exact = Rankings.exactCos(s, dir).select(col("q_id"), col("n_id"))
     exact.crossJoin(broadcast(np))
       .join(ranked, Seq("nprobe", "q_id", "n_id"), "left")
       .groupBy("nprobe")
@@ -1169,7 +1169,7 @@ object Similarity {
     * brute-forced slice — recall estimation never needs the full corpus
     * brute-forced. */
   def recallIvf(s: SparkSession, dir: String): DataFrame =
-    recallOf(s, dir, ivfTrainedTopK(s, dir))
+    recallOf(s, dir, Rankings.ivf(s, dir))
 
   /** q_sim_graph_recall / q_sim_binary_recall: the recallIvf audit over
     * the graph-probe and binary serve paths — every value is an integer
@@ -1177,14 +1177,17 @@ object Similarity {
     * publish, a signature regression) fails the driver's hash gate
     * mechanically, the `_bound`-twin discipline applied to ANN recall. */
   def recallGraph(s: SparkSession, dir: String): DataFrame =
-    recallOf(s, dir, graphSearchTopK(s, dir))
+    recallOf(s, dir, Rankings.graph(s, dir))
 
   def recallBinary(s: SparkSession, dir: String): DataFrame =
-    recallOf(s, dir, Binary.topK(s, dir))
+    recallOf(s, dir, Rankings.binary(s, dir))
 
+  /** Recall@10 of a served ranking vs the PUBLISHED exact cosine top-10
+    * (Rankings.exactCos — the audits treat rankings as input evidence,
+    * VERDICT r11 item 1): a Q·10 ⋈ Q·10 metadata join. */
   private[llm] def recallOf(s: SparkSession, dir: String,
                        approxTopK: DataFrame): DataFrame = {
-    val exact = bruteTopK(s, dir).select(col("q_id"), col("n_id"))
+    val exact = Rankings.exactCos(s, dir).select(col("q_id"), col("n_id"))
     val approx = approxTopK
       .select(col("q_id").as("a_q"), col("n_id").as("a_n"), lit(1L).as("hit"))
     exact.join(approx,
