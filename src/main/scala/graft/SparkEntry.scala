@@ -177,6 +177,10 @@ object SparkEntry {
     // (bin_id, bin_offset) for every train chunk — the end-to-end
     // dataloader artifact, declared + hash-checked (llm/Curation)
     "q_curriculum_pack"    -> (graft.llm.Curation.curriculumPack _),
+    // the dataloader artifact's ADD half: frozen base bins byte-identical,
+    // late chunks into fresh bins past each source's high-water bin, the
+    // late batch curriculum-ordered as its own addendum (llm/Curation)
+    "q_curriculum_pack_upsert" -> (graft.llm.Curation.curriculumPackUpsert _),
     "q_sim_fused_recall"   -> (graft.llm.Fusion.recallFused _),
     // the ensemble's freshness serve: RRF over the three families'
     // upsert-aware serves — late vectors flow through the consensus
@@ -1437,39 +1441,45 @@ object SparkEntry {
     * seq) — twin of Curation.curriculumOrder (logit histogram → ceil stage
     * cut → content-hash shard → within-(stage, shard) row_number), shared
     * by q_curriculum_order and the q_curriculum_pack composition. */
-  private def curriculumCtes: String =
-    s"""x AS (SELECT doc_id,
+  private def curriculumCtes: String = curriculumCtesFor("", "TRUE")
+
+  /** The same chain over a doc-predicate SEGMENT, CTE names suffixed so
+    * two segments (the pack-upsert's frozen base + late delta) compose in
+    * one WITH. */
+  private def curriculumCtesFor(sfx: String, pred: String): String =
+    s"""x$sfx AS (SELECT doc_id,
                string_split(coalesce(text, ''), ' ') AS toks,
-               coalesce(text, '') AS text, coalesce(n_chars, 0) AS n_chars FROM documents),
-        f AS (SELECT doc_id,
+               coalesce(text, '') AS text, coalesce(n_chars, 0) AS n_chars
+            FROM documents WHERE $pred),
+        f$sfx AS (SELECT doc_id,
                CAST(len(toks) AS BIGINT) AS f_tokens,
                n_chars AS f_chars,
                CAST(len(list_filter(toks, tk -> list_contains($allStopList, tk))) AS BIGINT) AS f_stop,
                CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS f_digits,
                CAST(len(list_distinct(toks)) AS BIGINT) AS f_distinct
-            FROM x),
-        lg AS (SELECT doc_id,
+            FROM x$sfx),
+        lg$sfx AS (SELECT doc_id,
                -2000 + f_tokens * 3 + f_chars * 1 + f_stop * 40
                      + f_distinct * 10 - f_digits * 25 AS logit_milli
-            FROM f),
-        hist AS (SELECT logit_milli, count(*) AS cnt FROM lg GROUP BY 1),
-        n AS (SELECT count(*) AS n_docs FROM lg),
-        cum AS (SELECT logit_milli,
+            FROM f$sfx),
+        hist$sfx AS (SELECT logit_milli, count(*) AS cnt FROM lg$sfx GROUP BY 1),
+        n$sfx AS (SELECT count(*) AS n_docs FROM lg$sfx),
+        cum$sfx AS (SELECT logit_milli,
                   sum(cnt) OVER (ORDER BY logit_milli DESC
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-                FROM hist),
-        stg AS (SELECT logit_milli,
+                FROM hist$sfx),
+        stg$sfx AS (SELECT logit_milli,
                   CAST((cum * ${graft.llm.Curation.CurriculumStages} + n_docs - 1) // n_docs AS BIGINT) AS stage
-                FROM cum, n),
-        d AS (SELECT lg.doc_id, stg.stage,
-                ${dTokHash("'curriculum-v1' || '|' || CAST(lg.doc_id AS VARCHAR)")} AS h
-              FROM lg JOIN stg USING (logit_milli)),
-        crr AS (SELECT doc_id, stage,
+                FROM cum$sfx, n$sfx),
+        d$sfx AS (SELECT lg$sfx.doc_id, stg$sfx.stage,
+                ${dTokHash(s"'curriculum-v1' || '|' || CAST(lg$sfx.doc_id AS VARCHAR)")} AS h
+              FROM lg$sfx JOIN stg$sfx USING (logit_milli)),
+        crr$sfx AS (SELECT doc_id, stage,
                   h % ${graft.llm.Curation.CurriculumShards} AS shard,
                   CAST(row_number() OVER (
                     PARTITION BY stage, h % ${graft.llm.Curation.CurriculumShards}
                     ORDER BY h, doc_id) AS BIGINT) AS seq
-                FROM d)"""
+                FROM d$sfx)"""
 
   /** int8 dequantization CTEs ending in e(vec_id, embedding, nrm) where
     * `embedding` is the DEQUANTIZED double list — twin of the
@@ -3992,6 +4002,56 @@ object SparkEntry {
                  p.tok_before % ${graft.llm.Curation.PackBudget} AS bin_offset,
                  o.stage, o.shard, o.seq
           FROM p JOIN trn USING (doc_id) JOIN crr o ON o.doc_id = p.doc_id
+          ORDER BY o.stage, o.shard, o.seq, p.chunk_idx""",
+    // the pack-upsert twin: the SAME chunk/dedup/pack CTEs run per
+    // segment around the corpus cut — base pack identical to a base-only
+    // run (first-wins over the full stream restricted to base rows ≡ the
+    // base-time dedup, since base doc_ids precede the cut), delta bins
+    // start past each source's high-water base bin, the delta curriculum
+    // is its own addendum chain with stages offset by CurriculumStages
+    "q_curriculum_pack_upsert" ->
+      s"""WITH $chunkCtes,
+          u AS (SELECT doc_id, chunk_idx, source, n_tokens FROM (
+                  SELECT chks.*, row_number() OVER (PARTITION BY chunk_hash
+                    ORDER BY doc_id, chunk_idx) AS rn FROM chks)
+                WHERE rn = 1),
+          cutt AS (SELECT CAST(floor(count(*) * ${graft.llm.IvfMaintenance.BaseFrac}) AS BIGINT) AS t
+                   FROM documents),
+          ub AS (SELECT u.* FROM u, cutt WHERE doc_id < t),
+          ud AS (SELECT u.* FROM u, cutt WHERE doc_id >= t),
+          pb AS (SELECT doc_id, chunk_idx, source, n_tokens,
+                   COALESCE(CAST(SUM(n_tokens) OVER (PARTITION BY source
+                     ORDER BY doc_id, chunk_idx
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS tok_before
+                 FROM ub),
+          pbb AS (SELECT doc_id, chunk_idx, source, n_tokens,
+                    tok_before // ${graft.llm.Curation.PackBudget} AS bin_id,
+                    tok_before % ${graft.llm.Curation.PackBudget} AS bin_offset,
+                    CAST(0 AS BIGINT) AS is_new
+                  FROM pb),
+          hw AS (SELECT source, MAX(bin_id) AS hw_bin FROM pbb GROUP BY source),
+          pd0 AS (SELECT doc_id, chunk_idx, source, n_tokens,
+                    COALESCE(CAST(SUM(n_tokens) OVER (PARTITION BY source
+                      ORDER BY doc_id, chunk_idx
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS tok_before
+                  FROM ud),
+          pdd AS (SELECT pd0.doc_id, pd0.chunk_idx, pd0.source, pd0.n_tokens,
+                    COALESCE(hw_bin + 1, 0) + tok_before // ${graft.llm.Curation.PackBudget} AS bin_id,
+                    tok_before % ${graft.llm.Curation.PackBudget} AS bin_offset,
+                    CAST(1 AS BIGINT) AS is_new
+                  FROM pd0 LEFT JOIN hw USING (source)),
+          pall AS (SELECT * FROM pbb UNION ALL SELECT * FROM pdd),
+          trn AS (SELECT doc_id FROM documents
+                  WHERE ${dTokHash("'split-v1' || '|' || coalesce(text, '')")} % 100 < 80),
+          ${curriculumCtesFor("cb", "doc_id < (SELECT t FROM cutt)")},
+          ${curriculumCtesFor("cd", "doc_id >= (SELECT t FROM cutt)")},
+          crru AS (SELECT doc_id, stage, shard, seq FROM crrcb
+                   UNION ALL
+                   SELECT doc_id, stage + ${graft.llm.Curation.CurriculumStages} AS stage,
+                          shard, seq FROM crrcd)
+          SELECT p.doc_id, p.chunk_idx, p.source, p.n_tokens,
+                 p.bin_id, p.bin_offset, o.stage, o.shard, o.seq, p.is_new
+          FROM pall p JOIN trn USING (doc_id) JOIN crru o ON o.doc_id = p.doc_id
           ORDER BY o.stage, o.shard, o.seq, p.chunk_idx""",
     // the ensemble freshness twin: the three UPSERT member twins fused
     // with the identical fixed-order RRF; is_new re-derives from the

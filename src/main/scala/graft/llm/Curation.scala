@@ -1018,6 +1018,71 @@ object Curation {
       .orderBy("stage", "shard", "seq", "chunk_idx")
   }
 
+  /** q_curriculum_pack_upsert: the dataloader artifact's ADD half (VERDICT
+    * r11 item 7) — the frozen-base/delta discipline of the five index
+    * families applied to the training-data artifact itself. Bin
+    * coordinates are PHYSICAL file offsets fixed at pack time, so a late
+    * ingest batch must never move a byte of the base layout: base rows
+    * (docs below the corpus cut — the LexMaintenance/IvfMaintenance
+    * BaseFrac convention on the documents id space) reproduce the
+    * base-time pack BIT-IDENTICALLY, and late chunks lay out into FRESH
+    * bins only, starting past each source's high-water bin (never
+    * appended into a partially-filled frozen bin). Chunk dedup stays
+    * first-wins over the FULL stream — base doc_ids precede the cut, so a
+    * late duplicate of a base chunk loses to the frozen copy exactly as
+    * it would in a full re-pack, while the restriction of the full-stream
+    * dedup to base rows equals the base-time dedup (CurriculumUpsertSpec
+    * pins both properties). Curriculum coordinates follow the same
+    * freeze: base rows keep their base-time (stage, shard, seq) — the
+    * order the already-shipped loader consumed — and the late batch is
+    * ordered as its own ADDENDUM (stages offset by CurriculumStages, so
+    * new data trains strictly after the frozen schedule). Serve = base ∪
+    * delta with `is_new`, the q_sim_ivf_upsert contract.
+    *
+    * Scale shape: identical stages to curriculumPack, each run per
+    * segment — the delta's windows are O(batch), the base recompute here
+    * is the oracle-checkable DECLARATION of what the frozen artifact
+    * contains (a production pack reads it back from the published bins,
+    * the IvfMaintenance posture). Per-source high-water bins are a
+    * source-domain aggregate — broadcast. */
+  def curriculumPackUpsert(s: SparkSession, dir: String): DataFrame = {
+    val cut = LexMaintenance.baseCut(s, dir)
+    val firstWins = org.apache.spark.sql.expressions.Window
+      .partitionBy("chunk_hash").orderBy("doc_id", "chunk_idx")
+    val uniq = chunkRows(s, dir, Seq("source"))
+      .withColumn("rn", row_number().over(firstWins))
+      .filter(col("rn") === 1).drop("rn")
+    val packCols = Seq("doc_id", "chunk_idx", "source", "n_tokens",
+      "bin_id", "bin_offset", "is_new")
+    val pBase = packBins(uniq.filter(col("doc_id") < cut))
+      .withColumn("is_new", lit(0L))
+      .select(packCols.map(col): _*)
+    val hw = pBase.groupBy("source").agg(max("bin_id").as("hw_bin"))
+    val wD = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id", "chunk_idx")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val pDelta = uniq.filter(col("doc_id") >= cut)
+      .withColumn("tok_before", coalesce(sum(col("n_tokens")).over(wD), lit(0L)))
+      .join(broadcast(hw), Seq("source"), "left")
+      // a source unseen in the base starts at bin 0; a seen one at hw+1
+      .withColumn("bin_id",
+        coalesce(col("hw_bin") + 1L, lit(0L)) + expr(s"tok_before div $PackBudget"))
+      .withColumn("bin_offset", col("tok_before") % PackBudget)
+      .withColumn("is_new", lit(1L))
+      .select(packCols.map(col): _*)
+    val lg = logitRows(s, dir).select("doc_id", "logit_milli")
+    val crr = curriculumOrderOf(lg.filter(col("doc_id") < cut))
+      .unionByName(curriculumOrderOf(lg.filter(col("doc_id") >= cut))
+        .withColumn("stage", col("stage") + CurriculumStages.toLong))
+    pBase.unionByName(pDelta)
+      .join(splitAssign(s, dir).select("doc_id", "split"), "doc_id")
+      .filter(col("split") === "train")
+      .join(crr, "doc_id")
+      .select("doc_id", "chunk_idx", "source", "n_tokens",
+        "bin_id", "bin_offset", "stage", "shard", "seq", "is_new")
+      .orderBy("stage", "shard", "seq", "chunk_idx")
+  }
+
   private[graft] def epochSchedule(docs: DataFrame, grp: String): DataFrame = {
     val per = docs
       .select(col(grp),

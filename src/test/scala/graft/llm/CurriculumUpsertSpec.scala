@@ -1,0 +1,76 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Frozen-base/delta proof for the pack-upsert (VERDICT r11 item 7): bin
+  * coordinates are physical file offsets, so the add half must reproduce
+  * the base layout BIT-IDENTICALLY and lay out late chunks into fresh
+  * bins only — the q_sim_ivf_upsert contract applied to the training-data
+  * artifact itself. */
+class CurriculumUpsertSpec extends SparkSpec {
+
+  private lazy val packed = Curation.curriculumPackUpsert(spark, sf).cache()
+
+  test("base rows reproduce the base-only pack bit-identically") {
+    val cut = LexMaintenance.baseCut(spark, sf)
+    // the base-time artifact: the SAME shared stages run over base docs
+    // only — what a pack job at the cut point would have shipped
+    val fw = Window.partitionBy("chunk_hash").orderBy("doc_id", "chunk_idx")
+    val uniqBase = Curation.chunkRows(spark, sf, Seq("source"))
+      .filter(col("doc_id") < cut)
+      .withColumn("rn", row_number().over(fw))
+      .filter(col("rn") === 1).drop("rn")
+    val lgBase = Curation.logitRows(spark, sf)
+      .select("doc_id", "logit_milli").filter(col("doc_id") < cut)
+    val expected = Curation.packBins(uniqBase)
+      .join(Curation.splitAssign(spark, sf).select("doc_id", "split"), "doc_id")
+      .filter(col("split") === "train")
+      .join(Curation.curriculumOrderOf(lgBase), "doc_id")
+      .select("doc_id", "chunk_idx", "source", "n_tokens",
+        "bin_id", "bin_offset", "stage", "shard", "seq")
+      .orderBy("doc_id", "chunk_idx")
+      .collect()
+    val got = packed.filter(col("is_new") === 0L)
+      .select("doc_id", "chunk_idx", "source", "n_tokens",
+        "bin_id", "bin_offset", "stage", "shard", "seq")
+      .orderBy("doc_id", "chunk_idx")
+      .collect()
+    assert(got.sameElements(expected),
+      "a late add must not move one byte (or one curriculum slot) of the frozen base artifact")
+  }
+
+  test("late chunks lay out into fresh bins only, past each source's high-water bin") {
+    val base = packed.filter(col("is_new") === 0L)
+      .groupBy("source").agg(max("bin_id").as("hw"))
+    val delta = packed.filter(col("is_new") === 1L)
+      .groupBy("source").agg(min("bin_id").as("lo"))
+    val joined = delta.join(base, Seq("source"), "left").collect()
+    assert(joined.nonEmpty, "fixture must produce late train chunks")
+    joined.foreach { r =>
+      val lo = r.getLong(r.fieldIndex("lo"))
+      val hw = if (r.isNullAt(r.fieldIndex("hw"))) -1L else r.getLong(r.fieldIndex("hw"))
+      assert(lo > hw,
+        s"source ${r.getString(0)}: delta bin $lo must start past the frozen high-water bin $hw")
+    }
+    // and every delta run starts at offset 0 of its first fresh bin:
+    // no delta row ever shares a bin with a base row
+    val shared = packed.filter(col("is_new") === 0L)
+      .select("source", "bin_id").distinct()
+      .join(packed.filter(col("is_new") === 1L)
+        .select("source", "bin_id").distinct(), Seq("source", "bin_id"))
+      .count()
+    assert(shared == 0L, "a frozen bin must never receive late bytes")
+  }
+
+  test("the late batch trains strictly after the frozen schedule") {
+    val maxBase = packed.filter(col("is_new") === 0L)
+      .agg(max("stage")).collect()(0).getLong(0)
+    val minDelta = packed.filter(col("is_new") === 1L)
+      .agg(min("stage")).collect()(0).getLong(0)
+    assert(maxBase <= Curation.CurriculumStages.toLong)
+    assert(minDelta > Curation.CurriculumStages.toLong,
+      "delta stages must be the addendum past CurriculumStages")
+  }
+}

@@ -346,6 +346,10 @@ class PlanSpec extends SparkSpec {
       "q_curriculum_order",
       // q_curriculum_pack composes the same histogram stage cut (r11)
       "q_curriculum_pack",
+      // q_curriculum_pack_upsert runs that cut once per segment (base +
+      // delta addendum) — each cumulative window is over logit-HISTOGRAM
+      // rows (value-domain cardinality), plus the same 1-row broadcasts
+      "q_curriculum_pack_upsert",
       // q_mix_epochs: the (total_tokens, n_groups) budget base is a 1-row
       // broadcast over the groups-sized schedule frame (Curation.epochSchedule)
       "q_mix_epochs",
