@@ -171,6 +171,9 @@ object SparkEntry {
     // published index families + its recall audit (llm/Fusion)
     "q_sim_fused"          -> (graft.llm.Fusion.fusedTopK _),
     "q_sim_rank_quality"   -> (graft.llm.RankEval.rankQuality _),
+    // the freshness rank audit: six-family MRR/nDCG@10 over the
+    // upsert-aware serves vs the full-corpus exact sides (llm/RankEval)
+    "q_sim_rank_quality_upsert" -> (graft.llm.RankEval.rankQualityUpsert _),
     "q_retrieve_sweep"     -> (graft.llm.Fusion.hybridSweep _),
     "q_curriculum_order"   -> (graft.llm.Curation.curriculumOrder _),
     // the curriculum ↔ pack integration: (stage, shard, seq, chunk_idx) →
@@ -1110,6 +1113,31 @@ object SparkEntry {
     * counting — the LexUpsertSpec equivalence), and the dense side is the
     * frozen-centroid upsert twin. The two id spaces freeze at different
     * cuts, so the twin re-derives both flags from their own tables. */
+  /** Twin of Fusion.fusedUpsertTopK: the three UPSERT member twins fused
+    * with the identical fixed-order RRF; is_new re-derives from the shared
+    * base cut (one scalar CTE), not from the members' flags. Extracted so
+    * the freshness rank audit reuses it as a served subquery. */
+  private def fusedUpsertSql: String =
+    s"""WITH fut AS (SELECT CAST(floor(count(*) * ${graft.llm.IvfMaintenance.BaseFrac}) AS BIGINT) AS t
+                     FROM embeddings),
+        fi AS (SELECT q_id, n_id, "rank" AS r_ivf FROM ($ivfUpsertSql)),
+        fg AS (SELECT q_id, n_id, "rank" AS r_graph FROM ($graphUpsertSql)),
+        fb AS (SELECT q_id, n_id, "rank" AS r_bin FROM ($binaryUpsertSql)),
+        fj AS (SELECT q_id, n_id, r_ivf, r_graph, r_bin
+               FROM fi
+               FULL OUTER JOIN fg USING (q_id, n_id)
+               FULL OUTER JOIN fb USING (q_id, n_id)),
+        fs AS (SELECT q_id, n_id,
+                      coalesce(CAST(1 AS DOUBLE) / (${graft.llm.Fusion.FusionK} + r_ivf), CAST(0 AS DOUBLE)) +
+                      coalesce(CAST(1 AS DOUBLE) / (${graft.llm.Fusion.FusionK} + r_graph), CAST(0 AS DOUBLE)) +
+                      coalesce(CAST(1 AS DOUBLE) / (${graft.llm.Fusion.FusionK} + r_bin), CAST(0 AS DOUBLE)) AS rrf
+               FROM fj),
+        fr AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+                 ORDER BY rrf DESC, n_id) AS BIGINT) AS "rank" FROM fs)
+        SELECT q_id, n_id, rrf, "rank",
+               CAST(CASE WHEN n_id >= fut.t THEN 1 ELSE 0 END AS BIGINT) AS is_new
+        FROM fr, fut WHERE "rank" <= 10 ORDER BY q_id, "rank""""
+
   private def hybridUpsertSql: String = {
     val bf = graft.llm.IvfMaintenance.BaseFrac
     s"""WITH hdc AS (SELECT CAST(floor(count(*) * $bf) AS BIGINT) AS t FROM documents),
@@ -4056,26 +4084,28 @@ object SparkEntry {
     // the ensemble freshness twin: the three UPSERT member twins fused
     // with the identical fixed-order RRF; is_new re-derives from the
     // shared base cut (one scalar CTE), not from the members' flags
-    "q_sim_fused_upsert" ->
-      s"""WITH fut AS (SELECT CAST(floor(count(*) * ${graft.llm.IvfMaintenance.BaseFrac}) AS BIGINT) AS t
-                       FROM embeddings),
-          fi AS (SELECT q_id, n_id, "rank" AS r_ivf FROM ($ivfUpsertSql)),
-          fg AS (SELECT q_id, n_id, "rank" AS r_graph FROM ($graphUpsertSql)),
-          fb AS (SELECT q_id, n_id, "rank" AS r_bin FROM ($binaryUpsertSql)),
-          fj AS (SELECT q_id, n_id, r_ivf, r_graph, r_bin
-                 FROM fi
-                 FULL OUTER JOIN fg USING (q_id, n_id)
-                 FULL OUTER JOIN fb USING (q_id, n_id)),
-          fs AS (SELECT q_id, n_id,
-                        coalesce(CAST(1 AS DOUBLE) / (${graft.llm.Fusion.FusionK} + r_ivf), CAST(0 AS DOUBLE)) +
-                        coalesce(CAST(1 AS DOUBLE) / (${graft.llm.Fusion.FusionK} + r_graph), CAST(0 AS DOUBLE)) +
-                        coalesce(CAST(1 AS DOUBLE) / (${graft.llm.Fusion.FusionK} + r_bin), CAST(0 AS DOUBLE)) AS rrf
-                 FROM fj),
-          fr AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
-                   ORDER BY rrf DESC, n_id) AS BIGINT) AS "rank" FROM fs)
-          SELECT q_id, n_id, rrf, "rank",
-                 CAST(CASE WHEN n_id >= fut.t THEN 1 ELSE 0 END AS BIGINT) AS is_new
-          FROM fr, fut WHERE "rank" <= 10 ORDER BY q_id, "rank"""",
+    "q_sim_fused_upsert" -> fusedUpsertSql,
+    // the freshness rank audit: the same six-family MRR/nDCG chain as
+    // q_sim_rank_quality, over the upsert member twins (and the fused /
+    // hybrid freshness twins), against the same full-corpus exact sides
+    "q_sim_rank_quality_upsert" ->
+      s"""WITH exact AS (SELECT q_id, n_id FROM ($simTopkSql)),
+          exact_l2 AS (SELECT q_id, n_id FROM ($bruteL2Sql)),
+          m_ivf AS (${rankMetricsCte("ivf", ivfUpsertSql)}),
+          m_graph AS (${rankMetricsCte("graph", graphUpsertSql)}),
+          m_bin AS (${rankMetricsCte("binary", binaryUpsertSql)}),
+          m_fused AS (${rankMetricsCte("fused", fusedUpsertSql)}),
+          m_ivfpq AS (${rankMetricsCte("ivfpq", ivfPqUpsertSql, "exact_l2")}),
+          m_hybrid AS (${rankMetricsCte("hybrid", hybridUpsertSql)}),
+          m AS (SELECT * FROM m_ivf UNION ALL SELECT * FROM m_graph
+                UNION ALL SELECT * FROM m_bin UNION ALL SELECT * FROM m_fused
+                UNION ALL SELECT * FROM m_ivfpq UNION ALL SELECT * FROM m_hybrid),
+          md AS (SELECT family, q_id, first_hit, rr,
+                        ${graft.llm.RankEval.dcgSqlExpr} AS dcg
+                 FROM m)
+          SELECT family, q_id, first_hit, rr, dcg,
+                 dcg / CAST(${graft.llm.RankEval.IdcgLit} AS DOUBLE) AS ndcg
+          FROM md ORDER BY family, q_id""",
     "q_retrieve_hybrid" -> hybridTopkSql,
     // the hybrid's tower ablation: recall@10 of lex-only / dense-only /
     // fused, all three candidate frames from the shared hybrid CTE chain

@@ -101,7 +101,41 @@ object RankEval {
     * style RRF fold over the SAME rankings (fixed member order, absent
     * terms an explicit 0.0 — the twin's coalesce chain), so the audit
     * pays the member serves + the two exact sides and nothing else. */
-  def rankQuality(s: SparkSession, dir: String): DataFrame = {
+  def rankQuality(s: SparkSession, dir: String): DataFrame =
+    auditOf(s, dir,
+      ivf = Rankings.ivf(s, dir),
+      graph = Rankings.graph(s, dir),
+      bin = Rankings.binary(s, dir),
+      ivfpq = Rankings.ivfpq(s, dir),
+      hybrid = Fusion.hybridTopK(s, dir))
+
+  /** q_sim_rank_quality_upsert: the FRESHNESS rank audit (r12) — the same
+    * six-family MRR + nDCG@10, graded over the UPSERT-AWARE serves (base
+    * ∪ delta members, the fused consensus over them, the two-tower
+    * freshness composition) against the SAME full-corpus exact sides: the
+    * exact top-10 already covers the late batch, so the audit measures
+    * how much ranking quality the frozen-index + O(batch)-delta serving
+    * discipline retains versus a full rebuild. Closes the audit symmetry:
+    * every upsert serve had a hash gate and (via recall rows) a coverage
+    * gate; this adds the position-aware gate. All six member rankings are
+    * PUBLISHED artifacts (the ivfpq_upsert variant publishes here), so
+    * the audit is Q·10 metadata folds end to end. */
+  def rankQualityUpsert(s: SparkSession, dir: String): DataFrame =
+    auditOf(s, dir,
+      ivf = Rankings.ivfUpsert(s, dir),
+      graph = Rankings.graphUpsert(s, dir),
+      bin = Rankings.binaryUpsert(s, dir),
+      ivfpq = Rankings.ivfpqUpsert(s, dir),
+      hybrid = Fusion.hybridUpsertTopK(s, dir))
+
+  /** The shared six-family audit fold: three cosine members + their RRF
+    * consensus (re-derived locally — the identical sum and (rrf desc,
+    * n_id) ranking as Fusion.fuseOf), the L2 composite, the two-tower
+    * hybrid; each family graded against ITS OWN metric space's exact
+    * top-10 (the recall-audit contract). */
+  private def auditOf(s: SparkSession, dir: String,
+                      ivf: DataFrame, graph: DataFrame, bin: DataFrame,
+                      ivfpq: DataFrame, hybrid: DataFrame): DataFrame = {
     import s.implicits._
     // driver-fold contract (VERDICT r11 item 6): every localized frame is
     // Q·10 rows BY CONTRACT (the 8-query eval set × top-10). The require
@@ -123,15 +157,15 @@ object RankEval {
     }
     val exact = pairSet(Rankings.exactCos(s, dir))
     val exactL2 = pairSet(Rankings.exactL2(s, dir))
-    val ivf = localize(Rankings.ivf(s, dir))
-    val graph = localize(Rankings.graph(s, dir))
-    val bin = localize(Rankings.binary(s, dir))
-    val ivfpq = localize(Rankings.ivfpq(s, dir))
-    val hybrid = localize(Fusion.hybridTopK(s, dir))
+    val ivfL = localize(ivf)
+    val graphL = localize(graph)
+    val binL = localize(bin)
+    val ivfpqL = localize(ivfpq)
+    val hybridL = localize(hybrid)
     // the fused ranking from the member rankings — the identical RRF sum
     // and (rrf desc, n_id) ranking as Fusion.fuseOf, folded locally
-    val members = Seq(ivf, graph, bin).map(_.map(t => (t._1, t._2) -> t._3).toMap)
-    val pairs = Seq(ivf, graph, bin).flatMap(_.map(t => (t._1, t._2))).distinct
+    val members = Seq(ivfL, graphL, binL).map(_.map(t => (t._1, t._2) -> t._3).toMap)
+    val pairs = Seq(ivfL, graphL, binL).flatMap(_.map(t => (t._1, t._2))).distinct
     val fused = pairs.map { p =>
       val score = members.foldLeft(0.0) { (acc, m) =>
         acc + m.get(p).map(r => 1.0 / (Fusion.FusionK + r)).getOrElse(0.0)
@@ -141,12 +175,12 @@ object RankEval {
       rs.sortBy(t => (if (t._3 == 0.0) 0.0 else -t._3, t._2)).take(10)
         .zipWithIndex.map { case (t, i) => (t._1, t._2, (i + 1).toLong) }
     }
-    val rows = metricsOf(ivf, exact, "ivf") ++
-      metricsOf(graph, exact, "graph") ++
-      metricsOf(bin, exact, "binary") ++
+    val rows = metricsOf(ivfL, exact, "ivf") ++
+      metricsOf(graphL, exact, "graph") ++
+      metricsOf(binL, exact, "binary") ++
       metricsOf(fused, exact, "fused") ++
-      metricsOf(ivfpq, exactL2, "ivfpq") ++
-      metricsOf(hybrid, exact, "hybrid")
+      metricsOf(ivfpqL, exactL2, "ivfpq") ++
+      metricsOf(hybridL, exact, "hybrid")
     rows.toDF("family", "q_id", "first_hit", "rr", "dcg", "ndcg")
       .orderBy("family", "q_id")
   }

@@ -103,6 +103,9 @@ object Rankings {
   def binaryUpsert(s: SparkSession, dir: String): DataFrame =
     served(s, dir, "binary_upsert")(BinaryMaintenance.upsertServe(s, dir))
 
+  def ivfpqUpsert(s: SparkSession, dir: String): DataFrame =
+    served(s, dir, "ivfpq_upsert")(IvfPq.upsertAdcTopK(s, dir))
+
   def lexUpsert(s: SparkSession, dir: String): DataFrame =
     served(s, dir, "lex_upsert")(Fusion.lexUpsertTopK(s, dir))
 }

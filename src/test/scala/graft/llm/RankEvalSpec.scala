@@ -99,4 +99,19 @@ class RankEvalSpec extends SparkSpec {
       .map { case (f, rs) => f -> rs.map(_.getDouble(5)).sum / rs.length }
     info(s"mean ndcg@10 by family: ${meanNdcg.toSeq.sortBy(_._1).mkString(", ")}")
   }
+
+  test("freshness audit: same frame contract over the upsert serves") {
+    val rows = RankEval.rankQualityUpsert(spark, sf).collect()
+    assert(rows.length == 48)
+    assert(rows.map(_.getString(0)).distinct.sorted.toSeq ==
+      Seq("binary", "fused", "graph", "hybrid", "ivf", "ivfpq"))
+    rows.foreach { r =>
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+      assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0)
+      assert((r.getLong(2) == 0L) == (r.getDouble(4) == 0.0))
+    }
+    val meanNdcg = rows.groupBy(_.getString(0))
+      .map { case (f, rs) => f -> rs.map(_.getDouble(5)).sum / rs.length }
+    info(s"mean upsert ndcg@10 by family: ${meanNdcg.toSeq.sortBy(_._1).mkString(", ")}")
+  }
 }
