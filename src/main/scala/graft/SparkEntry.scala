@@ -149,6 +149,10 @@ object SparkEntry {
     "q_sim_ivfpq_recall"   -> (graft.llm.IvfPq.recallAudit _),
     "q_sim_ivfpq_sweep"    -> (graft.llm.IvfPq.sweep _),
     "q_sim_ivfpq_upsert"   -> (graft.llm.IvfPq.upsertAdcTopK _),
+    // the composite's PRODUCTION freshness serve: ADC shortlist over
+    // base ∪ delta + exact rerank — the freshness rank audit measured the
+    // ADC-only serve at nDCG ~0.36 vs ~0.89 base; this closes it (llm/IvfPq)
+    "q_sim_ivfpq_upsert_rerank" -> (graft.llm.IvfPq.upsertRerankTopK _),
     // composite staleness monitor: per-segment mean ADC reconstruction
     // error under the frozen coarse+book stages (llm/IvfPq)
     "q_sim_ivfpq_drift"    -> (graft.llm.IvfPq.drift _),
@@ -911,13 +915,16 @@ object SparkEntry {
   /** Twin of IvfPq.upsertAdcTopK — the COMPOSITE's maintenance serve:
     * every vector encodes against the frozen books (ivfPqUpCtes), and the
     * IVFADC serve ranks base ∪ late codes with the is_new flag. */
-  private def ivfPqUpsertSql: String = {
+  /** The shared base ∪ delta ADC-estimate CTE chain (ends in
+    * west(q_id, n_id, est_d2)) — twin of IvfPq.upsertEst, composed by the
+    * ADC upsert serve and the production rerank serve below. */
+  private def ivfPqUpServeCtes: String = {
     import graft.llm.IvfPq.{M, SubDim => D, NQueries}
     val S = Similarity.MeanScale
     def resid(x: String, c: String) =
       s"(CAST(CAST($x AS DOUBLE) * $S AS BIGINT) - " +
         s"CAST(floor($c * $S) AS BIGINT)) / CAST($S AS DOUBLE)"
-    s"""WITH $ivfPqUpCtes,
+    s"""$ivfPqUpCtes,
         wprob AS (SELECT vec_id AS q_id, cent_id FROM urc
                   WHERE crn <= ${Similarity.NProbe} AND vec_id < $NQueries),
         wqr AS (SELECT p.q_id, p.cent_id, m,
@@ -936,13 +943,35 @@ object SparkEntry {
                  JOIN wlut l ON l.cent_id = cd.cent_id AND l.m = cd.m
                             AND l.code = cd.code
                  WHERE l.q_id <> cd.vec_id
-                 GROUP BY 1, 2),
+                 GROUP BY 1, 2)"""
+  }
+
+  private def ivfPqUpsertSql: String =
+    s"""WITH $ivfPqUpServeCtes,
         wrk AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
                   ORDER BY est_d2, n_id) AS BIGINT) AS "rank" FROM west)
         SELECT q_id, n_id, est_d2, "rank",
                CAST(CASE WHEN n_id >= ut.t THEN 1 ELSE 0 END AS BIGINT) AS is_new
         FROM wrk, ut WHERE "rank" <= 10 ORDER BY q_id, "rank""""
-  }
+
+  /** Twin of IvfPq.upsertRerankTopK — ADC shortlist over base ∪ delta
+    * codes, exact euclidean re-rank of only those rows. */
+  private def ivfPqUpsertRerankSql: String =
+    s"""WITH $ivfPqUpServeCtes,
+        wsl AS (SELECT q_id, n_id FROM (
+                  SELECT *, row_number() OVER (PARTITION BY q_id
+                    ORDER BY est_d2, n_id) AS rn FROM west)
+                WHERE rn <= ${graft.llm.IvfPq.Shortlist}),
+        wre AS (SELECT s.q_id, s.n_id,
+                       ${dDist2("qq.embedding", "nn.embedding")} AS d2
+                FROM wsl s
+                JOIN embeddings qq ON qq.vec_id = s.q_id
+                JOIN embeddings nn ON nn.vec_id = s.n_id),
+        wrr AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+                  ORDER BY d2, n_id) AS BIGINT) AS "rank" FROM wre)
+        SELECT q_id, n_id, d2, "rank",
+               CAST(CASE WHEN n_id >= ut.t THEN 1 ELSE 0 END AS BIGINT) AS is_new
+        FROM wrr, ut WHERE "rank" <= 10 ORDER BY q_id, "rank""""
 
   /** Twin of IvfPq.rerankTopK — shared by q_sim_ivfpq_rerank and the
     * recall audit's approx side. */
@@ -2363,6 +2392,7 @@ object SparkEntry {
           WHERE "rank" <= 10 ORDER BY q_id, "rank"""",
     "q_sim_ivfpq_rerank" -> ivfPqRerankSql,
     "q_sim_ivfpq_upsert" -> ivfPqUpsertSql,
+    "q_sim_ivfpq_upsert_rerank" -> ivfPqUpsertRerankSql,
     "q_sim_ivfpq_drift" -> ivfPqDriftSql,
     "q_sim_ivfpq_sweep" -> {
       val npVals = Similarity.SweepProbes
@@ -4095,7 +4125,7 @@ object SparkEntry {
           m_graph AS (${rankMetricsCte("graph", graphUpsertSql)}),
           m_bin AS (${rankMetricsCte("binary", binaryUpsertSql)}),
           m_fused AS (${rankMetricsCte("fused", fusedUpsertSql)}),
-          m_ivfpq AS (${rankMetricsCte("ivfpq", ivfPqUpsertSql, "exact_l2")}),
+          m_ivfpq AS (${rankMetricsCte("ivfpq", ivfPqUpsertRerankSql, "exact_l2")}),
           m_hybrid AS (${rankMetricsCte("hybrid", hybridUpsertSql)}),
           m AS (SELECT * FROM m_ivf UNION ALL SELECT * FROM m_graph
                 UNION ALL SELECT * FROM m_bin UNION ALL SELECT * FROM m_fused

@@ -385,6 +385,47 @@ object IvfPq {
     * (assign cell, encode residual) — the full maintenance symmetry with
     * q_sim_ivf_upsert at the composite's 8-bytes-per-vector scan cost. */
   def upsertAdcTopK(s: SparkSession, dir: String): DataFrame = {
+    val cut = IvfMaintenance.baseCut(s, dir)
+    Ranking.topKPerGroup(upsertEst(s, dir), "q_id", "est_d2", "n_id", 10,
+        asc = true, "est_d2", "n_id")
+      .withColumn("is_new", when(col("n_id") >= cut, 1L).otherwise(0L))
+      .select("q_id", "n_id", "est_d2", "rank", "is_new")
+      .orderBy("q_id", "rank")
+  }
+
+  /** q_sim_ivfpq_upsert_rerank: the composite's PRODUCTION freshness
+    * serve (r12) — the freshness rank audit measured the ADC-only upsert
+    * serve at mean nDCG ~0.36 vs ~0.89 for the reranked base family: the
+    * frozen books' quantization error dominates exactly on the late
+    * vectors no training saw. The monitor→response answer is the same
+    * rerank stage the base family serves: ADC shortlists `Shortlist`
+    * candidates from base ∪ delta codes, ONLY those rows' raw embeddings
+    * are fetched for the exact euclidean re-rank (Q·Shortlist vectors at
+    * any corpus size), `is_new` flags late neighbors. */
+  def upsertRerankTopK(s: SparkSession, dir: String): DataFrame = {
+    val dd = Clustering.dist2For(s) _
+    val cut = IvfMaintenance.baseCut(s, dir)
+    val e = t(s, dir, "embeddings")
+    Ranking.topKPerGroup(upsertEst(s, dir), "q_id", "est_d2", "n_id",
+        Shortlist, asc = true, "est_d2", "n_id")
+      .select("q_id", "n_id")
+      .join(e.select(col("vec_id").as("n_id"), col("embedding").as("ne")), "n_id")
+      .join(broadcast(e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"))), "q_id")
+      .withColumn("d2", expr(dd("qe", "ne")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("d2"), col("n_id")))
+        .cast("long"))
+      .filter(col("rank") <= 10)
+      .withColumn("is_new", when(col("n_id") >= cut, 1L).otherwise(0L))
+      .select("q_id", "n_id", "d2", "rank", "is_new")
+      .orderBy("q_id", "rank")
+  }
+
+  /** The shared base ∪ delta ADC estimate frame (frozen two-stage
+    * quantizer) — the serve unit upsertAdcTopK ranks to 10 and the
+    * production rerank shortlists. */
+  private def upsertEst(s: SparkSession, dir: String): DataFrame = {
     val dd = Clustering.dist2For(s) _
     val cut = IvfMaintenance.baseCut(s, dir)
     val cs = IvfMaintenance.cents(s, dir, cut).select("cent_id", "c_emb")
@@ -417,11 +458,7 @@ object IvfPq {
       .groupBy(col("q_id"), col("vec_id").as("n_id"))
       .agg(expr("aggregate(transform(array_sort(collect_list(struct(m, pd))), " +
         "p -> p.pd), 0D, (acc, x) -> acc + x)").as("est_d2"))
-    Ranking.topKPerGroup(est, "q_id", "est_d2", "n_id", 10, asc = true,
-        "est_d2", "n_id")
-      .withColumn("is_new", when(col("n_id") >= cut, 1L).otherwise(0L))
-      .select("q_id", "n_id", "est_d2", "rank", "is_new")
-      .orderBy("q_id", "rank")
+    est
   }
 
   /** q_sim_ivfpq_drift: the COMPOSITE's STALENESS MONITOR — how well the

@@ -103,8 +103,11 @@ object Rankings {
   def binaryUpsert(s: SparkSession, dir: String): DataFrame =
     served(s, dir, "binary_upsert")(BinaryMaintenance.upsertServe(s, dir))
 
+  /** The composite's PRODUCTION freshness serve (ADC shortlist + exact
+    * rerank over base ∪ delta) — the family the freshness rank audit
+    * grades, mirroring the base audit's rerankTopK choice. */
   def ivfpqUpsert(s: SparkSession, dir: String): DataFrame =
-    served(s, dir, "ivfpq_upsert")(IvfPq.upsertAdcTopK(s, dir))
+    served(s, dir, "ivfpq_upsert_rerank")(IvfPq.upsertRerankTopK(s, dir))
 
   def lexUpsert(s: SparkSession, dir: String): DataFrame =
     served(s, dir, "lex_upsert")(Fusion.lexUpsertTopK(s, dir))

@@ -160,4 +160,28 @@ class IvfPqSpec extends SparkSpec {
       assert(r.getDouble(3) == r.getLong(2).toDouble / 10.0)
     }
   }
+
+  test("upsert rerank dominates the ADC-only freshness serve on exact-L2 hits") {
+    // the r12 freshness rank audit measured the ADC-only upsert serve far
+    // below the reranked base family; the production rerank must recover
+    // at least the ADC serve's exact-neighbor hits (it re-orders a
+    // SUPERSET — the Shortlist — by exact distance)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("q_id", "n_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(IvfPq.bruteL2TopK(spark, sf))
+    val adcHits = pairs(IvfPq.upsertAdcTopK(spark, sf)).count(exact.contains)
+    val rrRows = IvfPq.upsertRerankTopK(spark, sf).collect()
+    val rrHits = rrRows.map(r => (r.getLong(0), r.getLong(1)))
+      .count(exact.contains)
+    assert(rrHits >= adcHits,
+      s"rerank hits $rrHits must be >= ADC hits $adcHits")
+    // is_new coheres with the shared base cut on every served row
+    val cut = math.floor(
+      graft.etl.TableStats.rowCount(spark, sf, "embeddings")
+        * IvfMaintenance.BaseFrac).toLong
+    rrRows.foreach { r =>
+      assert(r.getLong(4) == (if (r.getLong(1) >= cut) 1L else 0L))
+    }
+  }
 }

@@ -269,7 +269,10 @@ class PlanSpec extends SparkSpec {
       // per candidate — exactly M rows per group) plus the SubDim-bounded
       // residual recenter means (llm/IvfPq)
       "q_sim_ivfpq", "q_sim_ivfpq_rerank", "q_sim_ivfpq_recall",
-      "q_sim_ivfpq_sweep", "q_sim_ivfpq_upsert")
+      "q_sim_ivfpq_sweep", "q_sim_ivfpq_upsert",
+      // the production freshness serve composes the same M-bounded ADC
+      // fold before its Q·Shortlist exact rerank
+      "q_sim_ivfpq_upsert_rerank")
     // allowlisted: global SCALAR aggregates (3 labeled counts / one stats
     // row) — the final agg is one row per upstream partition into a 1-row
     // result, after map-side partial aggregation; the single partition
