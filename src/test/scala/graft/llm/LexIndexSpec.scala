@@ -25,16 +25,26 @@ class LexIndexSpec extends SparkSpec {
     assert(!p.contains("documents.parquet"), p.take(4000))
   }
 
-  test("hybrid lexical tower reads postings; the served plan has no documents scan") {
-    // the query-term derivation (query-doc tokenize ⋈ vocab) runs eagerly
-    // in its own ≤ Q·4-row collect, so the SERVED plan — the part that
-    // re-executes per downstream action — touches postings and the dense
-    // index only; the one documents read left anywhere is that pushed
-    // doc_id < Q side job
+  test("hybrid serves from the two published tower rankings; the lex tower pushes In(token)") {
+    // r12: the hybrid is a CONSUMER of the two towers' published Q·10
+    // rankings (Rankings.lex / Rankings.ivf) — its served plan reads those
+    // parquet versions and fuses, touching neither documents NOR postings
     val p = formatted("q_retrieve_hybrid")
     val docScans = "documents\\.parquet".r.findAllIn(p).size
     assert(docScans == 0, s"served hybrid plan must not rescan documents, got $docScans")
-    assert(p.contains("In(token"), s"no pushed In(token) filter on postings:\n${p.take(4000)}")
+    assert(p.contains("graft_rankings/lex_"),
+      s"hybrid must read the published lexical ranking:\n${p.take(4000)}")
+    assert(p.contains("graft_rankings/ivf_"),
+      s"hybrid must read the published dense ranking:\n${p.take(4000)}")
+    // the postings-pushdown contract lives on the lexical tower SERVE
+    // itself (what the publishing call executes): posting lists only,
+    // query-term IN literal reaching the token-clustered scan
+    val lex = Fusion.lexTopK(spark, sf).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!lex.contains("documents.parquet"),
+      s"lex tower serve must not rescan documents:\n${lex.take(4000)}")
+    assert(lex.contains("In(token"),
+      s"no pushed In(token) filter on postings:\n${lex.take(4000)}")
   }
 
   test("the published members carry the exact inline-derivation values") {
