@@ -1057,17 +1057,7 @@ object Curation {
     val pBase = packBins(uniq.filter(col("doc_id") < cut))
       .withColumn("is_new", lit(0L))
       .select(packCols.map(col): _*)
-    val hw = pBase.groupBy("source").agg(max("bin_id").as("hw_bin"))
-    val wD = org.apache.spark.sql.expressions.Window
-      .partitionBy("source").orderBy("doc_id", "chunk_idx")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val pDelta = uniq.filter(col("doc_id") >= cut)
-      .withColumn("tok_before", coalesce(sum(col("n_tokens")).over(wD), lit(0L)))
-      .join(broadcast(hw), Seq("source"), "left")
-      // a source unseen in the base starts at bin 0; a seen one at hw+1
-      .withColumn("bin_id",
-        coalesce(col("hw_bin") + 1L, lit(0L)) + expr(s"tok_before div $PackBudget"))
-      .withColumn("bin_offset", col("tok_before") % PackBudget)
+    val pDelta = packDeltaBins(uniq.filter(col("doc_id") >= cut), pBase)
       .withColumn("is_new", lit(1L))
       .select(packCols.map(col): _*)
     val lg = logitRows(s, dir).select("doc_id", "logit_milli")
@@ -1081,6 +1071,28 @@ object Curation {
       .select("doc_id", "chunk_idx", "source", "n_tokens",
         "bin_id", "bin_offset", "stage", "shard", "seq", "is_new")
       .orderBy("stage", "shard", "seq", "chunk_idx")
+  }
+
+  /** Lay out a DELTA chunk stream into FRESH bins past each source's
+    * high-water bin of an already-frozen layout — the COMPOSABLE unit of
+    * the incremental pack: each further late batch chains on the previous
+    * layout's high-water bins (frozen = base ∪ all earlier deltas), so
+    * k adds never move a byte of the first k−1 layouts
+    * (CurriculumUpsertSpec pins the two-add chain). A source unseen in
+    * the frozen layout starts at bin 0. */
+  private[graft] def packDeltaBins(uniqDelta: DataFrame,
+                                   frozen: DataFrame): DataFrame = {
+    val hw = frozen.groupBy("source").agg(max("bin_id").as("hw_bin"))
+    val wD = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id", "chunk_idx")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    uniqDelta
+      .withColumn("tok_before", coalesce(sum(col("n_tokens")).over(wD), lit(0L)))
+      .join(broadcast(hw), Seq("source"), "left")
+      .withColumn("bin_id",
+        coalesce(col("hw_bin") + 1L, lit(0L)) + expr(s"tok_before div $PackBudget"))
+      .withColumn("bin_offset", col("tok_before") % PackBudget)
+      .drop("hw_bin")
   }
 
   private[graft] def epochSchedule(docs: DataFrame, grp: String): DataFrame = {

@@ -64,6 +64,51 @@ class CurriculumUpsertSpec extends SparkSpec {
     assert(shared == 0L, "a frozen bin must never receive late bytes")
   }
 
+  test("the incremental layout COMPOSES: a second add never moves the first two layouts") {
+    // three segments by doc_id thirds — base, delta1, delta2 — chained
+    // through the same packDeltaBins unit the query uses: frozen for add k
+    // is base ∪ all earlier deltas, so k adds leave the first k−1 layouts
+    // byte-identical and every new bin lands past the chained high water
+    val fw = Window.partitionBy("chunk_hash").orderBy("doc_id", "chunk_idx")
+    val uniq = Curation.chunkRows(spark, sf, Seq("source"))
+      .withColumn("rn", row_number().over(fw))
+      .filter(col("rn") === 1).drop("rn")
+    val maxDoc = uniq.agg(max("doc_id")).collect()(0).getLong(0) + 1L
+    val (c1, c2) = (maxDoc / 3, 2L * maxDoc / 3)
+    val cols = Seq("doc_id", "chunk_idx", "source", "n_tokens", "bin_id", "bin_offset")
+    def sel(df: org.apache.spark.sql.DataFrame) =
+      df.select(cols.map(col): _*).orderBy("doc_id", "chunk_idx").collect()
+    val base = Curation.packBins(uniq.filter(col("doc_id") < c1))
+      .select(cols.map(col): _*)
+    val d1 = Curation.packDeltaBins(
+      uniq.filter(col("doc_id") >= c1 && col("doc_id") < c2), base)
+      .select(cols.map(col): _*)
+    val frozen1 = base.unionByName(d1)
+    val d2 = Curation.packDeltaBins(uniq.filter(col("doc_id") >= c2), frozen1)
+      .select(cols.map(col): _*)
+    // the add-2 layout starts past base ∪ delta1's high water, per source
+    val hw1 = frozen1.groupBy("source").agg(max("bin_id").as("hw"))
+    val lo2 = d2.groupBy("source").agg(min("bin_id").as("lo"))
+    val chained = lo2.join(hw1, Seq("source"), "left").collect()
+    assert(chained.nonEmpty)
+    chained.foreach { r =>
+      val hw = if (r.isNullAt(r.fieldIndex("hw"))) -1L else r.getLong(r.fieldIndex("hw"))
+      assert(r.getLong(r.fieldIndex("lo")) > hw)
+    }
+    // chain-wide per-source bin DISJOINTNESS: no add ever writes into a
+    // bin any earlier layout owns (base ⊥ d1 ⊥ d2) — the byte-immutability
+    // invariant k adds must preserve
+    val segs = Seq("base" -> base, "d1" -> d1, "d2" -> d2)
+    for (i <- segs.indices; j <- segs.indices if i < j) {
+      val shared = segs(i)._2.select("source", "bin_id").distinct()
+        .join(segs(j)._2.select("source", "bin_id").distinct(),
+          Seq("source", "bin_id")).count()
+      assert(shared == 0L,
+        s"${segs(i)._1} and ${segs(j)._1} must own disjoint bins, shared $shared")
+    }
+    assert(sel(d1).nonEmpty && sel(d2).nonEmpty, "fixture must fill all three segments")
+  }
+
   test("the late batch trains strictly after the frozen schedule") {
     val maxBase = packed.filter(col("is_new") === 0L)
       .agg(max("stage")).collect()(0).getLong(0)
