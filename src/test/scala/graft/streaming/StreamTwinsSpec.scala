@@ -762,4 +762,51 @@ class StreamTwinsSpec extends SparkSpec {
       .sorted
     assert(got.sameElements(want))
   }
+
+  test("streaming pack add carries per-source offsets and matches the batch delta layout") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import org.apache.spark.sql.functions.{col, max, row_number}
+    // batch face: the frozen base layout + the delta layout to reproduce
+    val cut = graft.llm.LexMaintenance.baseCut(s, sf)
+    val fw = org.apache.spark.sql.expressions.Window
+      .partitionBy("chunk_hash").orderBy("doc_id", "chunk_idx")
+    val uniq = graft.llm.Curation.chunkRows(s, sf, Seq("source"))
+      .withColumn("rn", row_number().over(fw))
+      .filter(col("rn") === 1).drop("rn")
+    val cols = Seq("doc_id", "chunk_idx", "source", "n_tokens", "bin_id", "bin_offset")
+    val pBase = graft.llm.Curation.packBins(uniq.filter(col("doc_id") < cut))
+    val want = graft.llm.Curation
+      .packDeltaBins(uniq.filter(col("doc_id") >= cut), pBase)
+      .select(cols.map(col): _*).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).sorted
+    assert(want.nonEmpty)
+    val hw = pBase.groupBy("source").agg(max("bin_id").as("hw")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // stream face: the delta chunks arrive in layout order across TWO
+    // micro-batches — the per-source running offset must survive the
+    // batch boundary
+    val rows = uniq.filter(col("doc_id") >= cut)
+      .select("doc_id", "chunk_idx", "source", "n_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    val mid = rows(rows.length / 2)._1
+    val mem = MemoryStream[(Long, Long, String, Long)]
+    val q = StreamTwins.packAdd(
+        mem.toDF().toDF("doc_id", "chunk_idx", "source", "n_tokens")
+          .as[StreamTwins.ChunkIn], hw)
+      .writeStream.format("memory").queryName("packadd_out")
+      .outputMode("append").start()
+    mem.addData(rows.filter(_._1 < mid).toSeq: _*)
+    q.processAllAvailable()
+    mem.addData(rows.filter(_._1 >= mid).toSeq: _*)
+    q.processAllAvailable(); q.stop()
+    val got = s.table("packadd_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).sorted
+    assert(got.sameElements(want),
+      "drained pack add must equal the batch delta layout bit-for-bit")
+  }
 }
