@@ -114,9 +114,6 @@ object Bench {
     // listener removed once the timed loop ends (ADVICE r11): harmless for
     // the one-shot CLI, a leak if Bench is ever driven repeatedly in-session
     spark.sparkContext.removeSparkListener(dropListener)
-    // remove the listener once the timed loop ends (ADVICE r11): harmless
-    // for the one-shot CLI, a leak if Bench is ever driven in a session loop
-    spark.sparkContext.removeSparkListener(dropListener)
     val calibAfter = calib()
     val calibMtAfter = calibMt()
     val loadAfter = loadavg()

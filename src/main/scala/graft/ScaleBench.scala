@@ -93,7 +93,10 @@ object ScaleBench {
       // RDD — so the sweep walks getPersistentRDDs and drops everything not
       // alive before the loop
       val keepRdds = spark.sparkContext.getPersistentRDDs.keySet
-      for (m <- mults) {
+      // the listener comes off even if a multiplier block throws
+      // (ADVICE r12): a live onTaskEnd listener would keep accumulating
+      // into shufBytes under every later family's jobs
+      try for (m <- mults) {
         val canon = (0 until m).map(i =>
           canon0.select((col("src") + lit(i * maxNode)).as("src"),
             (col("dst") + lit(i * maxNode)).as("dst")))
@@ -122,9 +125,14 @@ object ScaleBench {
         // multiplier (the knob a 100× deployment would turn — per-partition
         // exchange bytes held constant instead of growing m×)
         val (tTri, mbTri) = metered(graft.ops.Graph.trianglesServe(adjPub).count())
-        spark.conf.set("spark.sql.shuffle.partitions", basePartsG * m)
-        val (tTriSc, mbTriSc) = metered(graft.ops.Graph.trianglesServe(adjPub).count())
-        spark.conf.set("spark.sql.shuffle.partitions", basePartsG)
+        // restore the session conf even if the metered serve throws
+        // (ADVICE r12): a failure mid-A/B must not leave every later
+        // family running at m-scaled partitions
+        val (tTriSc, mbTriSc) =
+          try {
+            spark.conf.set("spark.sql.shuffle.partitions", basePartsG * m)
+            metered(graft.ops.Graph.trianglesServe(adjPub).count())
+          } finally spark.conf.set("spark.sql.shuffle.partitions", basePartsG)
         val tPr = t1(graft.ops.Graph.pagerankOf(canon).count())
         println(f"[scalebench] graph  m=$m%-3d edges=$nE%-9d tri_build=$tTriBuild%.2f s tri_serve=$tTri%.2f s (shuffle ${mbTri}%.0f MB @ $basePartsG parts) tri_serve_scaled=$tTriSc%.2f s (shuffle ${mbTriSc}%.0f MB @ ${basePartsG * m} parts) pagerank=$tPr%.2f s")
         // bounded /tmp: drop this multiplier's published adjacency and
@@ -136,7 +144,7 @@ object ScaleBench {
           .filterNot { case (id, _) => keepRdds(id) }
           .values.foreach(_.unpersist(blocking = false))
       }
-      spark.sparkContext.removeSparkListener(shufListener)
+      finally spark.sparkContext.removeSparkListener(shufListener)
     }
 
     if (fams("dedup")) {
@@ -416,6 +424,32 @@ object ScaleBench {
         // this family multiplies the FULL documents table (ADVICE r10):
         // drop each multiplier's copies once measured, or repeated runs
         // accumulate large parquet trees under java.io.tmpdir
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dirM))
+      }
+    }
+
+    if (fams("pack")) {
+      // ——— chunk-pack layout at m× docs (Curation.chunkPack) ———
+      // The running-sum window partitions on (source, pack_shard = doc-hash
+      // mod PackShards) — r13: the sequential state per window partition is
+      // tokens/(sources·PackShards), so the layout must be LINEAR in m and
+      // the fan-out line must show >1 window partition per source (the
+      // VERDICT r12 gate: a dominant source must never serialize its whole
+      // layout into one task).
+      val dAll = Tables.t(spark, dir, "documents")
+      val maxDoc0 = dAll.agg(max("doc_id")).collect()(0).getLong(0) + 1L
+      for (m <- mults) {
+        val dirM = s"${sys.props("java.io.tmpdir")}/graft_scalebench/pdocs_$m"
+        (0 until m).map(i =>
+          dAll.withColumn("doc_id", col("doc_id") + lit(i * maxDoc0)))
+          .reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(s"$dirM/documents.parquet")
+        val nD = spark.read.parquet(s"$dirM/documents.parquet").count()
+        val tPack = med(graft.llm.Curation.chunkPack(spark, dirM).count())
+        val fan = graft.llm.Curation.chunkPack(spark, dirM)
+          .agg(countDistinct(col("source"), col("pack_shard")).as("parts"),
+            countDistinct(col("source")).as("srcs")).collect()(0)
+        println(f"[scalebench] pack   m=$m%-3d docs=$nD%-8d chunk_pack=$tPack%.2f s window_parts=${fan.getLong(0)} sources=${fan.getLong(1)} parts_per_source=${fan.getLong(0).toDouble / fan.getLong(1)}%.1f")
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dirM))
       }
     }

@@ -1489,6 +1489,12 @@ object SparkEntry {
                  FROM cstart)"""
   }
 
+  /** Pack-shard lottery — twin of Curation.packShardCol: doc-granularity
+    * pack-v1-salted hash mod PackShards (dTokHash is a positive 60-bit
+    * value, so DuckDB's % equals Spark's pmod). */
+  private def packShardSql: String =
+    s"${dTokHash("'pack-v1' || '|' || CAST(doc_id AS VARCHAR)")} % ${graft.llm.Curation.PackShards}"
+
   /** All five language lexicons flattened, distinct — twin of the stopword
     * array qualityLogit builds from TextAnalysis.Lexicons. */
   private def allStopList: String =
@@ -2985,14 +2991,16 @@ object SparkEntry {
           FROM tot t LEFT JOIN ov o USING (segment) ORDER BY segment""",
     "q_chunk_pack" ->
       s"""WITH $chunkCtes,
-          p AS (SELECT doc_id, chunk_idx, source, n_tokens,
-                  COALESCE(CAST(SUM(n_tokens) OVER (PARTITION BY source
+          cs AS (SELECT chks.*, $packShardSql AS pack_shard FROM chks),
+          p AS (SELECT doc_id, chunk_idx, source, pack_shard, n_tokens,
+                  COALESCE(CAST(SUM(n_tokens) OVER (PARTITION BY source, pack_shard
                     ORDER BY doc_id, chunk_idx
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS tok_before
-                FROM chks)
+                FROM cs)
           SELECT doc_id, chunk_idx, source, n_tokens,
                  tok_before // ${graft.llm.Curation.PackBudget} AS bin_id,
-                 tok_before % ${graft.llm.Curation.PackBudget} AS bin_offset
+                 tok_before % ${graft.llm.Curation.PackBudget} AS bin_offset,
+                 pack_shard
           FROM p ORDER BY doc_id, chunk_idx""",
     // semantic dedup clusters: transitive closure over the LSH-blocked
     // cosine edges (same edge definition as q_dedup_embed_lsh) via a
@@ -4043,12 +4051,13 @@ object SparkEntry {
     // with the curriculum chain and the content-keyed train filter
     "q_curriculum_pack" ->
       s"""WITH $chunkCtes,
-          u AS (SELECT doc_id, chunk_idx, source, n_tokens FROM (
+          u AS (SELECT doc_id, chunk_idx, source, n_tokens,
+                       $packShardSql AS pack_shard FROM (
                   SELECT chks.*, row_number() OVER (PARTITION BY chunk_hash
                     ORDER BY doc_id, chunk_idx) AS rn FROM chks)
                 WHERE rn = 1),
-          p AS (SELECT doc_id, chunk_idx, source, n_tokens,
-                  COALESCE(CAST(SUM(n_tokens) OVER (PARTITION BY source
+          p AS (SELECT doc_id, chunk_idx, source, pack_shard, n_tokens,
+                  COALESCE(CAST(SUM(n_tokens) OVER (PARTITION BY source, pack_shard
                     ORDER BY doc_id, chunk_idx
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS tok_before
                 FROM u),
@@ -4058,7 +4067,7 @@ object SparkEntry {
           SELECT p.doc_id, p.chunk_idx, p.source, p.n_tokens,
                  p.tok_before // ${graft.llm.Curation.PackBudget} AS bin_id,
                  p.tok_before % ${graft.llm.Curation.PackBudget} AS bin_offset,
-                 o.stage, o.shard, o.seq
+                 o.stage, o.shard, o.seq, p.pack_shard
           FROM p JOIN trn USING (doc_id) JOIN crr o ON o.doc_id = p.doc_id
           ORDER BY o.stage, o.shard, o.seq, p.chunk_idx""",
     // the pack-upsert twin: the SAME chunk/dedup/pack CTEs run per
@@ -4069,7 +4078,8 @@ object SparkEntry {
     // is its own addendum chain with stages offset by CurriculumStages
     "q_curriculum_pack_upsert" ->
       s"""WITH $chunkCtes,
-          u AS (SELECT doc_id, chunk_idx, source, n_tokens FROM (
+          u AS (SELECT doc_id, chunk_idx, source, n_tokens,
+                       $packShardSql AS pack_shard FROM (
                   SELECT chks.*, row_number() OVER (PARTITION BY chunk_hash
                     ORDER BY doc_id, chunk_idx) AS rn FROM chks)
                 WHERE rn = 1),
@@ -4077,27 +4087,28 @@ object SparkEntry {
                    FROM documents),
           ub AS (SELECT u.* FROM u, cutt WHERE doc_id < t),
           ud AS (SELECT u.* FROM u, cutt WHERE doc_id >= t),
-          pb AS (SELECT doc_id, chunk_idx, source, n_tokens,
-                   COALESCE(CAST(SUM(n_tokens) OVER (PARTITION BY source
+          pb AS (SELECT doc_id, chunk_idx, source, pack_shard, n_tokens,
+                   COALESCE(CAST(SUM(n_tokens) OVER (PARTITION BY source, pack_shard
                      ORDER BY doc_id, chunk_idx
                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS tok_before
                  FROM ub),
-          pbb AS (SELECT doc_id, chunk_idx, source, n_tokens,
+          pbb AS (SELECT doc_id, chunk_idx, source, pack_shard, n_tokens,
                     tok_before // ${graft.llm.Curation.PackBudget} AS bin_id,
                     tok_before % ${graft.llm.Curation.PackBudget} AS bin_offset,
                     CAST(0 AS BIGINT) AS is_new
                   FROM pb),
-          hw AS (SELECT source, MAX(bin_id) AS hw_bin FROM pbb GROUP BY source),
-          pd0 AS (SELECT doc_id, chunk_idx, source, n_tokens,
-                    COALESCE(CAST(SUM(n_tokens) OVER (PARTITION BY source
+          hw AS (SELECT source, pack_shard, MAX(bin_id) AS hw_bin
+                 FROM pbb GROUP BY source, pack_shard),
+          pd0 AS (SELECT doc_id, chunk_idx, source, pack_shard, n_tokens,
+                    COALESCE(CAST(SUM(n_tokens) OVER (PARTITION BY source, pack_shard
                       ORDER BY doc_id, chunk_idx
                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS tok_before
                   FROM ud),
-          pdd AS (SELECT pd0.doc_id, pd0.chunk_idx, pd0.source, pd0.n_tokens,
+          pdd AS (SELECT pd0.doc_id, pd0.chunk_idx, pd0.source, pd0.pack_shard, pd0.n_tokens,
                     COALESCE(hw_bin + 1, 0) + tok_before // ${graft.llm.Curation.PackBudget} AS bin_id,
                     tok_before % ${graft.llm.Curation.PackBudget} AS bin_offset,
                     CAST(1 AS BIGINT) AS is_new
-                  FROM pd0 LEFT JOIN hw USING (source)),
+                  FROM pd0 LEFT JOIN hw USING (source, pack_shard)),
           pall AS (SELECT * FROM pbb UNION ALL SELECT * FROM pdd),
           trn AS (SELECT doc_id FROM documents
                   WHERE ${dTokHash("'split-v1' || '|' || coalesce(text, '')")} % 100 < 80),
@@ -4108,7 +4119,8 @@ object SparkEntry {
                    SELECT doc_id, stage + ${graft.llm.Curation.CurriculumStages} AS stage,
                           shard, seq FROM crrcd)
           SELECT p.doc_id, p.chunk_idx, p.source, p.n_tokens,
-                 p.bin_id, p.bin_offset, o.stage, o.shard, o.seq, p.is_new
+                 p.bin_id, p.bin_offset, o.stage, o.shard, o.seq, p.is_new,
+                 p.pack_shard
           FROM pall p JOIN trn USING (doc_id) JOIN crru o ON o.doc_id = p.doc_id
           ORDER BY o.stage, o.shard, o.seq, p.chunk_idx""",
     // the ensemble freshness twin: the three UPSERT member twins fused

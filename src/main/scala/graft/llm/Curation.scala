@@ -484,24 +484,47 @@ object Curation {
 
   /** Chunks packed into fixed token-budget bins — the chunk-granularity
     * twin of `packSequences` and the last hop of the chunk → dedup → pack
-    * dataloader path: each source's chunk stream (ordered by doc, then
-    * chunk position) is laid head-to-tail into `PackBudget`-token bins.
-    * The running sum windows on the SHARD key (source), exactly like
-    * packSequences — per-shard linear state, never a global window. */
+    * dataloader path: each (source, pack_shard) chunk stream (ordered by
+    * doc, then chunk position) is laid head-to-tail into
+    * `PackBudget`-token bins. The running sum windows on (source,
+    * pack_shard) — per-shard linear state, never a global window and
+    * never one window partition per source (VERDICT r12 item 1: a corpus
+    * where one source carries most of the mass must not serialize its
+    * whole layout into a single task). */
   def chunkPack(s: SparkSession, dir: String): DataFrame =
     packBins(chunkRows(s, dir, Seq("source")))
-      .select("doc_id", "chunk_idx", "source", "n_tokens", "bin_id", "bin_offset")
+      .select("doc_id", "chunk_idx", "source", "n_tokens", "bin_id",
+        "bin_offset", "pack_shard")
       .orderBy("doc_id", "chunk_idx")
 
-  /** The ONE definition of the chunk bin math (tok_before / bin_id /
-    * bin_offset over the per-source chunk stream) — shared by the
-    * registered q_chunk_pack and CurationPipeline's packing stage so the
-    * oracle-checked semantics and the pipeline artifact cannot drift. */
+  /** Shards per source for the pack layout's running sum — the
+    * curriculumOrder discipline applied to the pack window: a dataloader
+    * consumes each (source, shard) bin sequence independently, so the
+    * sequential state is N/(sources·PackShards) per window partition and
+    * a deployment raises PackShards with the corpus. */
+  val PackShards = 8
+
+  /** The shard lottery: DOC-granularity content hash (every chunk of a
+    * doc shares its shard, keeping a doc's chunks contiguous in one bin
+    * sequence), pack-v1-salted so it is independent of the curriculum and
+    * heldout lotteries. */
+  private[graft] def packShardCol: org.apache.spark.sql.Column =
+    pmod(tokHash(concat_ws("|", lit("pack-v1"), col("doc_id").cast("string"))),
+      lit(PackShards.toLong))
+
+  /** The ONE definition of the chunk bin math (pack_shard / tok_before /
+    * bin_id / bin_offset over the per-(source, pack_shard) chunk stream)
+    * — shared by the registered q_chunk_pack and CurationPipeline's
+    * packing stage so the oracle-checked semantics and the pipeline
+    * artifact cannot drift. Bin identity is (source, pack_shard, bin_id):
+    * shards pack independently, so bin ids repeat across shards of one
+    * source by design. */
   private[graft] def packBins(chunks: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("source").orderBy("doc_id", "chunk_idx")
+      .partitionBy("source", "pack_shard").orderBy("doc_id", "chunk_idx")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     chunks
+      .withColumn("pack_shard", packShardCol)
       .withColumn("tok_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .withColumn("bin_id", expr(s"tok_before div $PackBudget"))
       .withColumn("bin_offset", col("tok_before") % PackBudget)
@@ -996,8 +1019,8 @@ object Curation {
     * hash-checked query cannot drift.
     *
     * Scale shape: every stage is the already-audited one — digest-keyed
-    * dedup, per-source running-sum packing, histogram-domain stage cut,
-    * per-(stage, shard) order windows. The final join is doc-keyed (chunk
+    * dedup, per-(source, pack_shard) running-sum packing, histogram-domain
+    * stage cut, per-(stage, shard) order windows. The final join is doc-keyed (chunk
     * rows ⋈ the doc-tier curriculum frame); nothing new shuffles. Bins are
     * laid out over the FULL chunk stream before the train filter (the
     * pipeline's order of operations: bin coordinates are physical file
@@ -1014,7 +1037,7 @@ object Curation {
       .filter(col("split") === "train")
       .join(curriculumOrder(s, dir), "doc_id")
       .select("doc_id", "chunk_idx", "source", "n_tokens",
-        "bin_id", "bin_offset", "stage", "shard", "seq")
+        "bin_id", "bin_offset", "stage", "shard", "seq", "pack_shard")
       .orderBy("stage", "shard", "seq", "chunk_idx")
   }
 
@@ -1043,8 +1066,8 @@ object Curation {
     * segment — the delta's windows are O(batch), the base recompute here
     * is the oracle-checkable DECLARATION of what the frozen artifact
     * contains (a production pack reads it back from the published bins,
-    * the IvfMaintenance posture). Per-source high-water bins are a
-    * source-domain aggregate — broadcast. */
+    * the IvfMaintenance posture). Per-(source, pack_shard) high-water
+    * bins are a (source × PackShards)-domain aggregate — broadcast. */
   def curriculumPackUpsert(s: SparkSession, dir: String): DataFrame = {
     val cut = LexMaintenance.baseCut(s, dir)
     val firstWins = org.apache.spark.sql.expressions.Window
@@ -1052,8 +1075,8 @@ object Curation {
     val uniq = chunkRows(s, dir, Seq("source"))
       .withColumn("rn", row_number().over(firstWins))
       .filter(col("rn") === 1).drop("rn")
-    val packCols = Seq("doc_id", "chunk_idx", "source", "n_tokens",
-      "bin_id", "bin_offset", "is_new")
+    val packCols = Seq("doc_id", "chunk_idx", "source", "pack_shard",
+      "n_tokens", "bin_id", "bin_offset", "is_new")
     val pBase = packBins(uniq.filter(col("doc_id") < cut))
       .withColumn("is_new", lit(0L))
       .select(packCols.map(col): _*)
@@ -1069,26 +1092,29 @@ object Curation {
       .filter(col("split") === "train")
       .join(crr, "doc_id")
       .select("doc_id", "chunk_idx", "source", "n_tokens",
-        "bin_id", "bin_offset", "stage", "shard", "seq", "is_new")
+        "bin_id", "bin_offset", "stage", "shard", "seq", "is_new", "pack_shard")
       .orderBy("stage", "shard", "seq", "chunk_idx")
   }
 
-  /** Lay out a DELTA chunk stream into FRESH bins past each source's
-    * high-water bin of an already-frozen layout — the COMPOSABLE unit of
-    * the incremental pack: each further late batch chains on the previous
-    * layout's high-water bins (frozen = base ∪ all earlier deltas), so
-    * k adds never move a byte of the first k−1 layouts
-    * (CurriculumUpsertSpec pins the two-add chain). A source unseen in
-    * the frozen layout starts at bin 0. */
+  /** Lay out a DELTA chunk stream into FRESH bins past each (source,
+    * pack_shard)'s high-water bin of an already-frozen layout — the
+    * COMPOSABLE unit of the incremental pack: each further late batch
+    * chains on the previous layout's high-water bins (frozen = base ∪ all
+    * earlier deltas), so k adds never move a byte of the first k−1
+    * layouts (CurriculumUpsertSpec pins the two-add chain). A (source,
+    * pack_shard) unseen in the frozen layout starts at bin 0. The
+    * high-water frame is a (source × PackShards)-domain aggregate —
+    * broadcast. */
   private[graft] def packDeltaBins(uniqDelta: DataFrame,
                                    frozen: DataFrame): DataFrame = {
-    val hw = frozen.groupBy("source").agg(max("bin_id").as("hw_bin"))
+    val hw = frozen.groupBy("source", "pack_shard").agg(max("bin_id").as("hw_bin"))
     val wD = org.apache.spark.sql.expressions.Window
-      .partitionBy("source").orderBy("doc_id", "chunk_idx")
+      .partitionBy("source", "pack_shard").orderBy("doc_id", "chunk_idx")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     uniqDelta
+      .withColumn("pack_shard", packShardCol)
       .withColumn("tok_before", coalesce(sum(col("n_tokens")).over(wD), lit(0L)))
-      .join(broadcast(hw), Seq("source"), "left")
+      .join(broadcast(hw), Seq("source", "pack_shard"), "left")
       .withColumn("bin_id",
         coalesce(col("hw_bin") + 1L, lit(0L)) + expr(s"tok_before div $PackBudget"))
       .withColumn("bin_offset", col("tok_before") % PackBudget)

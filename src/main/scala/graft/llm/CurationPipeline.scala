@@ -90,8 +90,8 @@ class CurationPipeline(s: SparkSession, srcDir: String, root: String) {
     // 6. split rides the parent doc's content key
     val out = Curation.packBins(uniq)
       .join(Curation.splitAssign(s, d3).select("doc_id", "split"), "doc_id")
-      .select("doc_id", "chunk_idx", "source", "n_tokens", "chunk_hash",
-        "bin_id", "bin_offset", "split")
+      .select("doc_id", "chunk_idx", "source", "pack_shard", "n_tokens",
+        "chunk_hash", "bin_id", "bin_offset", "split")
     out.write.mode("overwrite").parquet(s"$root/packed.parquet")
     stageRows :+= ("packed", s.read.parquet(s"$root/packed.parquet").count())
     // 7. training order: the curriculum schedule (quality-quartile stages,
@@ -102,8 +102,8 @@ class CurationPipeline(s: SparkSession, srcDir: String, root: String) {
     val ordered = s.read.parquet(s"$root/packed.parquet")
       .filter(col("split") === "train")
       .join(Curation.curriculumOrder(s, d3), "doc_id")
-      .select("doc_id", "chunk_idx", "source", "n_tokens", "chunk_hash",
-        "bin_id", "bin_offset", "stage", "shard", "seq")
+      .select("doc_id", "chunk_idx", "source", "pack_shard", "n_tokens",
+        "chunk_hash", "bin_id", "bin_offset", "stage", "shard", "seq")
     ordered.write.mode("overwrite").parquet(s"$root/s7_order/ordered.parquet")
     stageRows :+= (("s7_order",
       s.read.parquet(s"$root/s7_order/ordered.parquet").count()))

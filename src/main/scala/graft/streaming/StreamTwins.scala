@@ -523,40 +523,50 @@ object StreamTwins {
 
   /** Streaming INCREMENTAL PACK add — the streaming face of
     * Curation.packDeltaBins (the 6th maintenance family's add): arriving
-    * train chunks lay out into fresh bins past each source's frozen
-    * high-water bin. Unlike the four per-row add twins (ivf/ivfpq/
+    * train chunks lay out into fresh bins past each (source, pack_shard)'s
+    * frozen high-water bin. Unlike the four per-row add twins (ivf/ivfpq/
     * binary/lex — pure maps given frozen model artifacts), the pack add
     * is RUNNING-SUM stateful: bin coordinates are physical offsets, so
-    * each source carries one Long of state (tokens packed so far in the
-    * delta region) across micro-batches — the flatMapGroupsWithState
-    * shape, constant state per key. The frozen per-source high-water map
-    * rides as a literal (source-domain metadata — the clusterAssign
+    * each (source, pack_shard) carries one Long of state (tokens packed so
+    * far in the delta region) across micro-batches — the
+    * flatMapGroupsWithState shape, constant state per key, and the key
+    * carries the batch layout's shard sub-key so one dominant source fans
+    * out over PackShards state partitions exactly like the batch window
+    * (VERDICT r12 item 1). The frozen high-water map rides as a literal
+    * ((source × PackShards)-domain metadata — the clusterAssign
     * model-artifact pattern). Within a micro-batch rows lay out in
     * (doc_id, chunk_idx) order (the batch layout order; iterator order is
-    * unspecified); cross-batch order comes from arrival, so drained
-    * output is bit-identical to the batch packDeltaBins on the same rows
-    * when batches arrive in layout order (StreamTwinsSpec drains two). */
-  case class ChunkIn(doc_id: Long, chunk_idx: Long, source: String, n_tokens: Long)
+    * unspecified), which costs an O(group) in-memory buffer+sort of the
+    * micro-batch's rows per key (ADVICE r12) — STATE stays one Long, but
+    * a skewed source in one huge micro-batch pays its group's buffer, so
+    * bound micro-batch size at the source (maxFilesPerTrigger /
+    * maxOffsetsPerTrigger) if sources can burst. Cross-batch order comes
+    * from arrival, so drained output is bit-identical to the batch
+    * packDeltaBins on the same rows when batches arrive in layout order
+    * (StreamTwinsSpec drains two). */
+  case class ChunkIn(doc_id: Long, chunk_idx: Long, source: String,
+                     pack_shard: Long, n_tokens: Long)
   case class PackState(tok_before: Long)
   case class PackedChunk(doc_id: Long, chunk_idx: Long, source: String,
-                         n_tokens: Long, bin_id: Long, bin_offset: Long)
+                         pack_shard: Long, n_tokens: Long,
+                         bin_id: Long, bin_offset: Long)
 
   def packAdd(chunks: org.apache.spark.sql.Dataset[ChunkIn],
-              hwBins: Map[String, Long]): org.apache.spark.sql.Dataset[PackedChunk] = {
+              hwBins: Map[(String, Long), Long]): org.apache.spark.sql.Dataset[PackedChunk] = {
     import chunks.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     val budget = graft.llm.Curation.PackBudget
-    chunks.groupByKey(_.source)
+    chunks.groupByKey(c => (c.source, c.pack_shard))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (src: String, it: Iterator[ChunkIn],
+        (key: (String, Long), it: Iterator[ChunkIn],
          state: org.apache.spark.sql.streaming.GroupState[PackState]) =>
-          // a source unseen in the frozen layout starts at bin 0
-          val startBin = hwBins.get(src).map(_ + 1L).getOrElse(0L)
+          // a (source, pack_shard) unseen in the frozen layout starts at bin 0
+          val startBin = hwBins.get(key).map(_ + 1L).getOrElse(0L)
           val sorted = it.toSeq.sortBy(c => (c.doc_id, c.chunk_idx))
           var tb = state.getOption.map(_.tok_before).getOrElse(0L)
           val out = sorted.map { c =>
-            val p = PackedChunk(c.doc_id, c.chunk_idx, src, c.n_tokens,
-              startBin + tb / budget, tb % budget)
+            val p = PackedChunk(c.doc_id, c.chunk_idx, key._1, key._2,
+              c.n_tokens, startBin + tb / budget, tb % budget)
             tb += c.n_tokens
             p
           }

@@ -40,14 +40,15 @@ class CurationPipelineSpec extends SparkSpec {
       "benchmark docs never reach the packed set")
     assert(out.filter(col("bin_offset") >= Curation.PackBudget).count() == 0)
     assert(out.filter(!col("split").isin("train", "val", "test")).count() == 0)
-    // bins are dense per source: max bin_id consistent with token mass
-    val tot = out.groupBy("source")
+    // bins are dense per (source, pack_shard): max bin_id consistent with
+    // the shard's token mass
+    val tot = out.groupBy("source", "pack_shard")
       .agg(sum("n_tokens").as("mass"), max("bin_id").as("maxbin"))
       .collect()
     tot.foreach { r =>
-      val bins = r.getLong(2) + 1
-      assert(bins <= r.getLong(1) / Curation.PackBudget + 1,
-        s"${r.getString(0)}: $bins bins for ${r.getLong(1)} tokens")
+      val bins = r.getLong(3) + 1
+      assert(bins <= r.getLong(2) / Curation.PackBudget + 1,
+        s"(${r.getString(0)}, shard ${r.getLong(1)}): $bins bins for ${r.getLong(2)} tokens")
     }
   }
 

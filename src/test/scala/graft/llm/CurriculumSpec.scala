@@ -55,7 +55,8 @@ class CurriculumSpec extends SparkSpec {
   test("curriculum ↔ pack integration: train-only rows, valid bins, inherited positions") {
     val rows = Curation.curriculumPack(spark, sf).collect()
     assert(rows.nonEmpty)
-    // (doc_id, chunk_idx, source, n_tokens, bin_id, bin_offset, stage, shard, seq)
+    // (doc_id, chunk_idx, source, n_tokens, bin_id, bin_offset, stage,
+    //  shard, seq, pack_shard)
     val train = Curation.splitAssign(spark, sf).collect()
       .filter(_.getString(2) == "train").map(_.getLong(0)).toSet
     assert(rows.map(_.getLong(0)).toSet.subsetOf(train),
@@ -73,10 +74,10 @@ class CurriculumSpec extends SparkSpec {
         s"chunk's (stage, shard, seq) diverges from its parent doc: $r")
     }
     // bin coordinates are FIXED at pack time over the full (deduped) chunk
-    // stream, BEFORE the train filter — so per (source, bin_id) the train
-    // chunks' offsets need not tile the bin, but they must never overlap:
-    // [offset, offset + n_tokens) intervals are disjoint within a bin
-    rows.groupBy(r => (r.getString(2), r.getLong(4))).foreach { case (k, rs) =>
+    // stream, BEFORE the train filter — so per (source, pack_shard,
+    // bin_id) the train chunks' offsets need not tile the bin, but they
+    // must never overlap: [offset, offset + n_tokens) disjoint within a bin
+    rows.groupBy(r => (r.getString(2), r.getLong(9), r.getLong(4))).foreach { case (k, rs) =>
       val iv = rs.map(r => (r.getLong(5), r.getLong(5) + r.getLong(3)))
         .sortBy(_._1).toSeq
       iv.zip(iv.drop(1)).foreach { case ((_, e1), (s2, _)) =>

@@ -28,12 +28,12 @@ class CurriculumUpsertSpec extends SparkSpec {
       .join(Curation.splitAssign(spark, sf).select("doc_id", "split"), "doc_id")
       .filter(col("split") === "train")
       .join(Curation.curriculumOrderOf(lgBase), "doc_id")
-      .select("doc_id", "chunk_idx", "source", "n_tokens",
+      .select("doc_id", "chunk_idx", "source", "pack_shard", "n_tokens",
         "bin_id", "bin_offset", "stage", "shard", "seq")
       .orderBy("doc_id", "chunk_idx")
       .collect()
     val got = packed.filter(col("is_new") === 0L)
-      .select("doc_id", "chunk_idx", "source", "n_tokens",
+      .select("doc_id", "chunk_idx", "source", "pack_shard", "n_tokens",
         "bin_id", "bin_offset", "stage", "shard", "seq")
       .orderBy("doc_id", "chunk_idx")
       .collect()
@@ -41,25 +41,33 @@ class CurriculumUpsertSpec extends SparkSpec {
       "a late add must not move one byte (or one curriculum slot) of the frozen base artifact")
   }
 
-  test("late chunks lay out into fresh bins only, past each source's high-water bin") {
+  test("late chunks lay out into fresh bins only, past each (source, pack_shard)'s high-water bin") {
     val base = packed.filter(col("is_new") === 0L)
-      .groupBy("source").agg(max("bin_id").as("hw"))
+      .groupBy("source", "pack_shard").agg(max("bin_id").as("hw"))
     val delta = packed.filter(col("is_new") === 1L)
-      .groupBy("source").agg(min("bin_id").as("lo"))
-    val joined = delta.join(base, Seq("source"), "left").collect()
+      .groupBy("source", "pack_shard").agg(min("bin_id").as("lo"))
+    val joined = delta.join(base, Seq("source", "pack_shard"), "left").collect()
     assert(joined.nonEmpty, "fixture must produce late train chunks")
     joined.foreach { r =>
       val lo = r.getLong(r.fieldIndex("lo"))
       val hw = if (r.isNullAt(r.fieldIndex("hw"))) -1L else r.getLong(r.fieldIndex("hw"))
       assert(lo > hw,
-        s"source ${r.getString(0)}: delta bin $lo must start past the frozen high-water bin $hw")
+        s"(${r.getString(0)}, shard ${r.getLong(1)}): delta bin $lo must start past the frozen high-water bin $hw")
     }
+    // and the sharding is LIVE: the layout uses more than one shard per
+    // source (the VERDICT r12 posture gate — one dominant source must
+    // never serialize into a single window partition)
+    val shardsPerSource = packed.groupBy("source")
+      .agg(countDistinct("pack_shard").as("n_shards")).collect()
+    assert(shardsPerSource.forall(_.getLong(1) > 1L),
+      "every fixture source must fan out over >1 pack shard")
     // and every delta run starts at offset 0 of its first fresh bin:
     // no delta row ever shares a bin with a base row
     val shared = packed.filter(col("is_new") === 0L)
-      .select("source", "bin_id").distinct()
+      .select("source", "pack_shard", "bin_id").distinct()
       .join(packed.filter(col("is_new") === 1L)
-        .select("source", "bin_id").distinct(), Seq("source", "bin_id"))
+        .select("source", "pack_shard", "bin_id").distinct(),
+        Seq("source", "pack_shard", "bin_id"))
       .count()
     assert(shared == 0L, "a frozen bin must never receive late bytes")
   }
@@ -75,7 +83,8 @@ class CurriculumUpsertSpec extends SparkSpec {
       .filter(col("rn") === 1).drop("rn")
     val maxDoc = uniq.agg(max("doc_id")).collect()(0).getLong(0) + 1L
     val (c1, c2) = (maxDoc / 3, 2L * maxDoc / 3)
-    val cols = Seq("doc_id", "chunk_idx", "source", "n_tokens", "bin_id", "bin_offset")
+    val cols = Seq("doc_id", "chunk_idx", "source", "pack_shard", "n_tokens",
+      "bin_id", "bin_offset")
     def sel(df: org.apache.spark.sql.DataFrame) =
       df.select(cols.map(col): _*).orderBy("doc_id", "chunk_idx").collect()
     val base = Curation.packBins(uniq.filter(col("doc_id") < c1))
@@ -86,23 +95,24 @@ class CurriculumUpsertSpec extends SparkSpec {
     val frozen1 = base.unionByName(d1)
     val d2 = Curation.packDeltaBins(uniq.filter(col("doc_id") >= c2), frozen1)
       .select(cols.map(col): _*)
-    // the add-2 layout starts past base ∪ delta1's high water, per source
-    val hw1 = frozen1.groupBy("source").agg(max("bin_id").as("hw"))
-    val lo2 = d2.groupBy("source").agg(min("bin_id").as("lo"))
-    val chained = lo2.join(hw1, Seq("source"), "left").collect()
+    // the add-2 layout starts past base ∪ delta1's high water,
+    // per (source, pack_shard)
+    val hw1 = frozen1.groupBy("source", "pack_shard").agg(max("bin_id").as("hw"))
+    val lo2 = d2.groupBy("source", "pack_shard").agg(min("bin_id").as("lo"))
+    val chained = lo2.join(hw1, Seq("source", "pack_shard"), "left").collect()
     assert(chained.nonEmpty)
     chained.foreach { r =>
       val hw = if (r.isNullAt(r.fieldIndex("hw"))) -1L else r.getLong(r.fieldIndex("hw"))
       assert(r.getLong(r.fieldIndex("lo")) > hw)
     }
-    // chain-wide per-source bin DISJOINTNESS: no add ever writes into a
-    // bin any earlier layout owns (base ⊥ d1 ⊥ d2) — the byte-immutability
-    // invariant k adds must preserve
+    // chain-wide per-(source, pack_shard) bin DISJOINTNESS: no add ever
+    // writes into a bin any earlier layout owns (base ⊥ d1 ⊥ d2) — the
+    // byte-immutability invariant k adds must preserve
     val segs = Seq("base" -> base, "d1" -> d1, "d2" -> d2)
     for (i <- segs.indices; j <- segs.indices if i < j) {
-      val shared = segs(i)._2.select("source", "bin_id").distinct()
-        .join(segs(j)._2.select("source", "bin_id").distinct(),
-          Seq("source", "bin_id")).count()
+      val shared = segs(i)._2.select("source", "pack_shard", "bin_id").distinct()
+        .join(segs(j)._2.select("source", "pack_shard", "bin_id").distinct(),
+          Seq("source", "pack_shard", "bin_id")).count()
       assert(shared == 0L,
         s"${segs(i)._1} and ${segs(j)._1} must own disjoint bins, shared $shared")
     }

@@ -198,9 +198,11 @@ class PlanSpec extends SparkSpec {
     val pa = plan("q_event_attribution")
     assert(pa.contains("hashpartitioning(user_id"), pa)
     assert(!pa.contains("SinglePartition"), pa)
-    // chunk packing windows by the shard key, like q_pack_sequences
+    // chunk packing windows by (source, pack_shard) — the shard sub-key
+    // keeps a dominant source from serializing into one task (r13)
     val pp = plan("q_chunk_pack")
     assert(pp.contains("hashpartitioning(source"), pp)
+    assert(pp.contains("pack_shard"), pp)
     assert(!pp.contains("SinglePartition"), pp)
     // tf-idf per-doc top-3 is a WindowGroupLimit, not a global sort
     val pt = plan("q_text_tfidf")

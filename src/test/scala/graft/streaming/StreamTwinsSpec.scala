@@ -763,7 +763,7 @@ class StreamTwinsSpec extends SparkSpec {
     assert(got.sameElements(want))
   }
 
-  test("streaming pack add carries per-source offsets and matches the batch delta layout") {
+  test("streaming pack add carries per-(source, pack_shard) offsets and matches the batch delta layout") {
     val s = spark
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
@@ -775,27 +775,33 @@ class StreamTwinsSpec extends SparkSpec {
     val uniq = graft.llm.Curation.chunkRows(s, sf, Seq("source"))
       .withColumn("rn", row_number().over(fw))
       .filter(col("rn") === 1).drop("rn")
-    val cols = Seq("doc_id", "chunk_idx", "source", "n_tokens", "bin_id", "bin_offset")
+    val cols = Seq("doc_id", "chunk_idx", "source", "pack_shard", "n_tokens",
+      "bin_id", "bin_offset")
     val pBase = graft.llm.Curation.packBins(uniq.filter(col("doc_id") < cut))
-    val want = graft.llm.Curation
-      .packDeltaBins(uniq.filter(col("doc_id") >= cut), pBase)
+    val delta = graft.llm.Curation
+      .packDeltaBins(uniq.filter(col("doc_id") >= cut), pBase).cache()
+    val want = delta
       .select(cols.map(col): _*).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
-        r.getLong(4), r.getLong(5))).sorted
+        r.getLong(4), r.getLong(5), r.getLong(6))).sorted
     assert(want.nonEmpty)
-    val hw = pBase.groupBy("source").agg(max("bin_id").as("hw")).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val hw = pBase.groupBy("source", "pack_shard")
+      .agg(max("bin_id").as("hw")).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
     // stream face: the delta chunks arrive in layout order across TWO
-    // micro-batches — the per-source running offset must survive the
-    // batch boundary
-    val rows = uniq.filter(col("doc_id") >= cut)
-      .select("doc_id", "chunk_idx", "source", "n_tokens").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    // micro-batches — the per-(source, pack_shard) running offset must
+    // survive the batch boundary. The stream carries the shard id the
+    // batch layout computed (the chunker/sharder runs upstream of the
+    // stateful pack, exactly like the batch DAG).
+    val rows = delta
+      .select("doc_id", "chunk_idx", "source", "pack_shard", "n_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4)))
       .sortBy(t => (t._1, t._2))
     val mid = rows(rows.length / 2)._1
-    val mem = MemoryStream[(Long, Long, String, Long)]
+    val mem = MemoryStream[(Long, Long, String, Long, Long)]
     val q = StreamTwins.packAdd(
-        mem.toDF().toDF("doc_id", "chunk_idx", "source", "n_tokens")
+        mem.toDF().toDF("doc_id", "chunk_idx", "source", "pack_shard", "n_tokens")
           .as[StreamTwins.ChunkIn], hw)
       .writeStream.format("memory").queryName("packadd_out")
       .outputMode("append").start()
@@ -805,7 +811,8 @@ class StreamTwinsSpec extends SparkSpec {
     q.processAllAvailable(); q.stop()
     val got = s.table("packadd_out").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
-        r.getLong(4), r.getLong(5))).sorted
+        r.getLong(4), r.getLong(5), r.getLong(6))).sorted
+    delta.unpersist()
     assert(got.sameElements(want),
       "drained pack add must equal the batch delta layout bit-for-bit")
   }
