@@ -215,4 +215,10 @@ object BinaryMaintenance {
       .select("segment", "n", "mean_adev", "bit_rate")
       .orderBy("segment")
   }
+
+  /** Serve-version salt for the published binary freshness ranking
+    * (VERDICT r12 item 3) — the base serve's salt plus the maintenance
+    * cut. */
+  private[llm] def upsertServeV: String = s"${Binary.serveV}|up|${IvfMaintenance.BaseFrac}"
+
 }

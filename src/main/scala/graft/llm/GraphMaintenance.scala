@@ -283,4 +283,11 @@ object GraphMaintenance {
         col("n_id"), col("cos"))
       .orderBy("vec_id", "rnk")
   }
+
+  /** Serve-version salt for the published graph freshness ranking
+    * (VERDICT r12 item 3) — the base serve's salt plus the maintenance
+    * cut. */
+  private[llm] def upsertServeV: String =
+    s"${Similarity.graphServeV}|up|${IvfMaintenance.BaseFrac}"
+
 }

@@ -220,4 +220,9 @@ object IvfMaintenance {
       .select("q_id", "n_id", "cos", "rank", "is_new")
       .orderBy("q_id", "rank")
   }
+
+  /** Serve-version salt for the published ivf freshness ranking (VERDICT
+    * r12 item 3) — the base serve's salt plus the maintenance cut. */
+  private[llm] def upsertServeV: String = s"${Similarity.ivfServeV}|up|$BaseFrac"
+
 }

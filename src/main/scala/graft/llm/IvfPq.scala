@@ -528,4 +528,14 @@ object IvfPq {
         col("n_hit").cast("double") / col("n_exact").cast("double"))
       .orderBy("q_id")
   }
+
+  /** Serve-version salts for the published ivfpq rankings (VERDICT r12
+    * item 3): the composite's coarse + book + shortlist constants ride in
+    * the key — see Similarity's salts for the contract. */
+  private[llm] def bruteL2ServeV: String = "exactl2v1|q8|k10"
+  private[llm] def rerankServeV: String =
+    s"ivfpq1|${Similarity.Cells}|${Similarity.NProbe}|$M|$SubDim|$K|$Iters|$Shortlist|$S"
+  private[llm] def upsertRerankServeV: String =
+    s"$rerankServeV|up|${IvfMaintenance.BaseFrac}"
+
 }

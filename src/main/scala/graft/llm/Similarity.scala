@@ -1199,4 +1199,17 @@ object Similarity {
         col("n_hit").cast("double") / col("n_exact").cast("double"))
       .orderBy("q_id")
   }
+
+  /** Serve-version salts for the PUBLISHED-rankings tier (VERDICT r12
+    * item 3 / ADVICE r12): each serve's tuning constants ride in its
+    * published-ranking key and are owned HERE, next to the serve code —
+    * changing a constant re-keys every ranking that depends on it
+    * mechanically (the ivfup_cents pattern), with no Rankings.LayoutV
+    * bump to remember. A pure-LOGIC change to a serve (constants
+    * untouched) bumps that serve's leading literal in the same file. */
+  private[llm] def bruteServeV: String = "exactcos1|q8|k10"
+  private[llm] def ivfServeV: String =
+    s"ivf1|$NProbe|$Cells|$TrainIters|$MeanScale"
+  private[llm] def graphServeV: String =
+    s"graph1|$GraphK|$BeamWidth|$SearchIters|$DescentK|$DescentIters"
 }
