@@ -178,6 +178,7 @@ object SparkEntry {
     // the freshness rank audit: six-family MRR/nDCG@10 over the
     // upsert-aware serves vs the full-corpus exact sides (llm/RankEval)
     "q_sim_rank_quality_upsert" -> (graft.llm.RankEval.rankQualityUpsert _),
+    "q_sim_rank_diff"      -> (graft.llm.RankEval.rankDiff _),
     "q_retrieve_sweep"     -> (graft.llm.Fusion.hybridSweep _),
     "q_curriculum_order"   -> (graft.llm.Curation.curriculumOrder _),
     // the curriculum ↔ pack integration: (stage, shard, seq, chunk_idx) →
@@ -1581,6 +1582,26 @@ object SparkEntry {
                  ORDER BY rrf DESC, n_id) AS BIGINT) AS "rank" FROM fs)
         SELECT q_id, n_id, rrf, "rank" FROM fr
         WHERE "rank" <= 10 ORDER BY q_id, "rank""""
+
+  /** One family's per-query top-10 CHANGE-FEED rows for the
+    * q_sim_rank_diff twin (r13): base vs upsert serve full-outer-joined
+    * on (q_id, n_id), folded to exact integer churn counts — kept /
+    * entered / dropped members, summed |rank| displacement of kept ones,
+    * and whether rank 1 changed. */
+  private def rankDiffSql(fam: String, baseSql: String, upsSql: String): String =
+    s"""SELECT '$fam' AS family, q_id,
+           CAST(COUNT(CASE WHEN r_base IS NOT NULL AND r_ups IS NOT NULL THEN 1 END) AS BIGINT) AS n_common,
+           CAST(COUNT(CASE WHEN r_base IS NULL THEN 1 END) AS BIGINT) AS n_new,
+           CAST(COUNT(CASE WHEN r_ups IS NULL THEN 1 END) AS BIGINT) AS n_dropped,
+           CAST(COALESCE(SUM(CASE WHEN r_base IS NOT NULL AND r_ups IS NOT NULL
+             THEN abs(r_base - r_ups) ELSE 0 END), 0) AS BIGINT) AS displacement,
+           CAST(MAX(CASE WHEN r_ups = 1 AND (r_base IS NULL OR r_base <> 1)
+             THEN 1 ELSE 0 END) AS BIGINT) AS top1_changed
+        FROM (SELECT COALESCE(b.q_id, u.q_id) AS q_id, b.r_base, u.r_ups
+              FROM (SELECT q_id, n_id, "rank" AS r_base FROM ($baseSql)) b
+              FULL OUTER JOIN (SELECT q_id, n_id, "rank" AS r_ups FROM ($upsSql)) u
+              ON b.q_id = u.q_id AND b.n_id = u.n_id)
+        GROUP BY q_id"""
 
   /** One family's per-query rank-metric rows for the q_sim_rank_quality
     * twin: integer rel_r pivot + first-hit rank, grouped over the served
@@ -4037,6 +4058,18 @@ object SparkEntry {
           SELECT family, q_id, first_hit, rr, dcg,
                  dcg / CAST(${graft.llm.RankEval.IdcgLit} AS DOUBLE) AS ndcg
           FROM md ORDER BY family, q_id""",
+    // the serve-version change feed (r13): per (family, q_id) top-10
+    // churn between the frozen-base and freshness serves — all exact
+    // integer counts/rank sums, the six family twins composed pairwise
+    "q_sim_rank_diff" ->
+      s"""SELECT * FROM (
+          ${rankDiffSql("ivf", ivfTrainedSql, ivfUpsertSql)}
+          UNION ALL ${rankDiffSql("graph", graphSearchSql, graphUpsertSql)}
+          UNION ALL ${rankDiffSql("binary", binaryTopkSql, binaryUpsertSql)}
+          UNION ALL ${rankDiffSql("ivfpq", ivfPqRerankSql, ivfPqUpsertRerankSql)}
+          UNION ALL ${rankDiffSql("fused", fusedSql, fusedUpsertSql)}
+          UNION ALL ${rankDiffSql("hybrid", hybridTopkSql, hybridUpsertSql)})
+          ORDER BY family, q_id""",
     // curriculum ordering: stage quartiles from the logit histogram (ceil
     // via (a + n - 1) // n — BIGINTs in both engines), content-hash shard
     // + within-(stage, shard) row_number

@@ -184,4 +184,52 @@ object RankEval {
     rows.toDF("family", "q_id", "first_hit", "rr", "dcg", "ndcg")
       .orderBy("family", "q_id")
   }
+
+  /** q_sim_rank_diff: the serve-version CHANGE FEED (r13, VERDICT r12
+    * item 6) — which queries' top-10s changed between the frozen-base
+    * index version and the freshness (base ∪ delta) serve, per family.
+    * This is the regression diff a production eval loop runs between
+    * index versions (publish → audit → DIFF → retrain trigger): a query
+    * whose top-10 churned hard after an ingest batch is where quality
+    * moved, and the drift monitors say nothing about WHICH queries.
+    * Per (family, q_id): members kept/entered/dropped between the two
+    * top-10s, the summed |rank| displacement of kept members, and whether
+    * the TOP result changed — all exact integers (counts and rank sums),
+    * so the oracle twin is bit-stable with no float anywhere.
+    *
+    * Scale shape: every input is a PUBLISHED Q·10 ranking (or the RRF /
+    * two-tower fold over published rankings — the Fusion posture), so the
+    * whole feed is a metadata join: 6 families × Q queries × ≤10 rows a
+    * side, at any corpus size. */
+  def rankDiff(s: SparkSession, dir: String): DataFrame = {
+    def diffOf(fam: String, base: DataFrame, ups: DataFrame): DataFrame = {
+      val b = base.select(col("q_id"), col("n_id"), col("rank").as("r_base"))
+      val u = ups.select(col("q_id"), col("n_id"), col("rank").as("r_ups"))
+      b.join(u, Seq("q_id", "n_id"), "full_outer")
+        .groupBy("q_id")
+        .agg(
+          count(when(col("r_base").isNotNull && col("r_ups").isNotNull, 1))
+            .as("n_common"),
+          count(when(col("r_base").isNull, 1)).as("n_new"),
+          count(when(col("r_ups").isNull, 1)).as("n_dropped"),
+          sum(when(col("r_base").isNotNull && col("r_ups").isNotNull,
+            abs(col("r_base") - col("r_ups"))).otherwise(lit(0L)))
+            .as("displacement"),
+          max(when(col("r_ups") === 1L &&
+            coalesce(col("r_base"), lit(0L)) =!= 1L, 1L).otherwise(0L))
+            .as("top1_changed"))
+        .withColumn("family", lit(fam))
+    }
+    Seq(
+      diffOf("ivf", Rankings.ivf(s, dir), Rankings.ivfUpsert(s, dir)),
+      diffOf("graph", Rankings.graph(s, dir), Rankings.graphUpsert(s, dir)),
+      diffOf("binary", Rankings.binary(s, dir), Rankings.binaryUpsert(s, dir)),
+      diffOf("ivfpq", Rankings.ivfpq(s, dir), Rankings.ivfpqUpsert(s, dir)),
+      diffOf("fused", Fusion.fusedTopK(s, dir), Fusion.fusedUpsertTopK(s, dir)),
+      diffOf("hybrid", Fusion.hybridTopK(s, dir), Fusion.hybridUpsertTopK(s, dir)))
+      .reduce(_ unionByName _)
+      .select("family", "q_id", "n_common", "n_new", "n_dropped",
+        "displacement", "top1_changed")
+      .orderBy("family", "q_id")
+  }
 }

@@ -114,4 +114,28 @@ class RankEvalSpec extends SparkSpec {
       .map { case (f, rs) => f -> rs.map(_.getDouble(5)).sum / rs.length }
     info(s"mean upsert ndcg@10 by family: ${meanNdcg.toSeq.sortBy(_._1).mkString(", ")}")
   }
+
+  test("rank diff: 6 families × 8 queries, conserved counts, late batch churns somewhere") {
+    // (family, q_id, n_common, n_new, n_dropped, displacement, top1_changed)
+    val rows = RankEval.rankDiff(spark, sf).collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSet.size == rows.length)
+    assert(rows.map(_.getString(0)).toSet ==
+      Set("ivf", "graph", "binary", "ivfpq", "fused", "hybrid"))
+    assert(rows.length == 6 * Fusion.HybridQueries)
+    rows.foreach { r =>
+      val (common, nw, dropped) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      // both serves are top-10 frames: kept + entered and kept + dropped
+      // each reconstruct one side's size
+      assert(common + nw <= 10 && common + dropped <= 10, r.toString)
+      assert(r.getLong(5) >= 0L, s"negative displacement: $r")
+      assert(r.getLong(6) == 0L || r.getLong(6) == 1L, r.toString)
+      // a changed top-1 implies SOME churn is visible in the same row
+      if (r.getLong(6) == 1L)
+        assert(nw > 0L || r.getLong(5) > 0L, s"top1 changed but no churn: $r")
+    }
+    // the late batch must be VISIBLE: at least one family/query pair
+    // admits a new member (the fixture's delta carries new near-neighbors)
+    assert(rows.exists(_.getLong(3) > 0L),
+      "no family saw any top-10 change from the late batch")
+  }
 }
