@@ -440,8 +440,15 @@ object ScaleBench {
       val maxDoc0 = dAll.agg(max("doc_id")).collect()(0).getLong(0) + 1L
       for (m <- mults) {
         val dirM = s"${sys.props("java.io.tmpdir")}/graft_scalebench/pdocs_$m"
+        // copies are made textually DISTINCT (a copy tag appended to the
+        // text): verbatim replication would let the first-wins chunk
+        // dedup collapse every copy onto copy 0 and the layout would stop
+        // growing with m — the realistic growth direction for a pack is
+        // more distinct chunks, not more duplicates (the dedup family
+        // already owns the duplicate-heavy curve)
         (0 until m).map(i =>
-          dAll.withColumn("doc_id", col("doc_id") + lit(i * maxDoc0)))
+          dAll.withColumn("doc_id", col("doc_id") + lit(i * maxDoc0))
+            .withColumn("text", concat_ws(" ", col("text"), lit(s"copytag$i"))))
           .reduce(_ unionByName _)
           .write.mode("overwrite").parquet(s"$dirM/documents.parquet")
         val nD = spark.read.parquet(s"$dirM/documents.parquet").count()
@@ -449,8 +456,19 @@ object ScaleBench {
         val fan = graft.llm.Curation.chunkPack(spark, dirM)
           .agg(countDistinct(col("source"), col("pack_shard")).as("parts"),
             countDistinct(col("source")).as("srcs")).collect()(0)
-        println(f"[scalebench] pack   m=$m%-3d docs=$nD%-8d chunk_pack=$tPack%.2f s window_parts=${fan.getLong(0)} sources=${fan.getLong(1)} parts_per_source=${fan.getLong(0).toDouble / fan.getLong(1)}%.1f")
+        // lifecycle units (r13): the published-segment serve (rep 1 pays
+        // the {base, delta} snapshot publish, the median is the file-level
+        // union read — near-flat per row) and the delta-fold compaction
+        // (one partitioned rewrite of bin rows behind a pointer swap —
+        // LINEAR in chunks, off the serving path)
+        val tServe = med(graft.llm.PackMaintenance.serve(spark, dirM).count())
+        val tComp = med { graft.llm.PackMaintenance.compact(spark, dirM); 1L }
+        println(f"[scalebench] pack   m=$m%-3d docs=$nD%-8d chunk_pack=$tPack%.2f s serve=$tServe%.2f s compact=$tComp%.2f s window_parts=${fan.getLong(0)} sources=${fan.getLong(1)} parts_per_source=${fan.getLong(0).toDouble / fan.getLong(1)}%.1f")
+        // resolve the pack root BEFORE dropping the fixture (the key reads
+        // the fixture's file stats), then drop both
+        val packRootM = graft.llm.PackMaintenance.packRoot(spark, dirM)
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dirM))
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(packRootM))
       }
     }
 

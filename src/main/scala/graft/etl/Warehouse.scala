@@ -367,6 +367,17 @@ object Warehouse {
       val v = f"v_${System.currentTimeMillis()}%013d_$nonce"
       val w = df.write.mode(SaveMode.Overwrite)
       partCol.fold(w)(w.partitionBy(_)).parquet(s"$root/$name/$v")
+      // An EMPTY member written hive-partitioned leaves only _SUCCESS —
+      // no parquet footer, so readSnapshotMember would throw
+      // UNABLE_TO_INFER_SCHEMA. A delta member CAN legitimately be empty
+      // (an ingest batch that dedups away entirely), so re-write it
+      // unpartitioned: one schema-carrying empty part file, same rows
+      // (none), and downstream partition pruning has nothing to prune.
+      val written = fs(spark, root).listStatus(new Path(s"$root/$name/$v"))
+      if (partCol.isDefined && !written.exists(_.getPath.getName.startsWith("part-")) &&
+          !written.exists(_.isDirectory))
+        df.limit(0).coalesce(1).write.mode(SaveMode.Overwrite)
+          .parquet(s"$root/$name/$v")
       name -> v
     }
     val content = versions.sortBy(_._1)

@@ -79,6 +79,26 @@ class PackCompactionSpec extends SparkSpec {
     resetRoot()
   }
 
+  test("an empty delta member round-trips through the snapshot commit (schema preserved)") {
+    // an ingest batch can legitimately dedup away entirely — the commit
+    // must still produce a READABLE empty member (a hive-partitioned
+    // empty write leaves no parquet footer; Warehouse re-writes it
+    // unpartitioned), or the first serve after such a batch throws
+    val root = java.nio.file.Files.createTempDirectory("pack_empty").toString
+    val df = spark.range(5).selectExpr("id AS doc_id",
+      "CAST(id % 2 AS STRING) AS source", "id AS bin_id")
+    val snap = graft.etl.Warehouse.publishSnapshot(spark, root,
+      Seq("base" -> df, "delta" -> df.filter(col("doc_id") < 0)), Some("source"))
+    val back = graft.etl.Warehouse.readSnapshotMember(spark, root, "delta", snap("delta"))
+    assert(back.count() == 0L)
+    assert(back.columns.toSet == df.columns.toSet,
+      "empty member must keep its schema")
+    val b = graft.etl.Warehouse.readSnapshotMember(spark, root, "base", snap("base"))
+    assert(b.unionByName(back.select(b.columns.map(col): _*)).count() == 5L,
+      "the base ∪ empty-delta serve union must still resolve")
+    rm(new java.io.File(root))
+  }
+
   test("every resolved snapshot is complete: reader race sees all bin rows, once") {
     resetRoot()
     val n = PackMaintenance.serve(spark, sf).count() // initial {base, delta}
