@@ -36,6 +36,8 @@ class ParallelismInvarianceSpec extends SparkSpec {
     "q_sim_rank_quality", // fixed-order DCG folds over integer rel pivots (r10)
     "q_curriculum_order", // histogram stage cuts + hash-ordered windows (r10)
     "q_curriculum_pack",  // + chunk dedup windows and bin running sums (r11)
+    "q_curriculum_pack_upsert", // + per-(source, pack_shard) delta chains (r13)
+    "q_sim_rank_diff",    // churn counts over published-ranking joins (r13)
     "q_retrieve_sweep"))  // driver hit-count folds over Q·10 serves (r10)
     test(s"$q is byte-identical at shuffle.partitions=197") {
       val fn = SparkEntry.queries(q)
