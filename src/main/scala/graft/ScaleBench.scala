@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
   *
   * Usage: runMain graft.ScaleBench [sfDir] [mults-csv] [reps] [families-csv]
   * Families: kmeans graph dedup events embed reports lex bpe curriculum
-  * (default all).
+  * pack (default all).
   */
 object ScaleBench {
   def main(args: Array[String]): Unit = {
@@ -440,15 +440,18 @@ object ScaleBench {
       val maxDoc0 = dAll.agg(max("doc_id")).collect()(0).getLong(0) + 1L
       for (m <- mults) {
         val dirM = s"${sys.props("java.io.tmpdir")}/graft_scalebench/pdocs_$m"
-        // copies are made textually DISTINCT (a copy tag appended to the
-        // text): verbatim replication would let the first-wins chunk
-        // dedup collapse every copy onto copy 0 and the layout would stop
+        // copies are made textually DISTINCT (a copy tag PREPENDED to the
+        // text, shifting every chunk window so ALL of a copy's chunks
+        // differ — an appended tag would only differentiate each doc's
+        // final chunk and interior chunks would still dedup away):
+        // verbatim replication would let the first-wins chunk dedup
+        // collapse every copy onto copy 0 and the layout would stop
         // growing with m — the realistic growth direction for a pack is
         // more distinct chunks, not more duplicates (the dedup family
         // already owns the duplicate-heavy curve)
         (0 until m).map(i =>
           dAll.withColumn("doc_id", col("doc_id") + lit(i * maxDoc0))
-            .withColumn("text", concat_ws(" ", col("text"), lit(s"copytag$i"))))
+            .withColumn("text", concat_ws(" ", lit(s"copytag$i"), col("text"))))
           .reduce(_ unionByName _)
           .write.mode("overwrite").parquet(s"$dirM/documents.parquet")
         val nD = spark.read.parquet(s"$dirM/documents.parquet").count()

@@ -1027,12 +1027,7 @@ object Curation {
     * offsets, fixed at pack time — a later split change must not move
     * bytes). */
   def curriculumPack(s: SparkSession, dir: String): DataFrame = {
-    val firstWins = org.apache.spark.sql.expressions.Window
-      .partitionBy("chunk_hash").orderBy("doc_id", "chunk_idx")
-    val uniq = chunkRows(s, dir, Seq("source"))
-      .withColumn("rn", row_number().over(firstWins))
-      .filter(col("rn") === 1).drop("rn")
-    packBins(uniq)
+    packBins(uniqChunks(s, dir))
       .join(splitAssign(s, dir).select("doc_id", "split"), "doc_id")
       .filter(col("split") === "train")
       .join(curriculumOrder(s, dir), "doc_id")
@@ -1070,19 +1065,13 @@ object Curation {
     * bins are a (source × PackShards)-domain aggregate — broadcast. */
   def curriculumPackUpsert(s: SparkSession, dir: String): DataFrame = {
     val cut = LexMaintenance.baseCut(s, dir)
-    val firstWins = org.apache.spark.sql.expressions.Window
-      .partitionBy("chunk_hash").orderBy("doc_id", "chunk_idx")
-    val uniq = chunkRows(s, dir, Seq("source"))
-      .withColumn("rn", row_number().over(firstWins))
-      .filter(col("rn") === 1).drop("rn")
-    val packCols = Seq("doc_id", "chunk_idx", "source", "pack_shard",
-      "n_tokens", "bin_id", "bin_offset", "is_new")
+    val uniq = uniqChunks(s, dir)
     val pBase = packBins(uniq.filter(col("doc_id") < cut))
       .withColumn("is_new", lit(0L))
-      .select(packCols.map(col): _*)
+      .select(PackCols.map(col): _*)
     val pDelta = packDeltaBins(uniq.filter(col("doc_id") >= cut), pBase)
       .withColumn("is_new", lit(1L))
-      .select(packCols.map(col): _*)
+      .select(PackCols.map(col): _*)
     val lg = logitRows(s, dir).select("doc_id", "logit_milli")
     val crr = curriculumOrderOf(lg.filter(col("doc_id") < cut))
       .unionByName(curriculumOrderOf(lg.filter(col("doc_id") >= cut))
@@ -1095,6 +1084,23 @@ object Curation {
         "bin_id", "bin_offset", "stage", "shard", "seq", "is_new", "pack_shard")
       .orderBy("stage", "shard", "seq", "chunk_idx")
   }
+
+  /** The ONE first-wins chunk-dedup definition (smallest doc_id, then
+    * position, wins per chunk_hash) — shared by q_curriculum_pack, the
+    * upsert declaration, CurationPipeline's stage 4, and the published
+    * PackMaintenance artifact, so the oracle-checked semantics and every
+    * materialized layout derive from the same stream. */
+  private[graft] def uniqChunks(s: SparkSession, dir: String): DataFrame = {
+    val firstWins = org.apache.spark.sql.expressions.Window
+      .partitionBy("chunk_hash").orderBy("doc_id", "chunk_idx")
+    chunkRows(s, dir, Seq("source"))
+      .withColumn("rn", row_number().over(firstWins))
+      .filter(col("rn") === 1).drop("rn")
+  }
+
+  /** The pack artifact's column contract — one list, every producer. */
+  private[graft] val PackCols = Seq("doc_id", "chunk_idx", "source",
+    "pack_shard", "n_tokens", "bin_id", "bin_offset", "is_new")
 
   /** Lay out a DELTA chunk stream into FRESH bins past each (source,
     * pack_shard)'s high-water bin of an already-frozen layout — the

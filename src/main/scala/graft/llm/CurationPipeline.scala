@@ -1,7 +1,6 @@
 package graft.llm
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
 
@@ -81,11 +80,9 @@ class CurationPipeline(s: SparkSession, srcDir: String, root: String) {
     stageRows :+= (("s3b_tokenizer",
       s.read.parquet(s"$root/s3b_tokenizer/merges.parquet").count()))
     // 4. chunk, then dedup AT CHUNK GRANULARITY: the first occurrence
-    // (smallest doc_id, then position) of each chunk_hash survives
-    val firstWins = Window.partitionBy("chunk_hash").orderBy("doc_id", "chunk_idx")
-    val uniq = Curation.chunkRows(s, d3, Seq("source"))
-      .withColumn("rn", row_number().over(firstWins))
-      .filter(col("rn") === 1).drop("rn")
+    // (smallest doc_id, then position) of each chunk_hash survives — the
+    // ONE shared definition (Curation.uniqChunks)
+    val uniq = Curation.uniqChunks(s, d3)
     // 5. pack per source (the one shared bin-math definition);
     // 6. split rides the parent doc's content key
     val out = Curation.packBins(uniq)

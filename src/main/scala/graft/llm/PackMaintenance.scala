@@ -2,7 +2,6 @@ package graft.llm
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** PACK-ARTIFACT MAINTENANCE — the lifecycle half the 6th family gained in
   * r12's add (`q_curriculum_pack_upsert`) but was still missing (VERDICT
@@ -44,47 +43,47 @@ object PackMaintenance {
     s"${sys.props("java.io.tmpdir")}/graft_pack/up_bins_$key"
   }
 
-  private val PackCols = Seq("doc_id", "chunk_idx", "source", "pack_shard",
-    "n_tokens", "bin_id", "bin_offset", "is_new")
-
-  /** The shared first-wins chunk stream (the q_curriculum_pack_upsert
-    * stages — one definition, so artifact and declaration cannot drift). */
-  private def uniqChunks(s: SparkSession, dir: String): DataFrame = {
-    val firstWins = Window.partitionBy("chunk_hash").orderBy("doc_id", "chunk_idx")
-    Curation.chunkRows(s, dir, Seq("source"))
-      .withColumn("rn", row_number().over(firstWins))
-      .filter(col("rn") === 1).drop("rn")
-  }
-
   /** The current snapshot (publishing the initial {base, delta} pair on
     * first call — one atomic commit covering both members, the
-    * IvfMaintenance.currentLists shape). */
+    * IvfMaintenance.currentLists shape). The chunk stream and column
+    * contract are the SHARED definitions (Curation.uniqChunks /
+    * Curation.PackCols), so artifact and declaration cannot drift. */
   private[graft] def currentSegments(s: SparkSession, dir: String): Map[String, String] = {
     val root = packRoot(s, dir)
     graft.etl.Warehouse.readSnapshot(s, root).getOrElse {
       val cut = LexMaintenance.baseCut(s, dir)
-      val uniq = uniqChunks(s, dir)
+      val uniq = Curation.uniqChunks(s, dir)
       val base = Curation.packBins(uniq.filter(col("doc_id") < cut))
         .withColumn("is_new", lit(0L))
-        .select(PackCols.map(col): _*)
+        .select(Curation.PackCols.map(col): _*)
       val delta = Curation.packDeltaBins(uniq.filter(col("doc_id") >= cut), base)
         .withColumn("is_new", lit(1L))
-        .select(PackCols.map(col): _*)
+        .select(Curation.PackCols.map(col): _*)
       graft.etl.Warehouse.publishSnapshot(s, root,
         Seq("base" -> base, "delta" -> delta), Some("source"))
     }
   }
 
-  /** The packed layout a dataloader reads: base ∪ delta from ONE resolved
-    * snapshot (members joined in name order — a file-level concatenation,
-    * no shuffle; a concurrent compaction can never split this serve). */
-  def serve(s: SparkSession, dir: String): DataFrame = {
+  /** Union of every member the RESOLVED snapshot lists, in name order — a
+    * file-level concatenation, no shuffle. The hive partition column is
+    * cast back to its declared STRING type: directory-name inference
+    * would otherwise read a numeric-looking source ('2024') as INT and
+    * break bit-identity with the declared pack math (the listsOf
+    * cent_id-cast discipline). */
+  private def segmentsOf(s: SparkSession, dir: String,
+                         snap: Map[String, String]): DataFrame = {
     val root = packRoot(s, dir)
-    currentSegments(s, dir).toSeq.sortBy(_._1)
-      .map { case (m, v) => graft.etl.Warehouse.readSnapshotMember(s, root, m, v) }
+    snap.toSeq.sortBy(_._1)
+      .map { case (m, v) => graft.etl.Warehouse.readSnapshotMember(s, root, m, v)
+        .withColumn("source", col("source").cast("string")) }
       .reduce(_ unionByName _)
-      .select(PackCols.head, PackCols.tail: _*)
+      .select(Curation.PackCols.head, Curation.PackCols.tail: _*)
   }
+
+  /** The packed layout a dataloader reads: base ∪ delta from ONE resolved
+    * snapshot (a concurrent compaction can never split this serve). */
+  def serve(s: SparkSession, dir: String): DataFrame =
+    segmentsOf(s, dir, currentSegments(s, dir))
 
   /** COMPACTION — fold the delta segment into a fresh base version and
     * retire the delta member with one snapshot-pointer swap. Bin ids are
@@ -92,12 +91,8 @@ object PackMaintenance {
     * moves files, never bytes within a bin: the serve is bit-identical at
     * every instant and reads ONE segment afterwards. */
   def compact(s: SparkSession, dir: String): Map[String, String] = {
-    val root = packRoot(s, dir)
-    val snap = currentSegments(s, dir)
-    val merged = snap.toSeq.sortBy(_._1)
-      .map { case (m, v) => graft.etl.Warehouse.readSnapshotMember(s, root, m, v) }
-      .reduce(_ unionByName _)
-      .select(PackCols.head, PackCols.tail: _*)
-    graft.etl.Warehouse.publishSnapshot(s, root, Seq("base" -> merged), Some("source"))
+    val merged = segmentsOf(s, dir, currentSegments(s, dir))
+    graft.etl.Warehouse.publishSnapshot(s, packRoot(s, dir),
+      Seq("base" -> merged), Some("source"))
   }
 }

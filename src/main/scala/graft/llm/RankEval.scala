@@ -202,33 +202,47 @@ object RankEval {
     * whole feed is a metadata join: 6 families × Q queries × ≤10 rows a
     * side, at any corpus size. */
   def rankDiff(s: SparkSession, dir: String): DataFrame = {
-    def diffOf(fam: String, base: DataFrame, ups: DataFrame): DataFrame = {
-      val b = base.select(col("q_id"), col("n_id"), col("rank").as("r_base"))
-      val u = ups.select(col("q_id"), col("n_id"), col("rank").as("r_ups"))
-      b.join(u, Seq("q_id", "n_id"), "full_outer")
-        .groupBy("q_id")
-        .agg(
-          count(when(col("r_base").isNotNull && col("r_ups").isNotNull, 1))
-            .as("n_common"),
-          count(when(col("r_base").isNull, 1)).as("n_new"),
-          count(when(col("r_ups").isNull, 1)).as("n_dropped"),
-          sum(when(col("r_base").isNotNull && col("r_ups").isNotNull,
-            abs(col("r_base") - col("r_ups"))).otherwise(lit(0L)))
-            .as("displacement"),
-          max(when(col("r_ups") === 1L &&
-            coalesce(col("r_base"), lit(0L)) =!= 1L, 1L).otherwise(0L))
-            .as("top1_changed"))
-        .withColumn("family", lit(fam))
+    import s.implicits._
+    // driver-fold contract (the auditOf discipline): every input is a
+    // published Q·10 ranking or a fold over them, so each localize is
+    // ≤ HybridQueries·10 rows BY CONTRACT — the require keeps that
+    // mechanical if the eval set ever becomes corpus-derived
+    val maxRows = Fusion.HybridQueries * 10
+    def localize(df: DataFrame): Map[(Long, Long), Long] = {
+      val rows = df.select("q_id", "n_id", "rank").collect()
+      require(rows.length <= maxRows,
+        s"rank-diff driver fold expects <= $maxRows serve rows, got ${rows.length}")
+      rows.map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     }
-    Seq(
-      diffOf("ivf", Rankings.ivf(s, dir), Rankings.ivfUpsert(s, dir)),
-      diffOf("graph", Rankings.graph(s, dir), Rankings.graphUpsert(s, dir)),
-      diffOf("binary", Rankings.binary(s, dir), Rankings.binaryUpsert(s, dir)),
-      diffOf("ivfpq", Rankings.ivfpq(s, dir), Rankings.ivfpqUpsert(s, dir)),
-      diffOf("fused", Fusion.fusedTopK(s, dir), Fusion.fusedUpsertTopK(s, dir)),
-      diffOf("hybrid", Fusion.hybridTopK(s, dir), Fusion.hybridUpsertTopK(s, dir)))
-      .reduce(_ unionByName _)
-      .select("family", "q_id", "n_common", "n_new", "n_dropped",
+    def diffOf(fam: String, base: Map[(Long, Long), Long],
+               ups: Map[(Long, Long), Long]): Seq[(String, Long, Long, Long, Long, Long, Long)] = {
+      val qids = (base.keySet ++ ups.keySet).map(_._1)
+      qids.toSeq.sorted.map { q =>
+        val b = base.collect { case ((`q`, n), r) => n -> r }
+        val u = ups.collect { case ((`q`, n), r) => n -> r }
+        val common = b.keySet & u.keySet
+        val displacement = common.toSeq.map(n => math.abs(b(n) - u(n))).sum
+        val top1 = u.find(_._2 == 1L).map(_._1)
+        val top1Changed = top1.exists(n => !b.get(n).contains(1L))
+        (fam, q, common.size.toLong, (u.keySet -- b.keySet).size.toLong,
+          (b.keySet -- u.keySet).size.toLong, displacement,
+          if (top1Changed) 1L else 0L)
+      }
+    }
+    val rows =
+      diffOf("ivf", localize(Rankings.ivf(s, dir)),
+        localize(Rankings.ivfUpsert(s, dir))) ++
+      diffOf("graph", localize(Rankings.graph(s, dir)),
+        localize(Rankings.graphUpsert(s, dir))) ++
+      diffOf("binary", localize(Rankings.binary(s, dir)),
+        localize(Rankings.binaryUpsert(s, dir))) ++
+      diffOf("ivfpq", localize(Rankings.ivfpq(s, dir)),
+        localize(Rankings.ivfpqUpsert(s, dir))) ++
+      diffOf("fused", localize(Fusion.fusedTopK(s, dir)),
+        localize(Fusion.fusedUpsertTopK(s, dir))) ++
+      diffOf("hybrid", localize(Fusion.hybridTopK(s, dir)),
+        localize(Fusion.hybridUpsertTopK(s, dir)))
+    rows.toDF("family", "q_id", "n_common", "n_new", "n_dropped",
         "displacement", "top1_changed")
       .orderBy("family", "q_id")
   }

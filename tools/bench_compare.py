@@ -17,8 +17,8 @@ round comes out of git history: pass `REV:path` (e.g.
 
 Usage:
   python3 tools/bench_compare.py CANDIDATE BASELINE [BASELINE2 ...]
-      [--threshold 2.0]
-      [--adjudicated q_name=prof_secs,q_name2=prof_secs]
+      [--threshold=2.0]
+      [--adjudicated=q_name=prof_secs,q_name2=prof_secs]
       [--json]
 
 --adjudicated records same-phase standalone Prof medians for flagged
@@ -66,8 +66,14 @@ def main(argv):
     as_json = "--json" in opts
     for o in opts:
         if o.startswith("--threshold"):
+            if "=" not in o:
+                print("use --threshold=N (space-separated form not supported)")
+                return 2
             threshold = float(o.split("=", 1)[1])
         if o.startswith("--adjudicated"):
+            if "=" not in o:
+                print("use --adjudicated=q=secs[,q=secs...]")
+                return 2
             for kv in o.split("=", 1)[1].split(","):
                 k, _, v = kv.partition("=")
                 adjudicated[k] = float(v)
@@ -90,13 +96,15 @@ def main(argv):
             if bq[q] <= 0:
                 continue
             ratios[q] = (cq[q] / ccal) / (bq[q] / bcal)
-        med = statistics.median(ratios.values()) if ratios else None
-        med_raw = statistics.median(cq[q] / bq[q] for q in shared
-                                    if bq[q] > 0) if shared else None
+        def med_of(vals):
+            vals = list(vals)
+            return statistics.median(vals) if vals else None
+        med = med_of(ratios.values())
+        med_raw = med_of(cq[q] / bq[q] for q in shared if bq[q] > 0)
         med_mt = None
         if ccal_mt and bcal_mt:
-            med_mt = statistics.median((cq[q] / ccal_mt) / (bq[q] / bcal_mt)
-                                       for q in shared if bq[q] > 0)
+            med_mt = med_of((cq[q] / ccal_mt) / (bq[q] / bcal_mt)
+                            for q in shared if bq[q] > 0)
         flags = []
         for q, r in sorted(ratios.items(), key=lambda kv: -kv[1]):
             if r < threshold:
