@@ -35,3 +35,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Dev-only passthrough: extra -D flags for the forked run JVM (e.g.
+// -Dspark.eventLog.enabled=true for stage-level profiling with
+// tools/stageprof.py) — empty unless the env var is set.
+javaOptions ++= sys.env.get("GRAFT_EXTRA_JAVA_OPTS")
+  .map(_.split("\\s+").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)

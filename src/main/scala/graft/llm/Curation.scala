@@ -213,9 +213,14 @@ object Curation {
     * vocabulary or the corpus row count. */
   def importanceWeight(s: SparkSession, dir: String): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    // localCheckpoint: the four consumers below (c_raw, c_tgt, totals, the
+    // per-doc rollup) shuffle tok on different keys, so no exchange reuse
+    // is possible and the corpus tokenize ran up to four times (guide
+    // §2.4/§8 — the lmScore rationale).
     val tok = t(s, dir, "documents")
       .select(col("doc_id"), col("source"),
         explode(tokens(coalesce(col("text"), lit("")))).as("tok"))
+      .localCheckpoint()
     val cRaw = tok.groupBy("tok").agg(count(lit(1)).as("c_raw"))
     val cTgt = tok.filter(col("source") === ImportanceTarget)
       .groupBy("tok").agg(count(lit(1)).as("c_tgt"))
@@ -641,7 +646,14 @@ object Curation {
     * of corpus size — and the cutoff joins back as a 1-row broadcast.
     * All integers end to end: bit-identical on any engine. */
   def qualityThreshold(s: SparkSession, dir: String): DataFrame = {
-    val lg = logitRows(s, dir).select("doc_id", "logit_milli")
+    // localCheckpoint: the histogram branch and the final filter hash on
+    // DIFFERENT keys (logit_milli vs none), so no exchange reuse is
+    // possible and the tokenize-heavy logit pipeline ran TWICE (guide
+    // §2.4/§8: decide on the narrow proxy, compute it once). The
+    // materialized frame is 2 longs per doc — the cheapest full-corpus
+    // intermediate in the query; re-tokenizing the corpus is far dearer
+    // at any scale. A/B at sf0.1: 0.86 → 0.54 s (Prof medians).
+    val lg = logitRows(s, dir).select("doc_id", "logit_milli").localCheckpoint()
     val hist = lg.groupBy("logit_milli").agg(count(lit(1)).as("cnt"))
     val w = org.apache.spark.sql.expressions.Window.orderBy("logit_milli")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)

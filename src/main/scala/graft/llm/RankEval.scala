@@ -102,12 +102,7 @@ object RankEval {
     * terms an explicit 0.0 — the twin's coalesce chain), so the audit
     * pays the member serves + the two exact sides and nothing else. */
   def rankQuality(s: SparkSession, dir: String): DataFrame =
-    auditOf(s, dir,
-      ivf = Rankings.ivf(s, dir),
-      graph = Rankings.graph(s, dir),
-      bin = Rankings.binary(s, dir),
-      ivfpq = Rankings.ivfpq(s, dir),
-      hybrid = Fusion.hybridTopK(s, dir))
+    auditOf(s, dir, upsert = false)
 
   /** q_sim_rank_quality_upsert: the FRESHNESS rank audit (r12) — the same
     * six-family MRR + nDCG@10, graded over the UPSERT-AWARE serves (base
@@ -121,53 +116,45 @@ object RankEval {
     * PUBLISHED artifacts (the ivfpq_upsert variant publishes here), so
     * the audit is Q·10 metadata folds end to end. */
   def rankQualityUpsert(s: SparkSession, dir: String): DataFrame =
-    auditOf(s, dir,
-      ivf = Rankings.ivfUpsert(s, dir),
-      graph = Rankings.graphUpsert(s, dir),
-      bin = Rankings.binaryUpsert(s, dir),
-      ivfpq = Rankings.ivfpqUpsert(s, dir),
-      hybrid = Fusion.hybridUpsertTopK(s, dir))
+    auditOf(s, dir, upsert = true)
 
-  /** The shared six-family audit fold: three cosine members + their RRF
-    * consensus (re-derived locally — the identical sum and (rrf desc,
-    * n_id) ranking as Fusion.fuseOf), the L2 composite, the two-tower
-    * hybrid; each family graded against ITS OWN metric space's exact
-    * top-10 (the recall-audit contract). */
-  private def auditOf(s: SparkSession, dir: String,
-                      ivf: DataFrame, graph: DataFrame, bin: DataFrame,
-                      ivfpq: DataFrame, hybrid: DataFrame): DataFrame = {
-    import s.implicits._
-    // driver-fold contract (VERDICT r11 item 6): every localized frame is
-    // Q·10 rows BY CONTRACT (the 8-query eval set × top-10). The require
-    // makes the contract mechanical — if a future eval set becomes
-    // corpus-derived, the collect fails loudly instead of silently turning
-    // the driver fold into a corpus-sized localize.
-    val maxRows = Fusion.HybridQueries * 10
-    def localize(df: DataFrame): Seq[(Long, Long, Long)] = {
-      val rows = df.select("q_id", "n_id", "rank").collect()
+  /** ONE-ACTION localize of several published Q·10 rankings: the frames
+    * are tagged, unioned and collected in a SINGLE Spark job instead of
+    * one job per frame. Every input is a Q·10 parquet read (or a pushed
+    * Q-row scan) — metadata tier — so the audit queries were spending
+    * their time in sequential job dispatch and per-collect planning, not
+    * in any computation (guide §1: measured ~30–50 ms scheduling floor
+    * per job × 7–12 collects per audit). Rows per frame are unchanged;
+    * the Q·10 `require` contract (VERDICT r11 item 6) is enforced
+    * per-tag after the one collect. */
+  private def localizeAll(frames: Seq[(String, DataFrame)],
+                          maxRows: Int): Map[String, Seq[(Long, Long, Long)]] = {
+    val tagged = frames.map { case (tag, df) =>
+      df.select(lit(tag).as("tag"), col("q_id").cast("long").as("q_id"),
+        col("n_id").cast("long").as("n_id"), col("rank").cast("long").as("rank"))
+    }.reduce(_ unionByName _)
+    val byTag = tagged.collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    frames.map { case (tag, _) =>
+      val rows = byTag.getOrElse(tag, Seq.empty)
       require(rows.length <= maxRows,
-        s"rank-quality driver fold expects <= $maxRows serve rows, got ${rows.length}")
-      rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
-    }
-    def pairSet(df: DataFrame): Set[(Long, Long)] = {
-      val rows = df.select("q_id", "n_id").collect()
-      require(rows.length <= maxRows,
-        s"rank-quality driver fold expects <= $maxRows exact rows, got ${rows.length}")
-      rows.map(r => (r.getLong(0), r.getLong(1))).toSet
-    }
-    val exact = pairSet(Rankings.exactCos(s, dir))
-    val exactL2 = pairSet(Rankings.exactL2(s, dir))
-    val ivfL = localize(ivf)
-    val graphL = localize(graph)
-    val binL = localize(bin)
-    val ivfpqL = localize(ivfpq)
-    val hybridL = localize(hybrid)
-    // the fused ranking from the member rankings — the identical RRF sum
-    // and (rrf desc, n_id) ranking as Fusion.fuseOf, folded locally
-    val members = Seq(ivfL, graphL, binL).map(_.map(t => (t._1, t._2) -> t._3).toMap)
-    val pairs = Seq(ivfL, graphL, binL).flatMap(_.map(t => (t._1, t._2))).distinct
-    val fused = pairs.map { p =>
-      val score = members.foldLeft(0.0) { (acc, m) =>
+        s"rank-audit driver fold expects <= $maxRows rows per serve, got ${rows.length} for $tag")
+      tag -> rows
+    }.toMap
+  }
+
+  /** The fixed-order RRF fold over member rankings, driver-side — the
+    * EXACT arithmetic and (rrf desc, n_id) ranking of Fusion.fuseOf /
+    * rrf2: pairs universe = union of member pairs, absent terms an
+    * explicit 0.0, left-associative sum in member order, top-10 per
+    * query. Shared by the audit's ensemble/hybrid rows and the diff
+    * feed (RankEvalSpec pins fold ≡ frame fusion pair-for-pair). */
+  private def rrfFold(members: Seq[Seq[(Long, Long, Long)]]): Seq[(Long, Long, Long)] = {
+    val maps = members.map(_.map(t => (t._1, t._2) -> t._3).toMap)
+    val pairs = members.flatMap(_.map(t => (t._1, t._2))).distinct
+    pairs.map { p =>
+      val score = maps.foldLeft(0.0) { (acc, m) =>
         acc + m.get(p).map(r => 1.0 / (Fusion.FusionK + r)).getOrElse(0.0)
       }
       (p._1, p._2, score)
@@ -175,12 +162,53 @@ object RankEval {
       rs.sortBy(t => (if (t._3 == 0.0) 0.0 else -t._3, t._2)).take(10)
         .zipWithIndex.map { case (t, i) => (t._1, t._2, (i + 1).toLong) }
     }
-    val rows = metricsOf(ivfL, exact, "ivf") ++
-      metricsOf(graphL, exact, "graph") ++
-      metricsOf(binL, exact, "binary") ++
+  }
+
+  /** The shared six-family audit fold: three cosine members + their RRF
+    * consensus, the L2 composite, the two-tower hybrid (both ensembles
+    * re-derived locally — the identical sum and (rrf desc, n_id) ranking
+    * as Fusion.fuseOf / rrf2 over the SAME published member rankings);
+    * each family graded against ITS OWN metric space's exact top-10 (the
+    * recall-audit contract). All eight inputs are published Q·10
+    * rankings, localized in ONE Spark action (localizeAll). */
+  private def auditOf(s: SparkSession, dir: String, upsert: Boolean): DataFrame = {
+    import s.implicits._
+    // driver-fold contract (VERDICT r11 item 6): every localized frame is
+    // Q·10 rows BY CONTRACT (the 8-query eval set × top-10). The require
+    // in localizeAll keeps that mechanical.
+    val maxRows = Fusion.HybridQueries * 10
+    val memberFrames =
+      if (upsert) Seq(
+        "ivf" -> Rankings.ivfUpsert(s, dir),
+        "graph" -> Rankings.graphUpsert(s, dir),
+        "binary" -> Rankings.binaryUpsert(s, dir),
+        "ivfpq" -> Rankings.ivfpqUpsert(s, dir),
+        "lex" -> Rankings.lexUpsert(s, dir)
+          .select(col("q_id"), col("n_id"), col("r_lex").as("rank")))
+      else Seq(
+        "ivf" -> Rankings.ivf(s, dir),
+        "graph" -> Rankings.graph(s, dir),
+        "binary" -> Rankings.binary(s, dir),
+        "ivfpq" -> Rankings.ivfpq(s, dir),
+        "lex" -> Rankings.lex(s, dir)
+          .select(col("q_id"), col("n_id"), col("r_lex").as("rank")))
+    val l = localizeAll(memberFrames ++ Seq(
+      "exact_cos" -> Rankings.exactCos(s, dir),
+      "exact_l2" -> Rankings.exactL2(s, dir)), maxRows)
+    val exact = l("exact_cos").map(t => (t._1, t._2)).toSet
+    val exactL2 = l("exact_l2").map(t => (t._1, t._2)).toSet
+    // the fused ranking from the member rankings and the two-tower hybrid
+    // from (lex, dense) — the identical RRF sums and rankings as
+    // Fusion.fuseOf / rrf2 (hybridTopK), folded locally over the same
+    // published frames those serves read
+    val fused = rrfFold(Seq(l("ivf"), l("graph"), l("binary")))
+    val hybrid = rrfFold(Seq(l("lex"), l("ivf")))
+    val rows = metricsOf(l("ivf"), exact, "ivf") ++
+      metricsOf(l("graph"), exact, "graph") ++
+      metricsOf(l("binary"), exact, "binary") ++
       metricsOf(fused, exact, "fused") ++
-      metricsOf(ivfpqL, exactL2, "ivfpq") ++
-      metricsOf(hybridL, exact, "hybrid")
+      metricsOf(l("ivfpq"), exactL2, "ivfpq") ++
+      metricsOf(hybrid, exact, "hybrid")
     rows.toDF("family", "q_id", "first_hit", "rr", "dcg", "ndcg")
       .orderBy("family", "q_id")
   }
@@ -204,16 +232,13 @@ object RankEval {
   def rankDiff(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // driver-fold contract (the auditOf discipline): every input is a
-    // published Q·10 ranking or a fold over them, so each localize is
-    // ≤ HybridQueries·10 rows BY CONTRACT — the require keeps that
-    // mechanical if the eval set ever becomes corpus-derived
+    // published Q·10 ranking or a local RRF fold over them, so each frame
+    // is ≤ HybridQueries·10 rows BY CONTRACT — localizeAll's require
+    // keeps that mechanical. All ten published rankings arrive in ONE
+    // Spark action; the fused/hybrid sides are the same driver RRF fold
+    // the rank-quality audit uses (≡ Fusion.fuseOf / rrf2 pair-for-pair,
+    // RankEvalSpec), so the feed costs one job instead of twelve.
     val maxRows = Fusion.HybridQueries * 10
-    def localize(df: DataFrame): Map[(Long, Long), Long] = {
-      val rows = df.select("q_id", "n_id", "rank").collect()
-      require(rows.length <= maxRows,
-        s"rank-diff driver fold expects <= $maxRows serve rows, got ${rows.length}")
-      rows.map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
-    }
     def diffOf(fam: String, base: Map[(Long, Long), Long],
                ups: Map[(Long, Long), Long]): Seq[(String, Long, Long, Long, Long, Long, Long)] = {
       val qids = (base.keySet ++ ups.keySet).map(_._1)
@@ -229,19 +254,36 @@ object RankEval {
           if (top1Changed) 1L else 0L)
       }
     }
+    val lexRank = (df: DataFrame) =>
+      df.select(col("q_id"), col("n_id"), col("r_lex").as("rank"))
+    val l = localizeAll(Seq(
+      "ivf" -> Rankings.ivf(s, dir),
+      "ivf_up" -> Rankings.ivfUpsert(s, dir),
+      "graph" -> Rankings.graph(s, dir),
+      "graph_up" -> Rankings.graphUpsert(s, dir),
+      "binary" -> Rankings.binary(s, dir),
+      "binary_up" -> Rankings.binaryUpsert(s, dir),
+      "ivfpq" -> Rankings.ivfpq(s, dir),
+      "ivfpq_up" -> Rankings.ivfpqUpsert(s, dir),
+      "lex" -> lexRank(Rankings.lex(s, dir)),
+      "lex_up" -> lexRank(Rankings.lexUpsert(s, dir))), maxRows)
+    def m(tag: String): Map[(Long, Long), Long] =
+      l(tag).map(t => (t._1, t._2) -> t._3).toMap
+    // the ensemble/hybrid sides re-derived locally from the SAME published
+    // member rankings their serves read — identical RRF arithmetic and
+    // ranking as Fusion.fuseOf (fusedTopK/fusedUpsertTopK) and rrf2
+    // (hybridTopK/hybridUpsertTopK); the diff ignores the is_new flags
+    // those serves append, exactly as the previous per-serve localize did
+    def fold(tags: String*): Map[(Long, Long), Long] =
+      rrfFold(tags.map(l)).map(t => (t._1, t._2) -> t._3).toMap
     val rows =
-      diffOf("ivf", localize(Rankings.ivf(s, dir)),
-        localize(Rankings.ivfUpsert(s, dir))) ++
-      diffOf("graph", localize(Rankings.graph(s, dir)),
-        localize(Rankings.graphUpsert(s, dir))) ++
-      diffOf("binary", localize(Rankings.binary(s, dir)),
-        localize(Rankings.binaryUpsert(s, dir))) ++
-      diffOf("ivfpq", localize(Rankings.ivfpq(s, dir)),
-        localize(Rankings.ivfpqUpsert(s, dir))) ++
-      diffOf("fused", localize(Fusion.fusedTopK(s, dir)),
-        localize(Fusion.fusedUpsertTopK(s, dir))) ++
-      diffOf("hybrid", localize(Fusion.hybridTopK(s, dir)),
-        localize(Fusion.hybridUpsertTopK(s, dir)))
+      diffOf("ivf", m("ivf"), m("ivf_up")) ++
+      diffOf("graph", m("graph"), m("graph_up")) ++
+      diffOf("binary", m("binary"), m("binary_up")) ++
+      diffOf("ivfpq", m("ivfpq"), m("ivfpq_up")) ++
+      diffOf("fused", fold("ivf", "graph", "binary"),
+        fold("ivf_up", "graph_up", "binary_up")) ++
+      diffOf("hybrid", fold("lex", "ivf"), fold("lex_up", "ivf_up"))
     rows.toDF("family", "q_id", "n_common", "n_new", "n_dropped",
         "displacement", "top1_changed")
       .orderBy("family", "q_id")

@@ -370,6 +370,12 @@ object TextAnalysis {
     * Docs with <2 tokens surface with n_bigrams=0 and NULL score via the
     * final left join. */
   def lmScore(s: SparkSession, dir: String): DataFrame = {
+    // localCheckpoint: the three consumers below shuffle bg on THREE
+    // different keys (g, p, g-join), so no exchange reuse is possible and
+    // the tokenize + zip_with explode ran three times (guide §2.4/§8:
+    // compute the heavy map once, fan out from the materialized narrow
+    // rows — (doc_id, p, g) is corpus-token-tier but a fraction of
+    // re-reading and re-tokenizing the text three times at any scale).
     val bg = t(s, dir, "documents")
       .select(col("doc_id"), tokens(coalesce(col("text"), lit(""))).as("toks"))
       .select(col("doc_id"), explode(expr(
@@ -377,6 +383,7 @@ object TextAnalysis {
           "slice(toks, 2, greatest(size(toks) - 1, 0)), " +
           "(a, b) -> named_struct('p', a, 'g', concat(a, ' ', b)))")).as("x"))
       .select(col("doc_id"), col("x.p").as("p"), col("x.g").as("g"))
+      .localCheckpoint()
     val cbg = bg.groupBy("g").agg(count(lit(1)).as("c_bg"))
     val cpre = bg.groupBy("p").agg(count(lit(1)).as("c_pre"))
     val perDoc = bg.join(cbg, "g").join(cpre, "p")
